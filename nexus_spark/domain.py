@@ -1,0 +1,131 @@
+"""Domain adapters: derive the geospatial long-format tables from the driver
+testdata.
+
+The engine's primary abstraction is the ``observations`` frame
+``(dataset, time, lat, lon, value)`` — the relational form of the reference's
+tile model after point unnesting (reference:
+data-access/nexustiles/model/nexusmodel.py:69-86, one row per valid grid cell
+per time step; masked cells are NULL).
+
+The driver testdata has no geo tables, so we derive deterministic
+pseudo-geospatial frames from ``lineitem`` / ``events``. Each derivation is a
+single SQL fragment executed verbatim by BOTH Spark SQL and the DuckDB oracle
+(same text → provable parity); operators then consume the resulting DataFrame
+through the library API. Grid layout: 12 lat cells (5° wide, centers
+-27.5..27.5) x 12 lon cells (30° wide, centers -165..165), daily time steps,
+~1/7 NULL values exercising mask semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_spark.catalog import load_table
+from nexus_spark.session import tune
+
+# -- observations: from lineitem ------------------------------------------
+# dataset parity from l_suppkey; 1/7 of cells masked (l_linenumber = 7).
+OBSERVATIONS_SQL = """
+SELECT
+  CASE WHEN l_suppkey % 2 = 0 THEN 'sst_a' ELSE 'sst_b' END AS dataset,
+  l_shipdate AS time,
+  CAST(l_partkey % 12 AS DOUBLE) * 5.0 - 27.5 AS lat,
+  CAST(l_orderkey % 12 AS DOUBLE) * 30.0 - 165.0 AS lon,
+  CASE WHEN l_linenumber = 7 THEN NULL
+       ELSE l_quantity + 10.0 * l_discount END AS value
+FROM lineitem
+"""
+
+# -- matchup point sets: from events --------------------------------------
+# Two interleaved point populations with offset grids so pair distances are
+# nonzero and knowable; both share the ts distribution so time-tolerance
+# predicates are meaningful (reference matchup semantics:
+# analysis/webservice/algorithms_spark/Matchup.py:41-691).
+MATCHUP_PRIMARY_SQL = """
+SELECT
+  event_id AS primary_id,
+  ts AS time,
+  CAST(user_id % 120 AS DOUBLE) * 0.5 - 29.75 AS lat,
+  CAST(event_id % 144 AS DOUBLE) * 2.5 - 178.75 AS lon,
+  value AS value
+FROM events
+WHERE event_id % 2 = 0
+"""
+
+MATCHUP_SECONDARY_SQL = """
+SELECT
+  event_id AS secondary_id,
+  ts AS time,
+  CAST(user_id % 120 AS DOUBLE) * 0.5 - 29.85 AS lat,
+  CAST(event_id % 144 AS DOUBLE) * 2.5 - 178.65 AS lon,
+  value AS value
+FROM events
+WHERE event_id % 2 = 1
+"""
+
+# -- tiles: zone-map summary table, derived from observations -------------
+# Mirror of the reference's Solr tile document / TileSummary stats
+# (reference: nexus-ingest/nexus-sink NexusService.groovy:77-98). A "tile" is
+# one (dataset, day, lat-cell, lon-cell) — scalar time like a GridTile.
+TILES_SQL = """
+SELECT
+  dataset,
+  CAST(time AS DATE) AS tile_date,
+  lat - 2.5 AS min_lat, lat + 2.5 AS max_lat,
+  lon - 15.0 AS min_lon, lon + 15.0 AS max_lon,
+  MIN(value) AS stats_min,
+  MAX(value) AS stats_max,
+  SUM(value * COS(RADIANS(lat))) / SUM(CASE WHEN value IS NOT NULL
+        THEN COS(RADIANS(lat)) END) AS stats_mean,
+  SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS stats_count
+FROM ({obs}) obs
+GROUP BY dataset, CAST(time AS DATE), lat, lon
+""".replace("{obs}", OBSERVATIONS_SQL)
+
+# -- climatology: day-of-year mean of sst_a, with gaps --------------------
+# Keyed by day-of-year; doys divisible by 7 are deliberately removed so the
+# as-of (doy <= d, most recent) lookup path is exercised, not plain equality
+# (reference: data-access/nexustiles/dao/SolrProxy.pyx:137-153).
+CLIMATOLOGY_SQL = """
+SELECT dataset || '_CLIM' AS dataset, doy, lat, lon,
+       AVG(value) AS value
+FROM (
+  SELECT dataset, DAYOFYEAR(time) AS doy, lat, lon, value
+  FROM ({obs}) o
+  WHERE dataset = 'sst_a'
+) d
+WHERE doy % 7 <> 0
+GROUP BY dataset, doy, lat, lon
+""".replace("{obs}", OBSERVATIONS_SQL)
+
+
+def _frame(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
+    tune(spark)
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",))
+
+
+def matchup_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame(spark, sf_dir, MATCHUP_PRIMARY_SQL, ("events",))
+
+
+def matchup_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame(spark, sf_dir, MATCHUP_SECONDARY_SQL, ("events",))
+
+
+def tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame(spark, sf_dir, TILES_SQL, ("lineitem",))
+
+
+def climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _frame(spark, sf_dir, CLIMATOLOGY_SQL, ("lineitem",))
+
+
+def cte(sql_fragment: str, name: str) -> str:
+    """Wrap a domain fragment as a named CTE clause body for oracle SQL."""
+    return f"{name} AS ({sql_fragment})"

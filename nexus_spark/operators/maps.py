@@ -1,0 +1,91 @@
+"""Per-pixel map operators: time-average map, climatology map, lat-lon stats
+map (reference /timeAvgMapSpark, /climMapSpark, /longitudeLatitudeMap).
+
+All three are one groupBy(lat, lon) over the pruned scan. The reference's
+30/90-day chunked fetch loops (TimeAvgMapSpark.py:41-45, ClimMapSpark.py:41-46)
+exist only to bound per-task memory — Spark spills, so they vanish. The
+shuffle key (lat, lon) is the output grid: high-cardinality, uniform, ideal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexus_spark.functions.geo import bbox_filter
+
+
+def _bounded(obs: DataFrame, dataset: str | None, min_lat, max_lat, min_lon,
+             max_lon, start_time, end_time) -> DataFrame:
+    df = obs.where(bbox_filter(F.col("lat"), F.col("lon"),
+                               min_lat, max_lat, min_lon, max_lon))
+    if dataset is not None:
+        df = df.where(F.col("dataset") == dataset)
+    if start_time is not None:
+        df = df.where(F.col("time") >= F.lit(start_time))
+    if end_time is not None:
+        df = df.where(F.col("time") <= F.lit(end_time))
+    return df
+
+
+def time_avg_map(obs: DataFrame, dataset: str | None = None,
+                 min_lat: float = -90, max_lat: float = 90,
+                 min_lon: float = -180, max_lon: float = 180,
+                 start_time=None, end_time=None) -> DataFrame:
+    """Per-pixel temporal mean + count
+    (reference: algorithms_spark/TimeAvgMapSpark.py:28-96,183-187 — the
+    combineByKey sum/cnt pair is Spark's partial-agg, for free)."""
+    df = _bounded(obs, dataset, min_lat, max_lat, min_lon, max_lon,
+                  start_time, end_time)
+    return df.groupBy("lat", "lon").agg(
+        F.avg("value").alias("map_mean"),
+        F.count("value").alias("map_cnt"),
+    )
+
+
+def clim_map(obs: DataFrame, month: int, dataset: str | None = None,
+             start_year: int | None = None, end_year: int | None = None,
+             **bounds) -> DataFrame:
+    """Climatology map: per-pixel mean over one calendar month across years
+    (reference: algorithms_spark/ClimMapSpark.py:16-252, per-year month
+    windows :176-184 — replaced by a month() predicate)."""
+    df = _bounded(obs, dataset, bounds.get("min_lat", -90),
+                  bounds.get("max_lat", 90), bounds.get("min_lon", -180),
+                  bounds.get("max_lon", 180), None, None)
+    df = df.where(F.month("time") == month)
+    if start_year is not None:
+        df = df.where(F.year("time") >= start_year)
+    if end_year is not None:
+        df = df.where(F.year("time") <= end_year)
+    return df.groupBy("lat", "lon").agg(
+        F.avg("value").alias("clim_mean"),
+        F.count("value").alias("clim_cnt"),
+    )
+
+
+def lonlat_map(obs: DataFrame, dataset: str | None = None,
+               min_lat: float = -90, max_lat: float = 90,
+               min_lon: float = -180, max_lon: float = 180,
+               start_time=None, end_time=None) -> DataFrame:
+    """Per-pixel stats incl. trend-vs-time regression
+    (reference: algorithms/LongitudeLatitudeMap.py:192-244 — scipy.linregress
+    per pixel over (epoch-seconds, value) → regr_* aggregates).
+
+    Output: lat, lon, ll_slope (per DAY — the reference regresses on an
+    epoch-seconds axis; we use days so slopes stay in a numerically
+    meaningful range), ll_intercept, ll_r, ll_mean, ll_max, ll_min, ll_std
+    (population), ll_cnt.
+    """
+    df = _bounded(obs, dataset, min_lat, max_lat, min_lon, max_lon,
+                  start_time, end_time)
+    t = F.unix_timestamp("time").cast("double") / F.lit(86400.0)
+    return df.groupBy("lat", "lon").agg(
+        F.regr_slope(F.col("value"), t).alias("ll_slope"),
+        F.regr_intercept(F.col("value"), t).alias("ll_intercept"),
+        F.corr(t, F.col("value")).alias("ll_r"),
+        F.avg("value").alias("ll_mean"),
+        F.max("value").alias("ll_max"),
+        F.min("value").alias("ll_min"),
+        F.stddev_pop("value").alias("ll_std"),
+        F.count("value").alias("ll_cnt"),
+    )

@@ -1,0 +1,118 @@
+"""Summary-table (zone-map) aggregation fast path.
+
+The reference's /statsSolr computes area statistics from tile METADATA alone
+for tiles strictly inside the query box, and recomputes only boundary tiles
+from raw data (reference: algorithms/TimeSeriesSolr.py:284-329; interior
+vs boundary tile queries SolrProxy.pyx:403-451). This is the
+aggregate-from-summaries optimization: at 100 TB it turns a full scan into a
+scan of a table ~10^4x smaller plus a sliver of raw data.
+
+Our version is EXACT (not the reference's weighted-mean approximation): the
+summary table stores the sufficient statistics (Σwv, Σw, Σv, n, min, max) per
+tile, so interior contributions combine losslessly; only tiles that the bbox
+cuts are recomputed from raw observations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexus_spark.functions.geo import cos_lat_weight
+
+
+def build_summary(obs: DataFrame, lat_tile_deg: float = 5.0,
+                  lon_tile_deg: float = 30.0) -> DataFrame:
+    """Materialize per-(dataset, day, tile) sufficient statistics.
+
+    Tile key = (floor(lat/lat_tile_deg), floor(lon/lon_tile_deg)). In a lake
+    deployment this is a written table maintained at ingest (the reference
+    computes the same stats in its ingest summarizer,
+    nexus-ingest tilesumarizingprocessor.py:27-97).
+    """
+    w = F.when(F.col("value").isNotNull(), cos_lat_weight("lat"))
+    return (
+        obs.groupBy(
+            "dataset",
+            F.to_date("time").alias("tile_date"),
+            F.floor(F.col("lat") / lat_tile_deg).alias("lat_tile"),
+            F.floor(F.col("lon") / lon_tile_deg).alias("lon_tile"),
+        )
+        .agg(
+            F.min(F.col("lat")).alias("t_min_lat"),
+            F.max(F.col("lat")).alias("t_max_lat"),
+            F.min(F.col("lon")).alias("t_min_lon"),
+            F.max(F.col("lon")).alias("t_max_lon"),
+            F.sum(F.col("value") * cos_lat_weight("lat")).alias("t_sum_wv"),
+            F.sum(w).alias("t_sum_w"),
+            F.sum("value").alias("t_sum_v"),
+            F.count("value").alias("t_cnt"),
+            F.min("value").alias("t_min"),
+            F.max("value").alias("t_max"),
+        )
+    )
+
+
+def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
+                       min_lat: float, max_lat: float,
+                       min_lon: float, max_lon: float,
+                       lat_tile_deg: float = 5.0,
+                       lon_tile_deg: float = 30.0) -> DataFrame:
+    """Per-day (min, max, weighted mean, count) over a bbox using interior
+    tile summaries + boundary recompute. Exact equivalent of running the
+    aggregate over the raw observations (the oracle asserts this).
+
+    Output: dataset, ts_date, ts_min, ts_max, ts_mean, ts_cnt.
+    """
+    s = summary.where(F.col("dataset") == dataset)
+    interior = s.where(
+        (F.col("t_min_lat") >= min_lat) & (F.col("t_max_lat") <= max_lat)
+        & (F.col("t_min_lon") >= min_lon) & (F.col("t_max_lon") <= max_lon)
+    )
+    # Boundary = intersects the box but not strictly within
+    # (reference: find_all_boundary_tiles_at_time, SolrProxy.pyx:427-451).
+    boundary = s.where(
+        (F.col("t_min_lat") <= max_lat) & (F.col("t_max_lat") >= min_lat)
+        & (F.col("t_min_lon") <= max_lon) & (F.col("t_max_lon") >= min_lon)
+        & ~(
+            (F.col("t_min_lat") >= min_lat) & (F.col("t_max_lat") <= max_lat)
+            & (F.col("t_min_lon") >= min_lon) & (F.col("t_max_lon") <= max_lon)
+        )
+    )
+
+    interior_parts = interior.select(
+        "dataset", F.col("tile_date").alias("ts_date"),
+        "t_sum_wv", "t_sum_w", "t_cnt", "t_min", "t_max")
+
+    # Recompute only the boundary tiles' in-box slivers from raw data. The
+    # boundary tile-key set is tiny → broadcast semi-join prunes the scan.
+    bkeys = boundary.select("dataset", "tile_date", "lat_tile", "lon_tile")
+    o = obs.where(
+        (F.col("dataset") == dataset)
+        & (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat)
+        & (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
+    ).withColumn("lat_tile", F.floor(F.col("lat") / lat_tile_deg)) \
+     .withColumn("lon_tile", F.floor(F.col("lon") / lon_tile_deg)) \
+     .withColumn("tile_date", F.to_date("time"))
+    o = o.join(F.broadcast(bkeys), ["dataset", "tile_date", "lat_tile", "lon_tile"],
+               "left_semi")
+    w = F.when(F.col("value").isNotNull(), cos_lat_weight("lat"))
+    boundary_parts = o.groupBy("dataset", F.col("tile_date").alias("ts_date")).agg(
+        F.sum(F.col("value") * cos_lat_weight("lat")).alias("t_sum_wv"),
+        F.sum(w).alias("t_sum_w"),
+        F.count("value").alias("t_cnt"),
+        F.min("value").alias("t_min"),
+        F.max("value").alias("t_max"),
+    )
+
+    return (
+        interior_parts.unionByName(boundary_parts)
+        .groupBy("dataset", "ts_date")
+        .agg(
+            F.min("t_min").alias("ts_min"),
+            F.max("t_max").alias("ts_max"),
+            (F.sum("t_sum_wv") / F.sum("t_sum_w")).alias("ts_mean"),
+            F.sum("t_cnt").alias("ts_cnt"),
+        )
+        .where(F.col("ts_cnt") > 0)
+    )
