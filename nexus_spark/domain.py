@@ -77,7 +77,7 @@ SELECT
   MAX(value) AS stats_max,
   SUM(value * COS(RADIANS(lat))) / SUM(CASE WHEN value IS NOT NULL
         THEN COS(RADIANS(lat)) END) AS stats_mean,
-  SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS stats_count
+  COUNT(value) AS stats_count
 FROM ({obs}) obs
 GROUP BY dataset, CAST(time AS DATE), lat, lon
 """.replace("{obs}", OBSERVATIONS_SQL)
@@ -96,6 +96,7 @@ FROM (
 ) d
 WHERE doy % 7 <> 0
 GROUP BY dataset, doy, lat, lon
+HAVING COUNT(value) > 0
 """.replace("{obs}", OBSERVATIONS_SQL)
 
 

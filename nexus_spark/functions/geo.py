@@ -37,12 +37,10 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     projection (reference: Matchup.py:584-636) — as a plain column expression
     it stays inside codegen and scales with the join, no index build.
     """
-    dlat = F.radians(lat2 - lat1)
-    dlon = F.radians(lon2 - lon1)
-    a = (
-        F.sin(dlat / 2) ** 2
-        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
-    )
+    dlat_h = F.sin(F.radians(lat2 - lat1) / 2)
+    dlon_h = F.sin(F.radians(lon2 - lon1) / 2)
+    # squares via multiplication: pow() differs across engines at ulp level
+    a = dlat_h * dlat_h + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * dlon_h * dlon_h
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 

@@ -79,13 +79,11 @@ def matchup(
         cell_deg, time_tolerance_s, n_lon_cells,
     )
     s = _bucketed(
-        secondary.select(
-            F.col("secondary_id"), F.col("time").alias("s_time"),
-            F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
-            F.col("value").alias("s_value"),
-        ).withColumn("time", F.col("s_time")),
+        secondary.select("secondary_id", "time", "lat", "lon", "value"),
         cell_deg, time_tolerance_s, n_lon_cells,
-    ).select("secondary_id", "s_time", "s_lat", "s_lon", "s_value",
+    ).select(F.col("secondary_id"), F.col("time").alias("s_time"),
+             F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
+             F.col("value").alias("s_value"),
              F.col("lat_cell").alias("s_lat_cell"),
              F.col("lon_cell").alias("s_lon_cell"),
              F.col("time_bucket").alias("s_time_bucket"))

@@ -63,7 +63,11 @@ def nearest_value(obs: DataFrame, dataset: str, lat: float, lon: float,
         df = df.where(F.col("time") <= F.lit(end_time))
     # Squared euclidean in degrees — monotone with the cdist the reference
     # uses for its nearest lookup; rounded for a deterministic argmin.
-    d2 = F.round((F.col("lat") - lat) ** 2 + (F.col("lon") - lon) ** 2, 9)
+    # Squares via multiplication (pow() implementations differ across
+    # engines at the ulp level).
+    dlat = F.col("lat") - F.lit(lat)
+    dlon = F.col("lon") - F.lit(lon)
+    d2 = F.round(dlat * dlat + dlon * dlon, 9)
     packed = F.struct(d2.alias("d2"), F.col("lat").alias("nv_lat"),
                       F.col("lon").alias("nv_lon"),
                       F.col("value").alias("nv_value"))

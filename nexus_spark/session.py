@@ -19,6 +19,9 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events fixture stores TIMESTAMP(NANOS); Spark 4 rejects nanos
+    # unless read as long (catalog.load_table converts back to timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
