@@ -609,6 +609,465 @@ GROUP BY dataset, strftime(time, '%Y-%m-%d %H:%M:%S'),
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: deduplication (documents table)
+# --------------------------------------------------------------------------
+
+def q_d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(exact_duplicates(docs))
+
+
+SQL_D_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+_JACCARD_T = 0.2
+
+
+def q_d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(ngram_jaccard_pairs(docs, threshold=_JACCARD_T))
+
+
+SQL_D_JACCARD = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END) AS shingles
+  FROM d),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)), {ND}) AS jaccard
+FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE)
+       / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= {_JACCARD_T}
+"""
+
+
+def q_d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (no SQL oracle: xxhash64 signatures are not
+    reproducible in DuckDB; recall vs exact jaccard is covered by unit
+    tests)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(minhash_lsh_pairs(docs, threshold=_JACCARD_T))
+
+
+def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup banding (no SQL oracle: xxhash64-based)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(simhash_pairs(docs, max_hamming=6))
+
+
+_COS_T = 0.9
+
+
+def q_d_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _finish(embedding_near_dup(emb, threshold=_COS_T))
+
+
+_VECS = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (SELECT vec_id, vec,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+"""
+
+SQL_D_EMB = f"""
+WITH {_VECS}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), {ND}) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {_COS_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+_KNN_QUERIES = 20
+_KNN_K = 5
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(knn_bruteforce(emb, queries_df, k=_KNN_K))
+
+
+SQL_SIM_KNN = f"""
+WITH {_VECS},
+q AS (SELECT * FROM n WHERE vec_id < {_KNN_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN n c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, {ND}) AS cosine
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (no SQL oracle — approximate by design;
+    recall vs knn_bruteforce asserted in unit tests)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_lsh(emb, queries_df, k=_KNN_K))
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: text analysis (documents table)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(text_stats(docs))
+
+
+def _sql_lang_score(lang_markers) -> str:
+    return ("list_sum(list_transform(words, w -> CASE WHEN w IN ({m}) "
+            "THEN 1 ELSE 0 END))").format(
+        m=", ".join(f"'{w}'" for w in lang_markers))
+
+
+def _sql_text_stats() -> str:
+    from nexus_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    scores = {lang: _sql_lang_score(m) for lang, m in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    # alphabetically-first language wins ties (matches the Spark struct-max)
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs[i + 1:]]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {cond} THEN '{lang}'" if cond else f"ELSE '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " END"
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+scored AS (
+  SELECT doc_id, text, words,
+         {", ".join(f"{s} AS s_{lang}" for lang, s in scores.items())},
+         CAST(len(words) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars_m,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+           / len(words) AS mean_word_len,
+         CAST(list_sum(list_transform(words, w -> CASE WHEN w IN ({stop_in})
+              THEN 1 ELSE 0 END)) AS DOUBLE) / len(words) AS stopword_ratio
+  FROM d)
+SELECT doc_id, n_tokens, n_chars_m,
+       ROUND(punct_ratio, {ND}) AS punct_ratio,
+       ROUND(mean_word_len, {ND}) AS mean_word_len,
+       ROUND(stopword_ratio, {ND}) AS stopword_ratio,
+       ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END) / 3.0, {ND}) AS quality,
+       {lang_case} AS lang_pred,
+       md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fingerprint
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: multimodal binary columns (documents as payload fixture)
+# --------------------------------------------------------------------------
+
+_MEDIA_TYPE_SQL = ("CASE WHEN doc_id % 3 = 0 THEN 'image' "
+                   "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END")
+
+
+def q_m_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.multimodal import (media_from_documents,
+                                                  media_metadata)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(media_metadata(media_from_documents(docs)))
+
+
+SQL_M_META = f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       sha256(text) AS digest,
+       CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+def q_m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.multimodal import (frame_sample,
+                                                  media_from_documents)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(frame_sample(media_from_documents(docs), every_ms=100))
+
+
+SQL_M_FRAMES = f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_TYPE_SQL} AS media_type,
+       unnest(generate_series(0, octet_length(encode(text)) - 1, 100))
+         AS frame_ms
+FROM documents
+"""
+
+
+def q_m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (stubbed decode; no SQL
+    oracle — the deterministic fake decode is Python-side; payload_len and
+    schema are covered by q_m_metadata's oracle)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.multimodal import (extract_features,
+                                                  media_from_documents)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(extract_features(media_from_documents(docs)))
+
+
+# --------------------------------------------------------------------------
+# Generic SQL surface (star schema) — joins/windows/rollup/set-ops
+# --------------------------------------------------------------------------
+
+ND_MONEY = 4  # large-magnitude money sums: 1e9-scale, keep rounding robust
+
+
+def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import pricing_summary
+
+    return _finish(pricing_summary(load_table(spark, sf_dir, "lineitem")),
+                   nd=ND_MONEY)
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), {ND_MONEY}) AS sum_qty,
+       ROUND(SUM(l_extendedprice), {ND_MONEY}) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {ND_MONEY}) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+             {ND_MONEY}) AS sum_charge,
+       ROUND(AVG(l_quantity), {ND_MONEY}) AS avg_qty,
+       ROUND(AVG(l_extendedprice), {ND_MONEY}) AS avg_price,
+       ROUND(AVG(l_discount), {ND_MONEY}) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import shipping_priority
+
+    return _finish(shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem")), nd=ND_MONEY)
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {ND_MONEY}) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import regional_revenue
+
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("region", "nation", "customer", "orders", "lineitem",
+                   "supplier")}
+    return _finish(regional_revenue(
+        t["region"], t["nation"], t["customer"], t["orders"], t["lineitem"],
+        t["supplier"]), nd=ND_MONEY)
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {ND_MONEY}) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import topk_per_group
+
+    return _finish(topk_per_group(load_table(spark, sf_dir, "part")))
+
+
+SQL_TOPK = f"""
+SELECT p_brand, p_partkey, ROUND(p_retailprice, {ND}) AS p_retailprice,
+       price_rank
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS INT)
+               AS price_rank
+      FROM part) t
+WHERE price_rank <= 3
+"""
+
+
+def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import orders_rollup
+
+    return _finish(orders_rollup(load_table(spark, sf_dir, "orders")),
+                   nd=ND_MONEY)
+
+
+SQL_ROLLUP = f"""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), {ND_MONEY}) AS total_price
+FROM orders
+GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS INT), o_orderpriority)
+"""
+
+
+def q_sql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import customer_set_ops
+
+    return _finish(customer_set_ops(load_table(spark, sf_dir, "customer"),
+                                    load_table(spark, sf_dir, "orders")))
+
+
+SQL_SETOPS = """
+WITH wo AS (
+  SELECT c_custkey FROM customer
+  INTERSECT SELECT o_custkey FROM orders),
+hb AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+al AS (SELECT DISTINCT c_custkey FROM
+       (SELECT c_custkey FROM wo EXCEPT ALL SELECT c_custkey FROM hb))
+SELECT c_custkey, 'with_orders' AS tag FROM wo
+UNION ALL
+SELECT c_custkey, 'active_low_balance' AS tag FROM al
+"""
+
+
+def q_sql_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import customers_without_orders
+
+    return _finish(customers_without_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"), min_price=100000.0))
+
+
+SQL_ANTI = f"""
+SELECT c_custkey, c_name, ROUND(c_acctbal, {ND}) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000.0)
+"""
+
+
+def q_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import sessionize
+
+    return _finish(sessionize(load_table(spark, sf_dir, "events")))
+
+
+SQL_SESSIONS = f"""
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) IS NULL
+              OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events),
+s AS (
+  SELECT *, CAST(SUM(is_break) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_seq
+  FROM b)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       ROUND(SUM(value), {ND}) AS session_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_sql_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import hourly_events
+
+    return _finish(hourly_events(load_table(spark, sf_dir, "events")))
+
+
+SQL_HOURLY = f"""
+SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, COUNT(*) AS ev_cnt,
+       ROUND(AVG(value), {ND}) AS ev_avg,
+       ROUND(MIN(value), {ND}) AS ev_min,
+       ROUND(MAX(value), {ND}) AS ev_max
+FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -636,6 +1095,26 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_seasonal_filter": q_f_seasonal,
     "etl_transforms": q_etl_transforms,
     "etl_regrid": q_etl_regrid,
+    "d_dedup_exact": q_d_dedup_exact,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
+    "d_dedup_simhash": q_d_simhash,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "sim_knn_bruteforce": q_sim_knn,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "text_stats": q_text_stats,
+    "m_multimodal_metadata": q_m_metadata,
+    "m_frame_sample": q_m_frame_sample,
+    "m_multimodal_features": q_m_features,
+    "sql_pricing_summary": q_sql_pricing,
+    "sql_shipping_priority": q_sql_shipping,
+    "sql_regional_revenue": q_sql_regional,
+    "sql_topk_per_group": q_sql_topk,
+    "sql_rollup": q_sql_rollup,
+    "sql_set_ops": q_sql_setops,
+    "sql_anti_join": q_sql_anti,
+    "sql_sessionize": q_sql_sessionize,
+    "sql_hourly_events": q_sql_hourly_events,
 }
 
 _ORACLES: dict[str, str] = {
@@ -662,6 +1141,26 @@ _ORACLES: dict[str, str] = {
     "f_seasonal_filter": SQL_F_SEASONAL,
     "etl_transforms": SQL_ETL,
     "etl_regrid": SQL_REGRID,
+    "d_dedup_exact": SQL_D_EXACT,
+    "d_dedup_ngram_jaccard": SQL_D_JACCARD,
+    # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
+    # m_multimodal_features: intentionally no oracle (xxhash64 /
+    # approximate / Python-side decode) — rows-only check; recall and
+    # semantics covered by unit tests.
+    "d_near_dup_embedding": SQL_D_EMB,
+    "sim_knn_bruteforce": SQL_SIM_KNN,
+    "text_stats": _sql_text_stats(),
+    "m_multimodal_metadata": SQL_M_META,
+    "m_frame_sample": SQL_M_FRAMES,
+    "sql_pricing_summary": SQL_Q1,
+    "sql_shipping_priority": SQL_Q3,
+    "sql_regional_revenue": SQL_Q5,
+    "sql_topk_per_group": SQL_TOPK,
+    "sql_rollup": SQL_ROLLUP,
+    "sql_set_ops": SQL_SETOPS,
+    "sql_anti_join": SQL_ANTI,
+    "sql_sessionize": SQL_SESSIONS,
+    "sql_hourly_events": SQL_HOURLY,
 }
 
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Times are end-to-end per query (plan build + execute + collect), after one
+untimed warmup query to absorb JVM/session startup — the same way the
+DuckDB baseline is measured on a warm process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (geo stats, join-heavy, dedup/ANN,
+# text, SQL surface) — broad enough to catch regressions anywhere.
+HEADLINE = (
+    "s1_time_series",
+    "s2_time_avg_map",
+    "s4_corr_map",
+    "s7_daily_difference",
+    "s8_matchup_once",
+    "a2_stats_from_summary",
+    "a5_lonlat_map",
+    "d_dedup_exact",
+    "d_dedup_ngram_jaccard",
+    "sim_knn_bruteforce",
+    "text_stats",
+    "sql_pricing_summary",
+    "sql_shipping_priority",
+    "sql_regional_revenue",
+    "sql_sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from nexus_spark.session import get_session
+
+    spark = get_session("nexus_spark_bench")
+    qs = entry_mod.queries()
+
+    # Warmup: run the cheapest query once to absorb first-job overhead.
+    qs["a10_dataset_list"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

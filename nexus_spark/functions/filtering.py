@@ -105,13 +105,14 @@ def _lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
     n = max(len(a), len(b))
     b = np.pad(b, (0, n - len(b)))
     a = np.pad(a, (0, n - len(a)))
-    # Solve (I - A) zi = B with companion-form A, per scipy's construction.
-    companion = np.zeros((n - 1, n - 1))
-    companion[:, 0] = -a[1:]
-    companion[:-1, 1:] = np.eye(n - 2)
-    iminusa = np.eye(n - 1) - companion.T
+    # Solve (I - A^T) zi = B where A is the companion matrix of `a`
+    # (A^T has -a[1:] down its first column and identity on the
+    # superdiagonal — the DF2T state-update matrix).
+    at = np.zeros((n - 1, n - 1))
+    at[:, 0] = -a[1:]
+    at[:-1, 1:] = np.eye(n - 2)
     bsum = b[1:] - a[1:] * b[0]
-    return np.linalg.solve(iminusa, bsum)
+    return np.linalg.solve(np.eye(n - 1) - at, bsum)
 
 
 def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray,

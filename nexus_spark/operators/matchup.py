@@ -35,12 +35,13 @@ from nexus_spark.functions.geo import haversine_km
 KM_PER_DEG_LAT = 111.195  # mean earth: pi * 6371 / 180
 
 
-def _bucketed(df: DataFrame, cell_deg: float, time_tolerance_s: float,
-              n_lon_cells: int) -> DataFrame:
+def _bucketed(df: DataFrame, cell_deg: float, lon_cell_deg: float,
+              time_tolerance_s: float, n_lon_cells: int) -> DataFrame:
     return (
         df.withColumn("lat_cell", F.floor(F.col("lat") / cell_deg).cast("long"))
         .withColumn("lon_cell",
-                    F.pmod(F.floor(F.col("lon") / cell_deg), n_lon_cells).cast("long"))
+                    F.pmod(F.floor(F.col("lon") / lon_cell_deg),
+                           n_lon_cells).cast("long"))
         .withColumn("time_bucket",
                     F.floor(F.unix_timestamp("time") / F.lit(time_tolerance_s))
                     .cast("long"))
@@ -68,7 +69,11 @@ def matchup(
     if cell_deg is None:
         # One cell >= radius → ±1 neighbor span suffices in latitude.
         cell_deg = max(radius_deg, 0.005)
-    n_lon_cells = max(int(math.ceil(360.0 / cell_deg)), 1)
+    # The lon ring must divide 360 EXACTLY or cell adjacency breaks at the
+    # antimeridian seam: pick the integer cell count first (floor keeps each
+    # cell >= cell_deg wide), then derive the width.
+    n_lon_cells = max(int(math.floor(360.0 / cell_deg)), 1)
+    lon_cell_deg = 360.0 / n_lon_cells
     lat_span = int(math.ceil(radius_deg / cell_deg))  # usually 1
 
     p = _bucketed(
@@ -76,11 +81,11 @@ def matchup(
             F.col("primary_id"), F.col("time").alias("p_time"),
             F.col("lat"), F.col("lon"), F.col("value").alias("p_value"),
         ).withColumn("time", F.col("p_time")),
-        cell_deg, time_tolerance_s, n_lon_cells,
+        cell_deg, lon_cell_deg, time_tolerance_s, n_lon_cells,
     )
     s = _bucketed(
         secondary.select("secondary_id", "time", "lat", "lon", "value"),
-        cell_deg, time_tolerance_s, n_lon_cells,
+        cell_deg, lon_cell_deg, time_tolerance_s, n_lon_cells,
     ).select(F.col("secondary_id"), F.col("time").alias("s_time"),
              F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
              F.col("value").alias("s_value"),
@@ -94,7 +99,7 @@ def matchup(
     lon_span = F.least(
         F.lit(n_lon_cells // 2),
         F.ceil(F.lit(radius_deg) /
-               (F.lit(cell_deg) *
+               (F.lit(lon_cell_deg) *
                 F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-3))))
         .cast("long"),
     )

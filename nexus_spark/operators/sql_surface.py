@@ -1,0 +1,158 @@
+"""Generic relational surface over the star schema — the capabilities the
+reference gets "for free from Spark SQL" in the rebuild (SURVEY §2.7):
+multi-way joins, windows, grouping sets/rollup, set operators, semi/anti
+joins, sessionization.
+
+Plan discipline (checked via .explain in tests): dimension tables broadcast
+(region/nation/customer/supplier/part are all far under the broadcast
+threshold), fact-fact joins shuffle once on the join key, aggregations
+partial-aggregate map-side. These are the patterns that carry to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary: one scan, one low-cardinality
+    groupBy — pure map-side partial aggregation."""
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(ship_before))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, segment: str = "BUILDING",
+                      cutoff: str = "1996-03-15", topn: int = 10) -> DataFrame:
+    """TPC-H Q3-style: broadcast customer filter into orders, shuffle join
+    lineitem on orderkey, top-N on revenue (TakeOrdered — no full sort)."""
+    c = customer.where(F.col("c_mktsegment") == segment)
+    o = orders.where(F.col("o_orderdate") < F.lit(cutoff))
+    l = lineitem.where(F.col("l_shipdate") > F.lit(cutoff))
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.round(F.col("revenue"), 6).desc(), F.col("l_orderkey"))
+        .limit(topn)
+    )
+
+
+def regional_revenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame,
+                     supplier: DataFrame, region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: five-way join where every
+    dimension side broadcasts; only orders⋈lineitem shuffles."""
+    r = region.where(F.col("r_name") == region_name)
+    dims = (
+        nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+def topk_per_group(part: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k: k most expensive parts per brand (rank over
+    partitioned window; single shuffle on the partition key)."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("price_rank", F.row_number().over(w))
+        .where(F.col("price_rank") <= k)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
+    )
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP (year, priority): subtotals + grand total in one pass."""
+    return (
+        orders.rollup(F.year("o_orderdate").alias("o_year"),
+                      F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("o_totalprice").alias("total_price"))
+    )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operators: customers WITH orders (intersect) minus high-balance
+    ones (except), plus a labeled union — one result frame tagging each."""
+    custs = customer.select("c_custkey")
+    with_orders = custs.intersect(
+        orders.select(F.col("o_custkey").alias("c_custkey")))
+    high_bal = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    active_low = with_orders.exceptAll(high_bal).distinct()
+    return (
+        with_orders.withColumn("tag", F.lit("with_orders"))
+        .unionByName(active_low.withColumn("tag", F.lit("active_low_balance")))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame,
+                             min_price: float = 0.0) -> DataFrame:
+    """Anti join: customers with no order above min_price."""
+    big = orders.where(F.col("o_totalprice") > min_price)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session ids from inactivity gaps (lag +
+    running sum of break flags), then per-session stats. Two window passes
+    over the same (user_id, ts) partitioning — one shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_breaks = events.withColumn(
+        "is_break",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    with_sessions = with_breaks.withColumn(
+        "session_seq", F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sessions.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.sum("value").alias("session_value"))
+    )
+
+
+def hourly_events(events: DataFrame) -> DataFrame:
+    """Batch equivalent of the streaming tumbling-window aggregate —
+    the kappa-architecture oracle for streaming.windowed_stats."""
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("w_start"),
+                       "event_type")
+        .agg(F.count(F.lit(1)).alias("ev_cnt"),
+             F.avg("value").alias("ev_avg"),
+             F.min("value").alias("ev_min"),
+             F.max("value").alias("ev_max"))
+    )

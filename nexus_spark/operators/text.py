@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure column expressions (whole-stage codegen); each is also expressible
+in ANSI SQL for the oracle. Designed to run inside one projection over the
+documents scan — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic (public common stopwords).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+_PUNCT = ".,!?;:"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " "))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are basic punctuation."""
+    stripped = F.length(F.translate(text, _PUNCT, ""))
+    return (F.length(text) - stripped) / F.length(text)
+
+
+def mean_word_len(text: Column) -> Column:
+    words = F.split(text, " ")
+    total = F.aggregate(F.transform(words, F.length),
+                        F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / F.size(words)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    words = F.split(text, " ")
+    in_set = F.transform(
+        words, lambda w: F.when(w.isin(*stopwords), 1).otherwise(0))
+    hits = F.aggregate(in_set, F.lit(0), lambda a, x: a + x)
+    return hits.cast("double") / F.size(words)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation band +
+    word-length band. (The reference has no text surface; this mirrors
+    standard pretraining-corpus quality filters.)"""
+    n_tokens = token_count(text)
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    wl = mean_word_len(text)
+    word_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    return (length_ok + punct_ok + word_ok) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    words = F.split(text, " ")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.aggregate(
+            F.transform(words,
+                        lambda w: F.when(w.isin(*markers), 1).otherwise(0)),
+            F.lit(0), lambda a, x: a + x)
+        out[lang] = hits
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over lang_scores with deterministic alphabetical tie-break
+    (greatest score wins; ties go to the alphabetically first language)."""
+    scores = lang_scores(text)
+    # struct-max trick: max over (score, reverse-alpha key) then take key.
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"),
+                 # alphabetically FIRST lang should win ties under max():
+                 # use negated position of lang in sorted order
+                 F.lit(-i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(sorted(LANG_MARKERS))
+    ])
+    return F.array_max(pairs).getField("lang")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the
+    whitespace-normalized, lowercased text."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), " +", " "))
+    return F.md5(normalized)
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """One projection computing the full per-doc text-analysis surface."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_m"),
+        punct_ratio(t).alias("punct_ratio"),
+        mean_word_len(t).alias("mean_word_len"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

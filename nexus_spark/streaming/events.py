@@ -1,0 +1,83 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming query surface (its ingest is a message
+pipeline, SURVEY §2.7); this module adds the Spark-native equivalent:
+watermarked window aggregates over an event stream, with the same
+aggregation semantics as the batch S1 family so streaming results converge
+to the batch answers.
+
+The events parquet doubles as a replayable stream source
+(``spark.readStream.schema(...).parquet`` over a directory, or
+rate-limited via maxFilesPerTrigger). Tests run foreachBatch into memory
+sinks and compare against the batch equivalent — the canonical
+kappa-architecture check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path_dir: str,
+                       schema=None) -> DataFrame:
+    """Replay the events parquet directory as a stream (one file per
+    micro-batch)."""
+    if schema is None:
+        static = spark.read.parquet(path_dir)
+        schema = static.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path_dir)
+    )
+
+
+def _normalize_ts(events: DataFrame) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    for f in events.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, LongType):
+            return events.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return events
+
+
+def windowed_stats(events: DataFrame, window: str = "1 hour",
+                   slide: str | None = None,
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling (or sliding) window stats per event_type:
+    count, avg, min, max — late rows beyond the watermark are dropped, the
+    state store stays bounded. Works on both a stream and a static frame
+    (same code path — the batch run is the correctness oracle)."""
+    ev = _normalize_ts(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("ev_cnt"),
+             F.avg("value").alias("ev_avg"),
+             F.min("value").alias("ev_min"),
+             F.max("value").alias("ev_max"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "ev_cnt", "ev_avg", "ev_min", "ev_max")
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
+                         name: str = "stream_out",
+                         timeout_s: int = 120) -> DataFrame:
+    """Execute a streaming query into an in-memory sink until the source is
+    exhausted; returns the result as a static DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

@@ -1,0 +1,88 @@
+"""Unit tests for the non-oracled LLM-pipeline operators: MinHash-LSH and
+SimHash recall vs exact baselines, ANN-LSH recall vs brute-force kNN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_T2
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from nexus_spark.catalog import load_table
+
+    base = load_table(spark, SF_DIR_T2, "documents").limit(120)
+    # Plant known near-duplicates: copies of doc 0/1 with a light edit, and
+    # one exact copy of doc 2.
+    edited = base.where(F.col("doc_id").isin(0, 1)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+        "lang", "source", "n_chars")
+    copy = base.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    return base.unionByName(edited).unionByName(copy).cache()
+
+
+def test_exact_dedup_finds_planted_copy(spark, docs):
+    from nexus_spark.operators.dedup import exact_duplicates
+
+    dups = exact_duplicates(docs).where(F.col("dup_cnt") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 2
+    assert dups[0]["dup_cnt"] == 2
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    from nexus_spark.operators.dedup import (minhash_lsh_pairs,
+                                             ngram_jaccard_pairs)
+
+    t = 0.5
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, threshold=t).collect()}
+    # LSH verifies candidates with exact jaccard → no false positives.
+    assert lsh <= exact
+    # The planted edits are >0.9 jaccard → must be recalled.
+    assert (0, 100000) in exact and (1, 100001) in exact
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    from nexus_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert (2, 200002) in pairs and pairs[(2, 200002)] == 0  # exact copy
+    assert (0, 100000) in pairs  # light edit → small hamming distance
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_lsh, knn_bruteforce
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_lsh(emb, queries, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    # LSH with 4 tables x 8 planes on clustered synthetic embeddings
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ann_lsh_is_much_smaller_join(spark):
+    """The LSH plan must not contain a cartesian product."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_lsh
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    plan = ann_lsh(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

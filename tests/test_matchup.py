@@ -1,0 +1,99 @@
+"""Matchup unit tests with a priori known geometry — semantic port of the
+reference's matchup test cases (exact-colocated, within-radius,
+outside-radius, within-radius-but-outside-time, match-once nearest;
+reference: analysis/tests/algorithms_spark/Matchup_test.py:15-183 — the
+tests are re-derived from the documented semantics, not copied)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from nexus_spark.operators.matchup import matchup
+
+T0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+
+
+def _p(pid, lat, lon, t=T0, v=1.0):
+    return Row(primary_id=pid, time=t, lat=lat, lon=lon, value=v)
+
+
+def _s(sid, lat, lon, t=T0, v=2.0):
+    return Row(secondary_id=sid, time=t, lat=lat, lon=lon, value=v)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    def build(primaries, secondaries):
+        return (spark.createDataFrame(primaries),
+                spark.createDataFrame(secondaries))
+    return build
+
+
+def test_exact_colocated_matches(spark, frames):
+    p, s = frames([_p(1, 10.0, 20.0)], [_s(101, 10.0, 20.0)])
+    out = matchup(p, s, radius_km=1.0, time_tolerance_s=60).collect()
+    assert len(out) == 1
+    assert out[0]["dist_km"] == 0.0
+
+
+def test_within_radius_matches_outside_does_not(spark, frames):
+    # ~0.9 km north (0.008°) matches at rt=1 km; ~150 km away does not.
+    p, s = frames(
+        [_p(1, 10.0, 20.0)],
+        [_s(101, 10.008, 20.0), _s(102, 11.35, 20.0)],
+    )
+    out = matchup(p, s, radius_km=1.0, time_tolerance_s=60).collect()
+    assert [r["secondary_id"] for r in out] == [101]
+    out150 = matchup(p, s, radius_km=160.0, time_tolerance_s=60).collect()
+    assert {r["secondary_id"] for r in out150} == {101, 102}
+
+
+def test_time_tolerance_excludes(spark, frames):
+    late = T0 + dt.timedelta(seconds=7200)
+    p, s = frames(
+        [_p(1, 10.0, 20.0)],
+        [_s(101, 10.0, 20.0, t=late)],
+    )
+    assert matchup(p, s, radius_km=1.0, time_tolerance_s=3600).count() == 0
+    assert matchup(p, s, radius_km=1.0, time_tolerance_s=7200).count() == 1
+
+
+def test_match_once_keeps_nearest(spark, frames):
+    p, s = frames(
+        [_p(1, 0.0, 0.0)],
+        [_s(101, 0.02, 0.0), _s(102, 0.01, 0.0), _s(103, 0.03, 0.0)],
+    )
+    out = matchup(p, s, radius_km=10.0, time_tolerance_s=60,
+                  match_once=True).collect()
+    assert len(out) == 1
+    assert out[0]["secondary_id"] == 102
+
+
+def test_antimeridian_wrap(spark, frames):
+    # 179.99°E and -179.99°W are ~2.2 km apart at the equator — the modular
+    # lon-cell wrap must find this pair.
+    p, s = frames([_p(1, 0.0, 179.99)], [_s(101, 0.0, -179.99)])
+    out = matchup(p, s, radius_km=5.0, time_tolerance_s=60).collect()
+    assert len(out) == 1
+    assert out[0]["dist_km"] < 5.0
+
+
+def test_high_latitude_lon_span(spark, frames):
+    # At 80°N, 5° of longitude is only ~97 km — the latitude-dependent
+    # neighbor span must cover it when the radius is 100 km.
+    p, s = frames([_p(1, 80.0, 0.0)], [_s(101, 80.0, 5.0)])
+    out = matchup(p, s, radius_km=100.0, time_tolerance_s=60).collect()
+    assert len(out) == 1
+
+
+def test_no_duplicate_pairs_from_bucket_explode(spark, frames):
+    # A pair near a cell corner + near a time-bucket edge must appear once.
+    p, s = frames(
+        [_p(1, 9.999, 19.999)],
+        [_s(101, 10.001, 20.001, t=T0 + dt.timedelta(seconds=59))],
+    )
+    out = matchup(p, s, radius_km=5.0, time_tolerance_s=60).collect()
+    assert len(out) == 1
