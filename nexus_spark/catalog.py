@@ -38,8 +38,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Plan-level memo: spark.read.parquet re-lists files and re-reads footers
+# on every call; the returned DataFrame is just a lazy plan, safe to reuse
+# within a session.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     # Nano-precision timestamps are read as long (see session._RUNTIME_CONF);
     # convert back to micro-precision timestamps.
@@ -52,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     "ts",
                     F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -100,15 +100,37 @@ HAVING COUNT(value) > 0
 """.replace("{obs}", OBSERVATIONS_SQL)
 
 
+# Plan-level memo (same rationale as catalog._TABLE_CACHE): the derived
+# frame is a lazy plan, reusable within a session — and a single shared
+# plan object means an explicit .cache() on it (e.g. bench warmup, or a
+# materialized obs view in a deployment) benefits every consumer.
+_FRAME_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _frame(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
     tune(spark)
+    key = (id(spark), sf_dir, sql)
+    cached = _FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    df = spark.sql(sql)
+    _FRAME_CACHE[key] = df
+    return df
 
 
 def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",))
+
+
+def _derived(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    memo_key = (id(spark), sf_dir, key)
+    cached = _FRAME_CACHE.get(memo_key)
+    if cached is None:
+        cached = build()
+        _FRAME_CACHE[memo_key] = cached
+    return cached
 
 
 def matchup_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,11 +142,54 @@ def matchup_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _frame(spark, sf_dir, TILES_SQL, ("lineitem",))
+    """Tile summary table, built on the (possibly cached/materialized)
+    observations plan — DataFrame form of TILES_SQL (which remains the
+    oracle text)."""
+    from pyspark.sql import functions as F
+
+    def build() -> DataFrame:
+        obs = observations(spark, sf_dir)
+        w = F.when(F.col("value").isNotNull(),
+                   F.cos(F.radians(F.col("lat"))))
+        return (
+            obs.groupBy("dataset", F.to_date("time").alias("tile_date"),
+                        "lat", "lon")
+            .agg(F.min("value").alias("stats_min"),
+                 F.max("value").alias("stats_max"),
+                 (F.sum(F.col("value") * F.cos(F.radians(F.col("lat"))))
+                  / F.sum(w)).alias("stats_mean"),
+                 F.count("value").alias("stats_count"))
+            .select("dataset", "tile_date",
+                    (F.col("lat") - 2.5).alias("min_lat"),
+                    (F.col("lat") + 2.5).alias("max_lat"),
+                    (F.col("lon") - 15.0).alias("min_lon"),
+                    (F.col("lon") + 15.0).alias("max_lon"),
+                    "stats_min", "stats_max", "stats_mean", "stats_count")
+        )
+
+    return _derived(spark, sf_dir, "tiles", build)
 
 
 def climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _frame(spark, sf_dir, CLIMATOLOGY_SQL, ("lineitem",))
+    """Day-of-year climatology, built on the observations plan — DataFrame
+    form of CLIMATOLOGY_SQL (which remains the oracle text)."""
+    from pyspark.sql import functions as F
+
+    def build() -> DataFrame:
+        obs = observations(spark, sf_dir)
+        return (
+            obs.where(F.col("dataset") == "sst_a")
+            .withColumn("doy", F.dayofyear("time"))
+            .where(F.col("doy") % 7 != 0)
+            .groupBy(F.concat(F.col("dataset"), F.lit("_CLIM")).alias("dataset"),
+                     "doy", "lat", "lon")
+            .agg(F.avg("value").alias("value"),
+                 F.count("value").alias("_cnt"))
+            .where(F.col("_cnt") > 0)
+            .drop("_cnt")
+        )
+
+    return _derived(spark, sf_dir, "climatology", build)
 
 
 def cte(sql_fragment: str, name: str) -> str:

@@ -55,15 +55,18 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.8,
-                        max_shingle_freq: int = 1000) -> DataFrame:
+                        max_shingle_freq: int | None = None) -> DataFrame:
     """Near-dup candidate pairs with word-3-gram Jaccard >= threshold.
 
-    Inverted-index plan: explode shingles, self-join on shingle to count
+    Inverted-index plan: explode shingles, self-join on the shingle to count
     common shingles per (a, b), then |A∩B| / (|A| + |B| - |A∩B|). Only pairs
-    sharing >= 1 shingle are ever materialized. Shingles occurring in more
-    than max_shingle_freq docs are dropped (stop-shingle skew cap) — at this
-    dataset's scale the cap is never hit, at 100 TB it bounds the join
-    fan-out.
+    sharing >= 1 shingle are ever materialized. The join key is
+    xxhash64(shingle) — an 8-byte shuffle key instead of the shingle string
+    (collision odds are ~|shingles|^2 / 2^64, irrelevant to dedup).
+
+    max_shingle_freq: if set, shingles occurring in more docs are dropped
+    (stop-shingle skew cap — bounds the self-join fan-out at corpus scale;
+    costs two extra shuffles, so it is opt-in).
 
     Output: id_a, id_b (a < b), jaccard.
     """
@@ -72,10 +75,14 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col).alias("id"), "shingles")
         .withColumn("n_shingles", F.size("shingles"))
         .withColumn("shingle", F.explode("shingles"))
-        .select("id", "n_shingles", "shingle")
+        .select("id", "n_shingles", F.xxhash64("shingle").alias("shingle"))
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
+    # Both sides of the self-join reference this subtree; cache it so the
+    # shingle derivation (split + slice + hash + explode) runs once.
+    sh = sh.cache()
 
     a = sh.select(F.col("shingle"), F.col("id").alias("id_a"),
                   F.col("n_shingles").alias("n_a"))

@@ -112,8 +112,13 @@ def matchup(
         .withColumn("j_time_bucket", F.col("time_bucket") + F.col("dtb"))
     )
 
+    # Build the hash table on the secondary side (shuffle_hash hint):
+    # Catalyst sizes the primary by its pre-explode scan and would happily
+    # BROADCAST the 45x-exploded primary — a multi-hundred-MB build. A
+    # shuffled hash join on the cell key is the plan that survives both
+    # sides growing 100x.
     joined = p.join(
-        s,
+        s.hint("shuffle_hash"),
         (F.col("j_lat_cell") == F.col("s_lat_cell"))
         & (F.col("j_lon_cell") == F.col("s_lon_cell"))
         & (F.col("j_time_bucket") == F.col("s_time_bucket")),
