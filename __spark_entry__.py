@@ -35,9 +35,15 @@ def _finish(df: DataFrame, nd: int = ND) -> DataFrame:
     for f in df.schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, (DoubleType, FloatType)):
+            # Round through DECIMAL: double ROUND disagrees across engines
+            # on exact half-boundaries (e.g. -8.0359375 → -8.035937 in
+            # DuckDB, -8.035938 in Spark); decimal rounding is
+            # half-away-from-zero in both. The oracle side gets the same
+            # treatment via _stable_round_sql.
+            rounded = F.round(c.cast("decimal(38,7)"), nd).cast("double")
             df = df.withColumn(
                 f.name,
-                F.when(F.isnan(c), F.lit(None)).otherwise(F.round(c, nd)),
+                F.when(F.isnan(c), F.lit(None)).otherwise(rounded),
             )
         elif isinstance(f.dataType, DateType):
             df = df.withColumn(f.name, F.date_format(c, "yyyy-MM-dd"))
@@ -1068,6 +1074,173 @@ FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
 
 
 # --------------------------------------------------------------------------
+# Climatology batch family (SURVEY §2.5) + neighborhood smoothing
+# --------------------------------------------------------------------------
+
+def q_clim_nday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.operators.climatology_batch import nday_climatology
+
+    obs = domain.observations(spark, sf_dir)
+    return _finish(nday_climatology(obs, "sst_a", n_days=5))
+
+
+SQL_CLIM_NDAY = _with(OBS) + f"""
+SELECT CAST(FLOOR((DAYOFYEAR(time) - 1) / 5) AS INT) AS doy_bin, lat, lon,
+       COUNT(value) AS cl_cnt,
+       ROUND(AVG(value), {ND}) AS cl_mean,
+       ROUND(STDDEV_SAMP(value), {ND}) AS cl_std,
+       ROUND(MIN(value), {ND}) AS cl_min,
+       ROUND(MAX(value), {ND}) AS cl_max
+FROM obs WHERE dataset = 'sst_a'
+GROUP BY CAST(FLOOR((DAYOFYEAR(time) - 1) / 5) AS INT), lat, lon
+"""
+
+
+def q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.operators.climatology_batch import pixel_stats
+
+    obs = domain.observations(spark, sf_dir)
+    return _finish(pixel_stats(obs))
+
+
+SQL_PIXEL_STATS = _with(OBS) + f"""
+SELECT dataset, lat, lon,
+       COUNT(value) AS px_cnt,
+       ROUND(AVG(value), {ND}) AS px_mean,
+       ROUND(STDDEV_SAMP(value), {ND}) AS px_std,
+       ROUND(MIN(value), {ND}) AS px_min,
+       ROUND(MAX(value), {ND}) AS px_max
+FROM obs GROUP BY dataset, lat, lon
+"""
+
+
+def q_spatial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.operators.climatology_batch import spatial_smooth
+    from nexus_spark.operators.maps import time_avg_map
+
+    obs = domain.observations(spark, sf_dir)
+    grid = time_avg_map(obs, dataset="sst_a").select("lat", "lon", "map_mean")
+    return _finish(spatial_smooth(grid, lat_step=5.0, lon_step=30.0,
+                                  value_col="map_mean"))
+
+
+SQL_SMOOTH = _with(OBS) + f"""
+, g AS (SELECT lat, lon, AVG(value) AS v FROM obs WHERE dataset = 'sst_a'
+        GROUP BY lat, lon)
+, contrib AS (
+  SELECT ROUND(g.lat + dy * 5.0, 6) AS lat,
+         ROUND(g.lon + dx * 30.0, 6) AS lon, g.v
+  FROM g, (SELECT unnest([-1, 0, 1]) AS dy) a,
+       (SELECT unnest([-1, 0, 1]) AS dx) b)
+, cells AS (SELECT DISTINCT ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon FROM g)
+SELECT c.lat, c.lon, ROUND(AVG(v), {ND}) AS sm_mean, COUNT(v) AS sm_n
+FROM contrib co JOIN cells c ON co.lat = c.lat AND co.lon = c.lon
+GROUP BY c.lat, c.lon
+"""
+
+
+def q_f_hof_deseason(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.functions.filtering import seasonal_cycle_filter
+    from nexus_spark.operators.hofmoeller import hofmoeller
+
+    obs = domain.observations(spark, sf_dir)
+    hof = hofmoeller(obs, axis="lat", dataset="sst_a").select(
+        "hm_date", "lat", "hm_avg")
+    return _finish(seasonal_cycle_filter(hof, "hm_avg", "hm_date",
+                                         partition_cols=["lat"]))
+
+
+SQL_HOF_DESEASON = _with(OBS) + f"""
+, hof AS (
+  SELECT CAST(time AS DATE) AS d, lat, AVG(value) AS hm_avg
+  FROM obs WHERE dataset = 'sst_a'
+  GROUP BY CAST(time AS DATE), lat)
+SELECT strftime(d, '%Y-%m-%d') AS hm_date, lat,
+       ROUND(hm_avg, {ND}) AS hm_avg,
+       ROUND(hm_avg - AVG(hm_avg) OVER (PARTITION BY MONTH(d), lat), {ND})
+         AS deseasoned
+FROM hof
+"""
+
+
+# --------------------------------------------------------------------------
+# DOMS catalog (D2) + streaming sliding window + quantiles
+# --------------------------------------------------------------------------
+
+def q_doms_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.tile_service import dataset_list
+
+    obs = domain.observations(spark, sf_dir)
+    gridded = dataset_list(obs).withColumn("kind", F.lit("gridded"))
+    ev = load_table(spark, sf_dir, "events")
+    insitu = (ev.groupBy(F.col("event_type").alias("dataset"))
+              .agg(F.count("value").alias("obs_cnt"),
+                   F.min("ts").alias("min_time"),
+                   F.max("ts").alias("max_time"))
+              .withColumn("kind", F.lit("insitu")))
+    return _finish(gridded.unionByName(insitu))
+
+
+SQL_DOMS_LIST = _with(OBS) + """
+SELECT dataset, COUNT(value) AS obs_cnt,
+       strftime(MIN(time), '%Y-%m-%d %H:%M:%S') AS min_time,
+       strftime(MAX(time), '%Y-%m-%d %H:%M:%S') AS max_time,
+       'gridded' AS kind
+FROM obs GROUP BY dataset
+UNION ALL
+SELECT event_type AS dataset, COUNT(value) AS obs_cnt,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_time,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_time,
+       'insitu' AS kind
+FROM events GROUP BY event_type
+"""
+
+
+def q_e_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.streaming.events import windowed_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return _finish(windowed_stats(ev, window="1 hour", slide="30 minutes"))
+
+
+SQL_SLIDING = f"""
+WITH x AS (SELECT event_type, value,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+w AS (
+  SELECT CAST(FLOOR((es - o) / 3600) * 3600 + o AS BIGINT) AS ws,
+         event_type, value
+  FROM x, (SELECT unnest([0, 1800]) AS o) offs)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_end,
+       event_type, COUNT(*) AS ev_cnt,
+       ROUND(AVG(value), {ND}) AS ev_avg,
+       ROUND(MIN(value), {ND}) AS ev_min,
+       ROUND(MAX(value), {ND}) AS ev_max
+FROM w GROUP BY ws, event_type
+"""
+
+
+def q_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import value_quantiles
+
+    return _finish(value_quantiles(load_table(spark, sf_dir, "events")))
+
+
+SQL_QUANTILES = f"""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), {ND}) AS p50,
+       ROUND(quantile_cont(value, 0.9), {ND}) AS p90,
+       ROUND(quantile_cont(value, 0.99), {ND}) AS p99,
+       COUNT(value) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1115,6 +1288,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_anti_join": q_sql_anti,
     "sql_sessionize": q_sql_sessionize,
     "sql_hourly_events": q_sql_hourly_events,
+    "clim_nday": q_clim_nday,
+    "clim_pixel_stats": q_pixel_stats,
+    "g_spatial_smooth": q_spatial_smooth,
+    "f_hof_deseason": q_f_hof_deseason,
+    "doms_list": q_doms_list,
+    "e_sliding_events": q_e_sliding_events,
+    "sql_quantiles": q_sql_quantiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1161,6 +1341,13 @@ _ORACLES: dict[str, str] = {
     "sql_anti_join": SQL_ANTI,
     "sql_sessionize": SQL_SESSIONS,
     "sql_hourly_events": SQL_HOURLY,
+    "clim_nday": SQL_CLIM_NDAY,
+    "clim_pixel_stats": SQL_PIXEL_STATS,
+    "g_spatial_smooth": SQL_SMOOTH,
+    "f_hof_deseason": SQL_HOF_DESEASON,
+    "doms_list": SQL_DOMS_LIST,
+    "e_sliding_events": SQL_SLIDING,
+    "sql_quantiles": SQL_QUANTILES,
 }
 
 
@@ -1174,5 +1361,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+def _stable_round_sql(sql: str) -> str:
+    """Rewrite every ROUND(expr, n) to round through DECIMAL(38,7) — see
+    _finish for why (cross-engine half-boundary disagreement on doubles).
+    Paren-matching rewrite; placeholder avoids re-matching the wrapper."""
+    out = sql
+    while True:
+        i = out.find("ROUND(")
+        if i < 0:
+            break
+        j = i + len("ROUND(")
+        depth = 1
+        while depth:
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+            j += 1
+        inner = out[i + len("ROUND("):j - 1]
+        k, depth = len(inner) - 1, 0
+        while k >= 0:
+            ch = inner[k]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            k -= 1
+        expr, nd = inner[:k], inner[k + 1:].strip()
+        out = (out[:i]
+               + f"CAST(R0UND__(CAST({expr} AS DECIMAL(38,7)), {nd}) AS DOUBLE)"
+               + out[j:])
+    return out.replace("R0UND__(", "ROUND(")
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {k: _stable_round_sql(v) for k, v in _ORACLES.items()}

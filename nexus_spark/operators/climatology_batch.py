@@ -1,0 +1,85 @@
+"""Climatology batch operators (reference climatology/clim/, SURVEY §2.5).
+
+- nday_climatology: N-day-bin climatologies over multi-year data
+  (reference ClimatologySpark2.climByAveragingPeriods splits granule lists
+  into day-of-year keyed groups, ClimatologySpark2.py:100-156). Relational
+  form: one groupBy on (doy bin, pixel).
+- pixel_stats: per-pixel count/mean/sample-std/min/max — the Welford
+  accumulate/combine path (ClimatologySpark2.py:333-451) is exactly
+  Spark's avg/var_samp/stddev_samp stable merge.
+- spatial_smooth: 3x3 neighborhood mean smoothing (reference
+  spatialFilter.py:12-36 Fortran kernel) — re-expressed as a neighbor-offset
+  explode + equi-join-free re-aggregation: each cell SCATTERS its value to
+  its 9 neighbors and the smoothed value is the per-cell mean of what it
+  received. One explode + one groupBy, no join, no UDF; scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nday_climatology(obs: DataFrame, dataset: str, n_days: int = 5) -> DataFrame:
+    """Per (doy_bin, lat, lon): count/mean/sample-std/min/max across years.
+
+    doy_bin = (dayofyear-1) / n_days — 73 bins/year at n=5 like the
+    reference's 5-day climatology products.
+    """
+    df = obs.where(F.col("dataset") == dataset)
+    return (
+        df.withColumn("doy_bin",
+                      F.floor((F.dayofyear("time") - 1) / n_days).cast("int"))
+        .groupBy("doy_bin", "lat", "lon")
+        .agg(F.count("value").alias("cl_cnt"),
+             F.avg("value").alias("cl_mean"),
+             F.stddev_samp("value").alias("cl_std"),
+             F.min("value").alias("cl_min"),
+             F.max("value").alias("cl_max"))
+    )
+
+
+def pixel_stats(obs: DataFrame, dataset: str | None = None) -> DataFrame:
+    """Per-pixel stats over the full record (reference pixelStats.py:37-156)."""
+    df = obs if dataset is None else obs.where(F.col("dataset") == dataset)
+    return df.groupBy("dataset", "lat", "lon").agg(
+        F.count("value").alias("px_cnt"),
+        F.avg("value").alias("px_mean"),
+        F.stddev_samp("value").alias("px_std"),
+        F.min("value").alias("px_min"),
+        F.max("value").alias("px_max"),
+    )
+
+
+def spatial_smooth(grid: DataFrame, lat_step: float, lon_step: float,
+                   value_col: str = "value") -> DataFrame:
+    """3x3 neighborhood mean over a regular grid.
+
+    grid: (lat, lon, value) — one row per cell (pre-aggregate duplicates
+    first). Scatter-gather formulation: explode each cell's value to the 9
+    cells it contributes to, then mean per receiving cell. Cells on the
+    grid edge average over their existing neighbors only (same behavior as
+    a mask-aware 3x3 convolution).
+
+    Output: lat, lon, sm_mean (smoothed), sm_n (neighbors contributing).
+    """
+    contrib = (
+        grid.withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            # receiving cell coordinates, snapped back to grid values.
+            F.round(F.col("lat") + F.col("dy") * lat_step, 6).alias("lat"),
+            F.round(F.col("lon") + F.col("dx") * lon_step, 6).alias("lon"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    # Inner-join against the actual cell set so halo cells (receivers that
+    # do not exist in the grid) are dropped.
+    cells = grid.select(F.round("lat", 6).alias("lat"),
+                        F.round("lon", 6).alias("lon")).distinct()
+    return (
+        contrib.join(cells, ["lat", "lon"])
+        .groupBy("lat", "lon")
+        .agg(F.avg("v").alias("sm_mean"),
+             F.count("v").alias("sm_n"))
+    )

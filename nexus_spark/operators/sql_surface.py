@@ -145,6 +145,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated quantiles per event_type (Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition —
+    verified bit-equal at 6 dp on this fixture)."""
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("value").alias("n"),
+    )
+
+
 def hourly_events(events: DataFrame) -> DataFrame:
     """Batch equivalent of the streaming tumbling-window aggregate —
     the kappa-architecture oracle for streaming.windowed_stats."""
