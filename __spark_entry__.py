@@ -1241,6 +1241,72 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Polygon masking (non-rectangular) + low-pass filter
+# --------------------------------------------------------------------------
+
+# A non-rectangular quadrilateral cutting through the cell grid.
+_POLY = [(-120.0, -20.0), (30.0, -26.0), (150.0, 15.0), (-60.0, 27.0)]
+
+
+def q_s1_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.functions.polygon import filter_polygon
+    from nexus_spark.operators.timeseries import time_series
+
+    obs = domain.observations(spark, sf_dir)
+    masked = filter_polygon(obs, _POLY)
+    return _finish(time_series(masked, datasets=["sst_a"]))
+
+
+def _sql_s1_polygon() -> str:
+    from nexus_spark.functions.polygon import (polygon_bbox,
+                                               polygon_sql_predicate)
+
+    min_lat, max_lat, min_lon, max_lon = polygon_bbox(_POLY)
+    pred = polygon_sql_predicate(_POLY)
+    return _with(OBS) + f"""
+SELECT dataset, strftime(time, '%Y-%m-%d') AS ts_date,
+       ROUND(MIN(value), {ND}) AS ts_min,
+       ROUND(MAX(value), {ND}) AS ts_max,
+       ROUND({WMEAN}, {ND}) AS ts_mean,
+       COUNT(value) AS ts_cnt,
+       ROUND(STDDEV_POP(value), {ND}) AS ts_std
+FROM obs
+WHERE dataset = 'sst_a'
+  AND lat BETWEEN {min_lat} AND {max_lat}
+  AND lon BETWEEN {min_lon} AND {max_lon}
+  AND {pred}
+GROUP BY dataset, strftime(time, '%Y-%m-%d')
+"""
+
+
+def q_f_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterworth low-pass over the daily-mean series (reference
+    Filtering.applyLowPassFilter). The filter is inherently sequential over
+    one already-aggregated series — the one legitimate driver-side numpy
+    step (no SQL oracle; numpy kernel golden-tested in
+    tests/test_filtering.py)."""
+    from nexus_spark.functions.filtering import low_pass_filter
+    from nexus_spark.operators.timeseries import time_series
+
+    obs = domain.observations(spark, sf_dir)
+    ts = (time_series(obs, datasets=["sst_a"])
+          .select("ts_date", "ts_mean").orderBy("ts_date").collect())
+    import numpy as np
+
+    vals = np.array([r["ts_mean"] if r["ts_mean"] is not None else np.nan
+                     for r in ts])
+    # NaN-fill via neighbor interpolation before filtering (mask semantics).
+    idx = np.arange(len(vals))
+    good = ~np.isnan(vals)
+    filled = np.interp(idx, idx[good], vals[good])
+    smooth = low_pass_filter(filled, cutoff=12.0, order=9)
+    out = spark.createDataFrame(
+        [(str(r["ts_date"]), float(v)) for r, v in zip(ts, smooth)],
+        "ts_date string, lowpass double")
+    return _finish(out)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1295,6 +1361,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doms_list": q_doms_list,
     "e_sliding_events": q_e_sliding_events,
     "sql_quantiles": q_sql_quantiles,
+    "s1_polygon_time_series": q_s1_polygon,
+    "f_lowpass": q_f_lowpass,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1348,6 +1416,8 @@ _ORACLES: dict[str, str] = {
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,
     "sql_quantiles": SQL_QUANTILES,
+    "s1_polygon_time_series": _sql_s1_polygon(),
+    # f_lowpass: no oracle (sequential numpy filtfilt; golden-tested)
 }
 
 
