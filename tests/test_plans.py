@@ -1,0 +1,122 @@
+"""Physical-plan assertions: the properties that make these plans survive a
+100x scale-up, checked on the real optimized plans (not by eyeball).
+
+- filters reach the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- dimension joins broadcast; fact-fact joins do not broadcast the big side
+- the matchup join never degenerates to a cartesian product and never
+  broadcasts the exploded side
+- single-pass aggregations have exactly one shuffle
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR_T2
+
+
+def _plan(spark, name: str) -> str:
+    """Final adaptive plan: execute (so AQE finalizes join strategies) and
+    return the formatted explain, which includes scan details."""
+    import __spark_entry__ as mod
+
+    df = mod.queries()[name](spark, SF_DIR_T2)
+    df.collect()  # count() would be a DIFFERENT plan; execute this one
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _final_tree(plan: str) -> str:
+    """The Final Plan tree section of an executed AQE formatted explain
+    (node details for all nodes follow the Initial Plan tree, so only the
+    tree is sliced, not the whole text)."""
+    if "== Final Plan ==" in plan:
+        return plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    return plan
+
+
+def _optimized(spark, name: str) -> str:
+    import __spark_entry__ as mod
+
+    df = mod.queries()[name](spark, SF_DIR_T2)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_time_filter_pushed_to_scan(spark):
+    """s1's time-range predicate must reach the lineitem scan as a pushed
+    filter on l_shipdate (Catalyst pushes through the alias chain)."""
+    plan = _plan(spark, "s1_time_series")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters section in scan"
+    assert "l_shipdate" in m.group(1), m.group(1)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Q1 touches 7 lineitem columns; the scan must not read the rest."""
+    plan = _plan(spark, "sql_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in scan"
+    cols = m.group(1)
+    assert "l_partkey" not in cols and "l_orderkey" not in cols, cols
+    assert "l_quantity" in cols and "l_discount" in cols
+
+
+def test_dimension_joins_broadcast(spark):
+    """Q5: region/nation/customer/supplier sides broadcast; no shuffle join
+    against a dimension table."""
+    plan = _plan(spark, "sql_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_matchup_never_cartesian_never_broadcasts_exploded_side(spark):
+    plan = _plan(spark, "s8_matchup_once")
+    assert "CartesianProduct" not in plan
+    # The cell join must be a shuffled hash join (build side = secondary);
+    # a BroadcastExchange above the Generate (explode) would mean Spark is
+    # broadcasting the 45x-exploded primary.
+    assert "ShuffledHashJoin" in plan
+    bcast_sections = plan.split("BroadcastExchange")[1:]
+    for section in bcast_sections:
+        head = section[:800]
+        assert "Generate explode" not in head, "exploded side broadcast!"
+
+
+def test_single_shuffle_for_simple_groupby(spark):
+    """s2 (groupBy lat,lon over one dataset) is scan -> partial agg ->
+    exchange -> final agg: exactly one shuffle."""
+    plan = _plan(spark, "s2_time_avg_map")
+    assert _final_tree(plan).count("Exchange") == 1, _final_tree(plan)
+
+
+def test_whole_stage_codegen_covers_aggregation(spark):
+    """Simple-mode explain marks codegen stages with '*(n)' — the scan,
+    filter, and partial aggregate must all be inside codegen."""
+    import __spark_entry__ as mod
+
+    df = mod.queries()["s1_time_series"](spark, SF_DIR_T2)
+    df.collect()
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple, simple[:800]
+
+
+def test_asof_join_is_broadcast_not_range(spark):
+    """s7's climatology as-of must be a broadcast hash join on the pixel
+    key (interval expansion), not a broadcast nested loop / range join."""
+    plan = _plan(spark, "s7_daily_difference")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_joins_on_buckets(spark):
+    plan = _plan(spark, "sim_ann_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_inverted_index_no_cartesian(spark):
+    plan = _plan(spark, "d_dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
