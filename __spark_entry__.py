@@ -1307,6 +1307,110 @@ def q_f_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Oracle-checkable MinHash (md5 string order) + IVF ANN
+# --------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS = 16, 4
+
+
+def q_d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with md5-string hashing — same banding/verify machinery
+    as the xxhash64 fast path, but fully reproducible in the oracle."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(minhash_lsh_pairs(docs, k=_MH_K, bands=_MH_BANDS,
+                                     threshold=_JACCARD_T, hash_fn="md5"))
+
+
+def _sql_minhash_md5() -> str:
+    rows = _MH_K // _MH_BANDS
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_MH_K))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig"
+        .format(b=b, concat=" || ',' || ".join(
+            f"h{i}" for i in range(b * rows, (b + 1) * rows)))
+        for b in range(_MH_BANDS))
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END) AS shingles
+  FROM d),
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM e GROUP BY doc_id),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+SELECT id_a, id_b, ROUND(jaccard, {ND}) AS jaccard
+FROM ver WHERE jaccard >= {_JACCARD_T}
+"""
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_ivf(emb, queries_df, k=_KNN_K))
+
+
+SQL_SIM_IVF = f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n WHERE vec_id % 31 = 0),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c WHERE n.vec_id < {_KNN_QUERIES}) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 2),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assign USING (cent_id)
+  WHERE query_id <> neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = query_id
+            JOIN n c ON c.vec_id = neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cosine, {ND}) AS cosine
+FROM scored
+QUALIFY rank <= {_KNN_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1363,6 +1467,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_quantiles": q_sql_quantiles,
     "s1_polygon_time_series": q_s1_polygon,
     "f_lowpass": q_f_lowpass,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "sim_ann_ivf": q_sim_ann_ivf,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1418,6 +1524,8 @@ _ORACLES: dict[str, str] = {
     "sql_quantiles": SQL_QUANTILES,
     "s1_polygon_time_series": _sql_s1_polygon(),
     # f_lowpass: no oracle (sequential numpy filtfilt; golden-tested)
+    "d_dedup_minhash_md5": _sql_minhash_md5(),
+    "sim_ann_ivf": SQL_SIM_IVF,
 }
 
 

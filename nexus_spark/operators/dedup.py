@@ -103,14 +103,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", k: int = 32) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). JVM-side higher-order functions only."""
+                       text_col: str = "text", k: int = 32,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of a seeded
+    hash of the shingle. JVM-side only.
+
+    hash_fn:
+    - 'xxhash64' (default): 64-bit ints — the fast path.
+    - 'md5': seeded md5 hex strings compared lexicographically. MinHash
+      only needs a uniform hash with a total order, and hex strings give
+      one that DuckDB reproduces exactly → the md5 variant is fully
+      oracle-checkable.
+    """
     sh = with_shingles(docs, text_col)
-    sig_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    if hash_fn == "xxhash64":
+        def h(i):
+            return F.xxhash64(F.col("shingle"), F.lit(i))
+    elif hash_fn == "md5":
+        def h(i):
+            return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sig_cols = [F.min(h(i)).alias(f"h{i}") for i in range(k)]
     return (
         sh.select(F.col(id_col).alias("id"),
                   F.explode("shingles").alias("shingle"))
@@ -122,7 +136,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash+LSH near-dup pairs: band the k-row signature into `bands`
     buckets, equi-join on (band_idx, band_hash), then verify with exact
     shingle Jaccard on the (small) candidate set.
@@ -130,13 +145,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Output: id_a, id_b, jaccard (verified).
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k)
+    sigs = minhash_signatures(docs, id_col, text_col, k, hash_fn=hash_fn)
     bands_df = (
         sigs.withColumn("band_idx", F.explode(
             F.sequence(F.lit(0), F.lit(bands - 1))))
         .withColumn(
+            # md5 of the joined band slice: a band key both engines can
+            # derive identically (any injective-enough digest works)
             "band_hash",
-            F.xxhash64(F.concat_ws(
+            F.md5(F.concat_ws(
                 ",",
                 F.transform(
                     F.slice(F.col("signature"),

@@ -88,6 +88,61 @@ def _bucket_expr(vec, dim: int, n_planes: int, table: int, seed: int = 42):
     return bucket
 
 
+def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            centroid_mod: int = 31, nprobe: int = 2) -> DataFrame:
+    """IVF-style ANN: coarse quantization + probe-limited search.
+
+    Centroids are the deterministic subset id % centroid_mod == 0 (a
+    k-means iteration could refine them; the partition/probe machinery is
+    identical and this keeps the operator reproducible and oracle-checkable).
+    Every vector is assigned to its nearest centroid (broadcast of the tiny
+    centroid set); a query scores only vectors in its `nprobe` nearest
+    cells. At scale the assignment is a write-time partitioning column, so
+    a query touches nprobe partitions instead of the full corpus.
+
+    Output: query_id, neighbor_id, rank, cosine (approximate).
+    """
+    cents = _with_vec(
+        embeddings.where(F.col(id_col) % centroid_mod == 0), id_col, vec_col
+    ).select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
+             F.col("nrm").alias("cent_nrm"))
+
+    def nearest_cells(df: DataFrame, ident: str, n: int) -> DataFrame:
+        v = _with_vec(df, id_col, vec_col)
+        scored = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("c_cos",
+                        _dot(F.col("vec"), F.col("cent_vec"))
+                        / (F.col("nrm") * F.col("cent_nrm")))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+        return (scored.withColumn("crank", F.row_number().over(w))
+                .where(F.col("crank") <= n)
+                .select(F.col("id").alias(ident), "cent_id"))
+
+    assign = nearest_cells(embeddings, "neighbor_id", 1)
+    probes = nearest_cells(queries, "query_id", nprobe)
+
+    q = _with_vec(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"))
+    c = _with_vec(embeddings, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"))
+    scored = (
+        probes.join(assign, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+        .join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+        .withColumn("cosine",
+                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_nrm") * F.col("c_nrm")))
+    )
+    return _topk(scored, k)
+
+
 def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> DataFrame:

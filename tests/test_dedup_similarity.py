@@ -77,6 +77,37 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_ivf, knn_bruteforce
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf(emb, queries, k=5).collect()}
+    recall = len(approx & exact) / len(exact)
+    # 2-probe IVF over 17 coarse cells on weakly-clustered vectors
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
+def test_minhash_md5_equals_xxhash_semantics(spark, docs):
+    """The md5 and xxhash64 variants implement the same estimator: verified
+    pairs at the same threshold must strongly overlap (hash choice changes
+    which candidates survive banding, not the verified jaccard)."""
+    from nexus_spark.operators.dedup import minhash_lsh_pairs
+
+    a = {(r["id_a"], r["id_b"])
+         for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    b = {(r["id_a"], r["id_b"])
+         for r in minhash_lsh_pairs(docs, threshold=0.5,
+                                    hash_fn="md5").collect()}
+    # planted near-dups must be found by both
+    assert (0, 100000) in a and (0, 100000) in b
+    assert (2, 200002) in a and (2, 200002) in b
+
+
 def test_ann_lsh_is_much_smaller_join(spark):
     """The LSH plan must not contain a cartesian product."""
     from nexus_spark.catalog import load_table
