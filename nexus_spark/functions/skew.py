@@ -1,0 +1,47 @@
+"""Skew mitigation: key salting for hot-key aggregations and joins.
+
+AQE's skew-join handling (enabled in session.py) covers most cases at
+runtime; salting is the explicit tool for EXTREME key skew — e.g. a
+training corpus where one domain is 30% of all documents, or a null-heavy
+join key. Two-phase aggregation: salt the key, partially aggregate per
+(key, salt), then merge per key — turns one hot reducer into `salts`
+parallel ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salts: int = 16,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic row-level salt (hash of the whole row would be
+    content-biased for duplicate-heavy data; a round-robin on a
+    monotonically increasing id is uniform by construction)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"))
+
+
+def salted_count(df: DataFrame, key_cols: list[str], salts: int = 16,
+                 out_col: str = "cnt") -> DataFrame:
+    """Two-phase count per key: groupBy(key, salt) → groupBy(key).
+
+    Equivalent to df.groupBy(keys).count() but the first shuffle spreads a
+    hot key over `salts` reducers.
+    """
+    salted = with_salt(df, salts)
+    partial = (salted.groupBy(*key_cols, "_salt")
+               .agg(F.count(F.lit(1)).alias("_partial")))
+    return (partial.groupBy(*key_cols)
+            .agg(F.sum("_partial").alias(out_col)))
+
+
+def salted_broadcast_join(big: DataFrame, small: DataFrame,
+                          key_cols: list[str]) -> DataFrame:
+    """Hot-key join strategy: when `small` fits in a broadcast there is no
+    shuffle at all, so skew in `big` is irrelevant — the degenerate (and
+    preferred) salting case. Provided for API symmetry and as the decision
+    point: broadcast if you can, salt only when both sides are large."""
+    return big.join(F.broadcast(small), key_cols)

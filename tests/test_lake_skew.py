@@ -1,0 +1,81 @@
+"""Lake layout tests: partition pruning actually prunes (checked in the
+plan), delete-by-query removes exactly the matching partitions, salted
+aggregation equals plain aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    from nexus_spark import domain
+    from nexus_spark.sources.lake import write_observations
+
+    path = str(tmp_path_factory.mktemp("lake") / "obs")
+    obs = domain.observations(spark, SF_DIR).where(
+        F.col("time") < "1995-03-01")  # keep the fixture small
+    write_observations(obs, path)
+    return path
+
+
+def test_roundtrip_preserves_rows(spark, lake):
+    from nexus_spark import domain
+    from nexus_spark.sources.lake import read_observations
+
+    obs = domain.observations(spark, SF_DIR).where(F.col("time") < "1995-03-01")
+    back = read_observations(spark, lake)
+    assert back.count() == obs.count()
+    assert set(back.columns) == set(obs.columns)
+
+
+def test_partition_pruning_in_plan(spark, lake):
+    """A dataset+date predicate must prune partitions at planning time:
+    the scan's partition count must shrink and the filters must appear as
+    partition filters, not data filters."""
+    df = (spark.read.parquet(lake)
+          .where((F.col("dataset") == "sst_a")
+                 & (F.col("obs_date") == "1995-02-01")))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # both predicates are on partition columns → pushed as partition
+    # filters (dataset + obs_date present in that clause)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "dataset" in pf and "obs_date" in pf, pf
+
+
+def test_delete_by_query_partition_aligned(spark, lake):
+    from nexus_spark.sources.lake import delete_partitions
+
+    before = spark.read.parquet(lake).where(
+        F.col("dataset") == "sst_b").count()
+    assert before > 0
+    removed = delete_partitions(spark, lake, "sst_b",
+                                start_date="1995-02-01")
+    assert removed > 0
+    spark.catalog.clearCache()
+    after = spark.read.parquet(lake).where(
+        (F.col("dataset") == "sst_b") & (F.col("obs_date") >= "1995-02-01")
+    ).count()
+    assert after == 0
+    kept = spark.read.parquet(lake).where(
+        (F.col("dataset") == "sst_b") & (F.col("obs_date") < "1995-02-01")
+    ).count()
+    assert kept > 0
+
+
+def test_salted_count_equals_plain(spark):
+    from nexus_spark.catalog import load_table
+    from nexus_spark.functions.skew import salted_count
+
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {r["event_type"]: r["cnt"] for r in
+             ev.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("cnt")).collect()}
+    salted = {r["event_type"]: r["cnt"] for r in
+              salted_count(ev, ["event_type"], salts=8).collect()}
+    assert salted == plain
