@@ -23,3 +23,21 @@ __version__ = "0.1.0"
 
 from nexus_spark.session import get_session  # noqa: F401
 from nexus_spark.catalog import load_tables, register_views  # noqa: F401
+
+
+def capabilities() -> list[dict]:
+    """Enumerate the query surface (reference /capabilities analog,
+    algorithms/Capabilities.py:12-43): every registered query, whether it
+    is oracle-checked, and its implementing callable."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    return [
+        {
+            "name": name,
+            "oracle_checked": name in oracles,
+            "callable": f"{fn.__module__}.{fn.__name__}",
+        }
+        for name, fn in sorted(qs.items())
+    ]

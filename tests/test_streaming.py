@@ -36,6 +36,46 @@ def test_stream_converges_to_batch(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_streaming_time_series_converges_to_batch(spark, tmp_path):
+    """Kappa check for the geo surface: S1 on a replayed obs stream equals
+    the batch operator once the stream drains."""
+    from nexus_spark import domain
+    from nexus_spark.streaming.geo import streaming_time_series
+
+    obs = domain.observations(spark, SF_DIR).where(
+        (F.col("time") >= "1995-01-01") & (F.col("time") < "1995-07-01"))
+    src = str(tmp_path / "obs_stream")
+    obs.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_time_series(stream).writeStream.format("memory")
+         .queryName("s1_stream").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    def key(rows):
+        return {(str(r["ts_date"]), r["dataset"]):
+                (r["ts_cnt"], None if r["ts_mean"] is None
+                 else round(r["ts_mean"], 6)) for r in rows}
+
+    got = key(spark.table("s1_stream").collect())
+    want = key(streaming_time_series(obs).collect())
+    assert got == want
+    assert len(want) > 100
+
+
+def test_capabilities_registry(spark):
+    import nexus_spark
+
+    caps = nexus_spark.capabilities()
+    names = {c["name"] for c in caps}
+    assert "s1_time_series" in names and "s8_matchup" in names
+    assert sum(c["oracle_checked"] for c in caps) >= 45
+    assert all(c["callable"].endswith(c["callable"].split(".")[-1])
+               for c in caps)
+
+
 def test_multimodal_features_stub(spark):
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.multimodal import (extract_features,
