@@ -62,17 +62,23 @@ def daily_difference(obs: DataFrame, clim: DataFrame, dataset: str,
     c = clim
     if clim_dataset is not None:
         c = c.where(F.col("dataset") == clim_dataset)
-    intervals = climatology_asof_intervals(c).select(
-        F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"),
-        "doy_from", "doy_to", F.col("value").alias("clim_value"),
+    # Expand each coverage interval to one row per covered doy: the join
+    # key (lat, lon, doy) becomes UNIQUE, so the broadcast hash probe is
+    # O(1) per obs row. (Joining on pixel equality with a doy-range
+    # residual would probe ~366 interval rows per pixel key — two orders
+    # of magnitude more comparisons.) Expanded size is bounded by
+    # |grid| x 366 regardless of obs scale.
+    expanded = (
+        climatology_asof_intervals(c)
+        .withColumn("doy", F.explode(F.sequence("doy_from", "doy_to")))
+        .select(F.col("lat").alias("c_lat"), F.col("lon").alias("c_lon"),
+                "doy", F.col("value").alias("clim_value"))
     )
 
-    # Equi-join on pixel + BETWEEN on the (tiny) interval table. Broadcast:
-    # climatology is bounded by grid x 366 regardless of obs scale.
     joined = df.join(
-        F.broadcast(intervals),
+        F.broadcast(expanded),
         (F.col("lat") == F.col("c_lat")) & (F.col("lon") == F.col("c_lon"))
-        & (F.col("doy") >= F.col("doy_from")) & (F.col("doy") <= F.col("doy_to")),
+        & (df["doy"] == expanded["doy"]),
         "inner",
     ).withColumn("diff", F.col("value") - F.col("clim_value"))
 
