@@ -683,7 +683,9 @@ def q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(simhash_pairs(docs, max_hamming=6))
 
 
-_COS_T = 0.9
+# Top pairwise cosines in the synthetic embeddings peak near ~0.5; 0.4
+# yields a real (non-empty) near-dup set to verify.
+_COS_T = 0.4
 
 
 def q_d_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +701,17 @@ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 n AS (SELECT vec_id, vec,
              sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
 """
+
+def q_d_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS mapInPandas brute-force near-dup (no SQL oracle: BLAS sum
+    order differs from sequential; equivalence to the oracled JVM path is
+    unit-tested to 1e-9)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import embedding_near_dup_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _finish(embedding_near_dup_gemm(emb, threshold=_COS_T))
+
 
 SQL_D_EMB = f"""
 WITH {_VECS}
@@ -1469,6 +1482,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_lowpass": q_f_lowpass,
     "d_dedup_minhash_md5": q_d_minhash_md5,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
 }
 
 _ORACLES: dict[str, str] = {

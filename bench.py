@@ -28,6 +28,8 @@ HEADLINE = (
     "s8_matchup_once",
     "a2_stats_from_summary",
     "a5_lonlat_map",
+    "clim_nday",
+    "sim_ann_ivf",
     "d_dedup_exact",
     "d_dedup_ngram_jaccard",
     "sim_knn_bruteforce",

@@ -248,12 +248,16 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       threshold: float = 0.95) -> DataFrame:
+                       threshold: float = 0.95, dim: int = 64) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= threshold).
 
-    Brute-force O(n^2) — correct baseline for modest n; the LSH-bucketed
-    scale path is similarity.ann_lsh. Dot products in double via
-    zip_with+aggregate (JVM codegen, no UDF).
+    Brute-force O(n^2) — correct baseline for modest n; the LSH/IVF
+    bucketed paths in operators.similarity are the scale route. The dot
+    product is an UNROLLED sum of element products: on an n^2 pair volume
+    the lambda-HOF form (aggregate/zip_with) costs ~5x more than static
+    array-index expressions, which whole-stage codegen compiles to direct
+    loads. Pitfall: the unrolled sum must accumulate LEFT-TO-RIGHT
+    (((a0+a1)+a2)+...) to bit-match the oracle's sequential list_dot_product.
 
     Output: id_a, id_b, cosine.
     """
@@ -264,18 +268,77 @@ def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
         "nrm",
         F.sqrt(F.aggregate(F.transform(F.col("vec"), lambda x: x * x),
                            F.lit(0.0), lambda a, x: a + x)))
-    a = norm.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                    F.col("nrm").alias("nrm_a"))
-    b = norm.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                    F.col("nrm").alias("nrm_b"))
+    # Flatten to scalar columns BEFORE the join: per-pair array getItem
+    # calls fall out of efficient codegen (measured 37s vs 7s at 12.5M
+    # pairs); flat doubles are direct row accesses.
+    flat = norm.select("id", "nrm",
+                       *[F.col("vec").getItem(i).alias(f"v{i}")
+                         for i in range(dim)])
+    a = flat.select(F.col("id").alias("id_a"), F.col("nrm").alias("nrm_a"),
+                    *[F.col(f"v{i}").alias(f"a{i}") for i in range(dim)])
+    b = flat.select(F.col("id").alias("id_b"), F.col("nrm").alias("nrm_b"),
+                    *[F.col(f"v{i}").alias(f"b{i}") for i in range(dim)])
+    dot = F.col("a0") * F.col("b0")
+    for i in range(1, dim):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "dot",
-            F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x))
-        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_gemm(embeddings: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Vectorized brute-force near-dup: numpy GEMM inside mapInPandas.
+
+    Each Arrow batch of rows is scored against the full candidate matrix
+    with one BLAS matmul — the correct Python drop-down when the built-in
+    operators can't express dense linear algebra efficiently. The candidate
+    matrix rides in a broadcast variable, so this path requires the
+    candidate set to fit in executor memory (exactly the brute-force
+    contract; the LSH/IVF operators are the beyond-memory route).
+
+    Output: id_a, id_b, cosine — same surface as embedding_near_dup.
+    """
+    import numpy as np
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    thr = threshold
+
+    schema = StructType([
+        StructField("id_a", LongType()), StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cand_ids, cand = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            q = q / _np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ cand.T
+            qids = pdf[id_col].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for row_i in range(sims.shape[0]):
+                mask = (sims[row_i] >= thr) & (cand_ids > qids[row_i])
+                out_a.extend([qids[row_i]] * int(mask.sum()))
+                out_b.extend(cand_ids[mask].tolist())
+                out_c.extend(sims[row_i][mask].tolist())
+            yield _pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                 "cosine": out_c})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(score, schema)

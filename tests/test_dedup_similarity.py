@@ -108,6 +108,24 @@ def test_minhash_md5_equals_xxhash_semantics(spark, docs):
     assert (2, 200002) in a and (2, 200002) in b
 
 
+def test_gemm_near_dup_equals_jvm(spark):
+    """The BLAS mapInPandas path and the JVM flat-column path are the same
+    operator: identical pair sets, cosines equal to 1e-9."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (embedding_near_dup,
+                                             embedding_near_dup_gemm)
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    jvm = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup(emb, threshold=0.4).collect()}
+    gemm = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_gemm(emb, threshold=0.4).collect()}
+    assert set(jvm) == set(gemm)
+    assert len(jvm) > 0
+    for k in jvm:
+        assert abs(jvm[k] - gemm[k]) < 1e-9
+
+
 def test_ann_lsh_is_much_smaller_join(spark):
     """The LSH plan must not contain a cartesian product."""
     from nexus_spark.catalog import load_table
