@@ -1152,6 +1152,44 @@ GROUP BY c.lat, c.lon
 """
 
 
+def q_gauss_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.operators.climatology_batch import gaussian_interp
+    from nexus_spark.operators.maps import time_avg_map
+
+    obs = domain.observations(spark, sf_dir)
+    grid = time_avg_map(obs, dataset="sst_a").select("lat", "lon", "map_mean")
+    return _finish(gaussian_interp(grid, lat_step=5.0, lon_step=30.0,
+                                   value_col="map_mean"))
+
+
+def _sql_gauss_interp() -> str:
+    import math
+
+    parts = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            w = math.exp(-0.6931 * (dy * dy + dx * dx))
+            parts.append(
+                f"  SELECT ROUND(lat + {dy} * 5.0, 6) AS lat, "
+                f"ROUND(lon + {dx} * 30.0, 6) AS lon, "
+                f"v * {w!r} AS wv, "
+                f"CASE WHEN v IS NOT NULL THEN {w!r} END AS w FROM g")
+    scattered = "\n  UNION ALL\n".join(parts)
+    return _with(OBS) + f"""
+, g AS (SELECT lat, lon, AVG(value) AS v FROM obs WHERE dataset = 'sst_a'
+        GROUP BY lat, lon)
+, scattered AS (
+{scattered}
+)
+, cells AS (SELECT DISTINCT ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon FROM g)
+SELECT c.lat, c.lon,
+       ROUND(SUM(wv) / SUM(w), {ND}) AS gi_mean,
+       ROUND(SUM(w), {ND}) AS gi_wsum
+FROM scattered s JOIN cells c ON s.lat = c.lat AND s.lon = c.lon
+GROUP BY c.lat, c.lon
+"""
+
+
 def q_f_hof_deseason(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.functions.filtering import seasonal_cycle_filter
     from nexus_spark.operators.hofmoeller import hofmoeller
@@ -1474,6 +1512,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
+    "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
     "doms_list": q_doms_list,
     "e_sliding_events": q_e_sliding_events,
@@ -1532,6 +1571,7 @@ _ORACLES: dict[str, str] = {
     "clim_nday": SQL_CLIM_NDAY,
     "clim_pixel_stats": SQL_PIXEL_STATS,
     "g_spatial_smooth": SQL_SMOOTH,
+    "g_gaussian_interp": _sql_gauss_interp(),
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,

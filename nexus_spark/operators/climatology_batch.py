@@ -51,6 +51,49 @@ def pixel_stats(obs: DataFrame, dataset: str | None = None) -> DataFrame:
     )
 
 
+def gaussian_interp(grid: DataFrame, lat_step: float, lon_step: float,
+                    value_col: str = "value",
+                    wlat: int = 1, wlon: int = 1,
+                    slat: float = 1.0, slon: float = 1.0,
+                    vfactor: float = -0.6931) -> DataFrame:
+    """Gaussian-weighted neighborhood interpolation onto the same grid
+    (reference: climatology/clim/gaussInterp.py:14-42 — a Fortran kernel
+    with window (wlat, wlon), sigmas (slat, slon), and exponent scale
+    vfactor; SURVEY §2.5 marked it out of relational scope, but the
+    scatter-gather neighborhood pattern expresses it exactly for the
+    grid-aligned case).
+
+    out(cell) = Σ_nbr w·v / Σ_nbr w with
+    w = exp(vfactor · ((Δlat/slat)² + (Δlon/slon)²)), Δ in cell units.
+    Output: lat, lon, gi_mean, gi_wsum.
+    """
+    offsets = [(dy, dx) for dy in range(-wlat, wlat + 1)
+               for dx in range(-wlon, wlon + 1)]
+    import math
+
+    contribs = []
+    for dy, dx in offsets:
+        w = math.exp(vfactor * ((dy / slat) ** 2 + (dx / slon) ** 2))
+        contribs.append(
+            grid.select(
+                F.round(F.col("lat") + dy * lat_step, 6).alias("lat"),
+                F.round(F.col("lon") + dx * lon_step, 6).alias("lon"),
+                (F.col(value_col) * F.lit(w)).alias("wv"),
+                F.when(F.col(value_col).isNotNull(), F.lit(w)).alias("w"),
+            ))
+    scattered = contribs[0]
+    for c in contribs[1:]:
+        scattered = scattered.unionByName(c)
+    cells = grid.select(F.round("lat", 6).alias("lat"),
+                        F.round("lon", 6).alias("lon")).distinct()
+    return (
+        scattered.join(cells, ["lat", "lon"])
+        .groupBy("lat", "lon")
+        .agg((F.sum("wv") / F.sum("w")).alias("gi_mean"),
+             F.sum("w").alias("gi_wsum"))
+    )
+
+
 def spatial_smooth(grid: DataFrame, lat_step: float, lon_step: float,
                    value_col: str = "value") -> DataFrame:
     """3x3 neighborhood mean over a regular grid.

@@ -64,7 +64,10 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
 
     Output: dataset, ts_date, ts_min, ts_max, ts_mean, ts_cnt.
     """
-    s = summary.where(F.col("dataset") == dataset)
+    # Both the interior branch and the boundary-key branch consume this
+    # subtree; cache so the summary aggregation runs once. (In a lake
+    # deployment the summary is a written table and this is a no-op.)
+    s = summary.where(F.col("dataset") == dataset).cache()
     interior = s.where(
         (F.col("t_min_lat") >= min_lat) & (F.col("t_max_lat") <= max_lat)
         & (F.col("t_min_lon") >= min_lon) & (F.col("t_max_lon") <= max_lon)
