@@ -1040,6 +1040,44 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_sql_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import customer_order_counts
+
+    return _finish(customer_order_counts(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders")), nd=ND_MONEY)
+
+
+SQL_LEFT_JOIN = f"""
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n, 0) AS n_orders,
+       ROUND(COALESCE(tot, 0.0), {ND_MONEY}) AS total_spend
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS tot
+           FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_sql_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import customers_with_urgent_orders
+
+    return _finish(customers_with_urgent_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders")))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 def q_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.sql_surface import sessionize
@@ -1507,6 +1545,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_rollup": q_sql_rollup,
     "sql_set_ops": q_sql_setops,
     "sql_anti_join": q_sql_anti,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
     "sql_sessionize": q_sql_sessionize,
     "sql_hourly_events": q_sql_hourly_events,
     "clim_nday": q_clim_nday,
@@ -1566,6 +1606,8 @@ _ORACLES: dict[str, str] = {
     "sql_rollup": SQL_ROLLUP,
     "sql_set_ops": SQL_SETOPS,
     "sql_anti_join": SQL_ANTI,
+    "sql_left_join": SQL_LEFT_JOIN,
+    "sql_semi_join": SQL_SEMI_JOIN,
     "sql_sessionize": SQL_SESSIONS,
     "sql_hourly_events": SQL_HOURLY,
     "clim_nday": SQL_CLIM_NDAY,

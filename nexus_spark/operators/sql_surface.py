@@ -124,6 +124,29 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame,
     )
 
 
+def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join: every customer with their order count and total,
+    zero-filled for customers with no orders (null-handling surface)."""
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("tot"))
+    return (
+        customer.join(agg, customer.c_custkey == agg.o_custkey, "left")
+        .select("c_custkey", "c_mktsegment",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+                F.coalesce(F.col("tot"), F.lit(0.0)).alias("total_spend"))
+    )
+
+
+def customers_with_urgent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi join: customers having at least one 1-URGENT order (EXISTS)."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey,
+                      "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session ids from inactivity gaps (lag +
     running sum of break flags), then per-session stats. Two window passes
