@@ -1312,6 +1312,42 @@ FROM w GROUP BY ws, event_type
 """
 
 
+def q_sql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import json_props_stats
+
+    return _finish(json_props_stats(load_table(spark, sf_dir, "events")))
+
+
+SQL_JSON = f"""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, CAST(FLOOR(k / 10) AS INT) AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(k), {ND}) AS k_avg,
+       ROUND(AVG(value), {ND}) AS v_avg
+FROM e GROUP BY event_type, CAST(FLOOR(k / 10) AS INT)
+"""
+
+
+def q_sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import distinct_counts
+
+    return _finish(distinct_counts(load_table(spark, sf_dir, "lineitem")))
+
+
+SQL_DISTINCT = """
+SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+       COUNT(DISTINCT l_suppkey) AS d_supps,
+       COUNT(DISTINCT l_orderkey) AS d_orders,
+       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status
+FROM lineitem
+"""
+
+
 def q_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.sql_surface import value_quantiles
@@ -1557,6 +1593,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doms_list": q_doms_list,
     "e_sliding_events": q_e_sliding_events,
     "sql_quantiles": q_sql_quantiles,
+    "sql_json_extract": q_sql_json,
+    "sql_distinct_counts": q_sql_distinct,
     "s1_polygon_time_series": q_s1_polygon,
     "f_lowpass": q_f_lowpass,
     "d_dedup_minhash_md5": q_d_minhash_md5,
@@ -1618,6 +1656,8 @@ _ORACLES: dict[str, str] = {
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,
     "sql_quantiles": SQL_QUANTILES,
+    "sql_json_extract": SQL_JSON,
+    "sql_distinct_counts": SQL_DISTINCT,
     "s1_polygon_time_series": _sql_s1_polygon(),
     # f_lowpass: no oracle (sequential numpy filtfilt; golden-tested)
     "d_dedup_minhash_md5": _sql_minhash_md5(),

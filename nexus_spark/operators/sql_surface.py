@@ -168,6 +168,29 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured surface: extract a JSON field from the props column
+    and aggregate on it (JVM-side JSON path evaluation)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("int").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("k").alias("k_avg"),
+             F.avg("value").alias("v_avg"))
+    )
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Exact multi-column distinct aggregates in one pass."""
+    return lineitem.agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
+    )
+
+
 def value_quantiles(events: DataFrame) -> DataFrame:
     """Exact interpolated quantiles per event_type (Spark `percentile` and
     DuckDB `quantile_cont` share the linear-interpolation definition —
