@@ -68,6 +68,46 @@ def test_delete_by_query_partition_aligned(spark, lake):
     assert kept > 0
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Bucketing both fact tables on the join key pre-partitions the data
+    at write time: the join plans with zero Exchange operators — the
+    co-located join SURVEY §1.5 calls for at 100 TB."""
+    import os
+
+    from nexus_spark.catalog import load_table
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey")
+       .option("path", os.path.join(wh, "li_b")).saveAsTable("li_b"))
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey")
+       .option("path", os.path.join(wh, "ord_b")).saveAsTable("ord_b"))
+    try:
+        joined = (spark.table("li_b")
+                  .join(spark.table("ord_b"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(F.sum("l_quantity").alias("qty")))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # no Exchange feeding the join: bucketed scans satisfy the
+        # distribution requirement directly
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # sanity: result matches the unbucketed join
+        plain = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty")))
+        got = {r["o_orderpriority"]: round(r["qty"], 4) for r in joined.collect()}
+        want = {r["o_orderpriority"]: round(r["qty"], 4) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
 def test_salted_count_equals_plain(spark):
     from nexus_spark.catalog import load_table
     from nexus_spark.functions.skew import salted_count
