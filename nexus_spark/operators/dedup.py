@@ -31,6 +31,17 @@ ELSE array(concat_ws(' ', words)) END
 """
 
 
+# Faster explode-path shingle expression (element_at instead of slice;
+# duplicates kept — dedup relationally where distinctness matters).
+_SHINGLE_ELEMENTS_EXPR = """
+CASE WHEN size(words) >= 3 THEN
+  transform(sequence(1, size(words) - 2),
+    i -> concat(element_at(words, i), ' ', element_at(words, i + 1),
+                ' ', element_at(words, i + 2)))
+ELSE array(concat_ws(' ', words)) END
+"""
+
+
 def with_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("words", F.split(F.col(text_col), " "))
 
@@ -38,6 +49,51 @@ def with_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return with_words(docs, text_col).withColumn(
         "shingles", F.expr(_SHINGLES_EXPR))
+
+
+def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     with_string: bool = False) -> DataFrame:
+    """Exploded shingle postings (id, h [, shingle]) — duplicates included
+    (min-hash does not care; distinct consumers dedup relationally)."""
+    words = docs.select(F.col(id_col).alias("id"),
+                        F.split(F.col(text_col), " ").alias("words"))
+    out = words.select("id",
+                       F.explode(F.expr(_SHINGLE_ELEMENTS_EXPR)).alias("shingle"))
+    out = out.select("id", F.xxhash64("shingle").alias("h"),
+                     *(["shingle"] if with_string else []))
+    return out
+
+
+def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle-hash) postings with per-doc distinct-shingle
+    counts — the shared inverted index for jaccard computations. Cached:
+    consumed by both sides of self-joins."""
+    dp = (shingle_postings(docs, id_col, text_col).distinct()
+          .withColumn("n_shingles",
+                      F.count(F.lit(1)).over(Window.partitionBy("id"))))
+    return dp.cache()
+
+
+def jaccard_verify(candidates: DataFrame, postings: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact jaccard for candidate (id_a, id_b) pairs via the shared
+    postings index — only candidate pairs are scored."""
+    a = postings.select(F.col("h"), F.col("id").alias("id_a"),
+                        F.col("n_shingles").alias("n_a"))
+    b = postings.select(F.col("h"), F.col("id").alias("id_b"),
+                        F.col("n_shingles").alias("n_b"))
+    return (
+        candidates.join(a, "id_a").join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("jaccard",
+                    F.col("common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -71,36 +127,21 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Output: id_a, id_b (a < b), jaccard.
     """
     # Index build: element_at-based shingle expression + RELATIONAL dedup
-    # (.distinct() + window count) instead of per-doc array_distinct —
-    # array slicing/dedup in higher-order functions is the hot spot
-    # (measured ~35% slower than this form at 1.3M shingles).
-    words = docs.select(F.col(id_col).alias("id"),
-                        F.split(F.col(text_col), " ").alias("words"))
-    sh_expr = F.expr("""
-CASE WHEN size(words) >= 3 THEN
-  transform(sequence(1, size(words) - 2),
-    i -> concat(element_at(words, i), ' ', element_at(words, i + 1),
-                ' ', element_at(words, i + 2)))
-ELSE array(concat_ws(' ', words)) END""")
-    postings = (words.select("id", F.explode(sh_expr).alias("shingle"))
-                .select("id", F.xxhash64("shingle").alias("shingle"))
-                .distinct())
-    sh = postings.withColumn(
-        "n_shingles",
-        F.count(F.lit(1)).over(Window.partitionBy("id")))
+    # (distinct_postings) instead of per-doc array_distinct — array
+    # slicing/dedup in higher-order functions is the hot spot (measured
+    # ~35% slower than this form at 1.3M shingles). Cached: both self-join
+    # branches consume it.
+    sh = distinct_postings(docs, id_col, text_col)
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
-    # Both sides of the self-join reference this subtree; cache it so the
-    # shingle derivation (split + slice + hash + explode) runs once.
-    sh = sh.cache()
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "h")
 
-    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"),
+    a = sh.select(F.col("h"), F.col("id").alias("id_a"),
                   F.col("n_shingles").alias("n_a"))
-    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"),
+    b = sh.select(F.col("h"), F.col("id").alias("id_b"),
                   F.col("n_shingles").alias("n_b"))
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -126,20 +167,24 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
       one that DuckDB reproduces exactly → the md5 variant is fully
       oracle-checkable.
     """
-    sh = with_shingles(docs, text_col)
+    # min() ignores duplicate shingles, so the raw (undeduplicated)
+    # postings stream feeds the aggregation directly — no distinct pass.
     if hash_fn == "xxhash64":
-        def h(i):
-            return F.xxhash64(F.col("shingle"), F.lit(i))
+        # seeded re-hash of the 64-bit shingle hash: equally uniform, and
+        # the string never needs to leave the scan projection
+        post = shingle_postings(docs, id_col, text_col, with_string=False)
+        sig_cols = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+                    for i in range(k)]
     elif hash_fn == "md5":
-        def h(i):
-            return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        # oracle-reproducible path needs the literal shingle string
+        post = shingle_postings(docs, id_col, text_col, with_string=True)
+        sig_cols = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(k)]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    sig_cols = [F.min(h(i)).alias(f"h{i}") for i in range(k)]
     return (
-        sh.select(F.col(id_col).alias("id"),
-                  F.explode("shingles").alias("shingle"))
-        .groupBy("id")
+        post.groupBy("id")
         .agg(*sig_cols)
         .select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
     )
@@ -180,23 +225,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    # Verify candidates with exact jaccard (shingle sets re-derived; at scale
-    # this join touches only candidate docs).
-    sh = with_shingles(docs, text_col).select(
-        F.col(id_col).alias("id"), "shingles")
-    verified = (
-        candidates
-        .join(sh.select(F.col("id").alias("id_a"),
-                        F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b")), "id_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("union_n", F.size("sh_a") + F.size("sh_b") - F.col("common"))
-        .withColumn("jaccard", F.col("common") / F.col("union_n"))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    # Verify candidates with exact jaccard over the shared postings index —
+    # only candidate pairs are scored.
+    return jaccard_verify(candidates,
+                          distinct_postings(docs, id_col, text_col),
+                          threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
