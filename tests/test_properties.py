@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the trickiest operators.
+
+The reference ships no property tests (SURVEY §5); these close that gap:
+- matchup: the cell-bucketed join must return EXACTLY the pairs the naive
+  cross join returns, for arbitrary point sets including antimeridian and
+  pole neighborhoods;
+- polygon: the JVM crossing-number predicate must agree with an
+  independent pure-Python ray-casting implementation on random polygons;
+- butterworth: filter invariants hold across random orders/cutoffs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+T0 = dt.datetime(2021, 6, 1)
+
+# modest example counts: each example spins Spark jobs
+_SETTINGS = dict(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+lat_s = st.floats(min_value=-89.5, max_value=89.5, allow_nan=False,
+                  allow_infinity=False)
+lon_s = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False,
+                  allow_infinity=False)
+dt_s = st.integers(min_value=-7200, max_value=7200)
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    dlat_h = math.sin(math.radians(lat2 - lat1) / 2)
+    dlon_h = math.sin(math.radians(lon2 - lon1) / 2)
+    a = (dlat_h * dlat_h + math.cos(math.radians(lat1))
+         * math.cos(math.radians(lat2)) * dlon_h * dlon_h)
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+@settings(**_SETTINGS)
+@given(points=st.lists(st.tuples(lat_s, lon_s, dt_s), min_size=2,
+                       max_size=8))
+def test_matchup_equals_naive_crossjoin(spark, points):
+    """Bucketed matchup == brute force on random geometries/times."""
+    from nexus_spark.operators.matchup import matchup
+
+    radius_km, tt = 500.0, 3600.0
+    primaries = [(i, T0, lat, lon, 1.0)
+                 for i, (lat, lon, _) in enumerate(points)]
+    secondaries = [(100 + i, T0 + dt.timedelta(seconds=d), lat, lon, 2.0)
+                   for i, (lat, lon, d) in enumerate(points)]
+    p = spark.createDataFrame(
+        primaries, "primary_id long, time timestamp, lat double, lon double, value double")
+    s = spark.createDataFrame(
+        secondaries, "secondary_id long, time timestamp, lat double, lon double, value double")
+    got = {(r["primary_id"], r["secondary_id"])
+           for r in matchup(p, s, radius_km=radius_km,
+                            time_tolerance_s=tt).collect()}
+    want = set()
+    for pid, _, plat, plon, _ in primaries:
+        for sid, stime, slat, slon, _ in secondaries:
+            d = _haversine(plat, plon, slat, slon)
+            delta = abs(int((stime - T0).total_seconds()))
+            # stay away from the exact boundary (float-ulp territory)
+            if d <= radius_km - 1e-6 and delta <= tt:
+                want.add((pid, sid))
+            elif d <= radius_km + 1e-6 and delta <= tt:
+                # boundary-ambiguous: accept either
+                want.add((pid, sid)) if (pid, sid) in got else None
+    assert got == want
+
+
+def _ray_cast(lon, lat, ring):
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        if y1 == y2:
+            continue
+        if ((y1 > lat) != (y2 > lat)) and \
+                lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1):
+            inside = not inside
+    return inside
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_polygon_matches_independent_raycast(spark, seed):
+    """JVM predicate vs an independently-written pure-Python even-odd
+    test, on a random star-shaped polygon and a point grid."""
+    from nexus_spark.functions.polygon import filter_polygon
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(3, 8)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    radii = rng.uniform(5, 30, n)
+    poly = [(float(r * np.cos(a)), float(r * np.sin(a)))
+            for r, a in zip(radii, angles)]
+    pts = [(float(x), float(y))
+           for x in np.arange(-35, 36, 7.0) for y in np.arange(-35, 36, 7.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = {(r["lon"], r["lat"]) for r in filter_polygon(df, poly).collect()}
+    want = {(x, y) for x, y in pts if _ray_cast(x, y, poly)}
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(order=st.integers(min_value=1, max_value=9),
+       wn=st.floats(min_value=0.05, max_value=0.95),
+       level=st.floats(min_value=-100, max_value=100))
+def test_butterworth_invariants(order, wn, level):
+    """DC gain 1, half-power at cutoff, constant preservation — for any
+    order/cutoff."""
+    from nexus_spark.functions.filtering import butter_lowpass, filtfilt
+
+    b, a = butter_lowpass(order, wn)
+    assert np.isclose(b.sum() / a.sum(), 1.0, atol=1e-8)
+    z = np.exp(-1j * np.pi * wn)
+    h = np.polyval(b[::-1], z) / np.polyval(a[::-1], z)
+    assert np.isclose(abs(h), 1 / np.sqrt(2), atol=1e-8)
+    x = np.full(120, level)
+    y = filtfilt(b, a, x, padlen=min(30, 3 * (order + 1)))
+    assert np.allclose(y, level, atol=1e-6 * max(1.0, abs(level)))
