@@ -17,6 +17,9 @@ from nexus_spark.functions.geo import bbox_filter
 
 def _bounded(obs: DataFrame, dataset: str | None, min_lat, max_lat, min_lon,
              max_lon, start_time, end_time) -> DataFrame:
+    from nexus_spark.functions.validation import validate_bbox
+
+    validate_bbox(min_lat, max_lat, min_lon, max_lon)
     df = obs.where(bbox_filter(F.col("lat"), F.col("lon"),
                                min_lat, max_lat, min_lon, max_lon))
     if dataset is not None:
@@ -52,6 +55,9 @@ def clim_map(obs: DataFrame, month: int, dataset: str | None = None,
     df = _bounded(obs, dataset, bounds.get("min_lat", -90),
                   bounds.get("max_lat", 90), bounds.get("min_lon", -180),
                   bounds.get("max_lon", 180), None, None)
+    from nexus_spark.functions.validation import validate_month
+
+    validate_month(month)
     df = df.where(F.month("time") == month)
     if start_year is not None:
         df = df.where(F.year("time") >= start_year)

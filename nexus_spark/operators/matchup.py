@@ -65,6 +65,9 @@ def matchup(
     Output: primary_id, p_time, p_lat, p_lon, p_value, secondary_id, s_time,
     s_lat, s_lon, s_value, dist_km, dt_s.
     """
+    from nexus_spark.functions.validation import validate_tolerances
+
+    validate_tolerances(radius_km, time_tolerance_s)
     radius_deg = radius_km / KM_PER_DEG_LAT
     if cell_deg is None:
         # One cell >= radius → ±1 neighbor span suffices in latitude.

@@ -36,6 +36,9 @@ def time_series(
     weighted), ts_cnt, ts_std (population, np.ma.std ddof=0 parity —
     reference TimeSeriesSpark.py:536-542).
     """
+    from nexus_spark.functions.validation import validate_bbox
+
+    validate_bbox(min_lat, max_lat, min_lon, max_lon)
     df = obs.where(bbox_filter(F.col("lat"), F.col("lon"),
                                min_lat, max_lat, min_lon, max_lon))
     if datasets:
