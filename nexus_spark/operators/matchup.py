@@ -129,18 +129,25 @@ def matchup(
 
     dist = haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
     dt = F.abs(F.unix_timestamp("p_time") - F.unix_timestamp("s_time"))
+    # Duplicate-freedom without a dedup shuffle: for a given (p, s) pair,
+    # dlat and dtb are uniquely determined by the cell difference, and dlon
+    # is unique too EXCEPT when the lon neighbor span wraps the whole ring
+    # (pole caps), where two offsets can hit the same cell modulo n. Keeping
+    # only the canonical centered offset makes every pair appear exactly
+    # once — a cheap filter instead of a full exchange on the pair key.
+    n_half = n_lon_cells // 2
+    canonical_dlon = (
+        F.pmod(F.col("s_lon_cell") - F.col("lon_cell") + F.lit(n_half),
+               F.lit(n_lon_cells)) - F.lit(n_half))
     out = (
-        joined.withColumn("dist_km", dist)
+        joined.where(F.col("dlon") == canonical_dlon)
+        .withColumn("dist_km", dist)
         .withColumn("dt_s", dt.cast("long"))
         .where((F.col("dist_km") <= radius_km) & (F.col("dt_s") <= time_tolerance_s))
         .select("primary_id", "p_time", F.col("lat").alias("p_lat"),
                 F.col("lon").alias("p_lon"), "p_value",
                 "secondary_id", "s_time", "s_lat", "s_lon", "s_value",
                 "dist_km", "dt_s")
-        # The neighbor explode can produce the same (p, s) pair through at
-        # most one cell key, but the ±1 time-bucket explode CAN duplicate a
-        # pair (same cell, adjacent bucket both joined) — dedup exactly.
-        .dropDuplicates(["primary_id", "secondary_id"])
     )
 
     if match_once:
