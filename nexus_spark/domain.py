@@ -121,7 +121,16 @@ def _frame(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) 
 
 
 def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",))
+    """The long-format observations frame. Cached: every geo operator in a
+    session consumes this one derived view (the lake deployment would
+    materialize it as a table; in-session .cache() is the local analog —
+    first action materializes, all later queries scan memory)."""
+    key = (id(spark), sf_dir, "observations-cached")
+    cached = _FRAME_CACHE.get(key)
+    if cached is None:
+        cached = _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",)).cache()
+        _FRAME_CACHE[key] = cached
+    return cached
 
 
 def _derived(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
