@@ -47,9 +47,21 @@ def _optimized(spark, name: str) -> str:
 
 
 def test_time_filter_pushed_to_scan(spark):
-    """s1's time-range predicate must reach the lineitem scan as a pushed
-    filter on l_shipdate (Catalyst pushes through the alias chain)."""
-    plan = _plan(spark, "s1_time_series")
+    """The time-range predicate must reach the lineitem scan as a pushed
+    filter on l_shipdate (Catalyst pushes through the alias chain). Uses
+    the UNCACHED derivation — the cached observations view (what queries()
+    serves) intentionally scans memory instead of parquet."""
+    from nexus_spark import domain
+    from nexus_spark.operators.timeseries import time_series
+
+    obs = domain._frame(spark, SF_DIR_T2, domain.OBSERVATIONS_SQL,
+                        ("lineitem",))
+    df = time_series(obs, datasets=["sst_a"], start_time="1996-01-01",
+                     end_time="1996-12-31")
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m, "no PushedFilters section in scan"
     assert "l_shipdate" in m.group(1), m.group(1)
