@@ -103,13 +103,15 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     Output: query_id, neighbor_id, rank, cosine (approximate).
     """
-    cents = _with_vec(
-        embeddings.where(F.col(id_col) % centroid_mod == 0), id_col, vec_col
-    ).select(F.col("id").alias("cent_id"), F.col("vec").alias("cent_vec"),
-             F.col("nrm").alias("cent_nrm"))
+    # One normalized-vector frame serves centroid derivation, assignment,
+    # probing, and final scoring — cache it instead of re-deriving 4x.
+    vecs = _with_vec(embeddings, id_col, vec_col).cache()
+    cents = (vecs.where(F.col("id") % centroid_mod == 0)
+             .select(F.col("id").alias("cent_id"),
+                     F.col("vec").alias("cent_vec"),
+                     F.col("nrm").alias("cent_nrm")))
 
-    def nearest_cells(df: DataFrame, ident: str, n: int) -> DataFrame:
-        v = _with_vec(df, id_col, vec_col)
+    def nearest_cells(v: DataFrame, ident: str, n: int) -> DataFrame:
         scored = (
             v.crossJoin(F.broadcast(cents))
             .withColumn("c_cos",
@@ -122,13 +124,14 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 .where(F.col("crank") <= n)
                 .select(F.col("id").alias(ident), "cent_id"))
 
-    assign = nearest_cells(embeddings, "neighbor_id", 1)
-    probes = nearest_cells(queries, "query_id", nprobe)
+    qvecs = _with_vec(queries, id_col, vec_col).cache()
+    assign = nearest_cells(vecs, "neighbor_id", 1)
+    probes = nearest_cells(qvecs, "query_id", nprobe)
 
-    q = _with_vec(queries, id_col, vec_col).select(
+    q = qvecs.select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
         F.col("nrm").alias("q_nrm"))
-    c = _with_vec(embeddings, id_col, vec_col).select(
+    c = vecs.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
         F.col("nrm").alias("c_nrm"))
     scored = (
