@@ -52,10 +52,16 @@ def test_time_filter_pushed_to_scan(spark):
     the UNCACHED derivation — the cached observations view (what queries()
     serves) intentionally scans memory instead of parquet."""
     from nexus_spark import domain
+    from nexus_spark.catalog import load_table
     from nexus_spark.operators.timeseries import time_series
 
-    obs = domain._frame(spark, SF_DIR_T2, domain.OBSERVATIONS_SQL,
-                        ("lineitem",))
+    # Spark's cache manager matches by LOGICAL PLAN, so the exact
+    # observations derivation would hit the session-cached view regardless
+    # of how it is rebuilt; a no-op predicate makes the plan distinct and
+    # forces a real parquet scan.
+    load_table(spark, SF_DIR_T2, "lineitem").createOrReplaceTempView("lineitem")
+    sql = domain.OBSERVATIONS_SQL + " WHERE l_linenumber >= 0"
+    obs = spark.sql(sql)
     df = time_series(obs, datasets=["sst_a"], start_time="1996-01-01",
                      end_time="1996-12-31")
     df.collect()
