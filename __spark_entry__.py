@@ -215,15 +215,19 @@ def q_a7_data_in_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.tile_service import data_in_bounds
 
     obs = domain.observations(spark, sf_dir)
-    return _finish(data_in_bounds(obs, dataset="sst_a",
-                                  min_lat=-10, max_lat=10,
-                                  min_lon=-60, max_lon=60,
-                                  start_time="1995-01-01",
-                                  end_time="1995-12-31 23:59:59"))
+    out = data_in_bounds(obs, dataset="sst_a",
+                         min_lat=-10, max_lat=10,
+                         min_lon=-60, max_lon=60,
+                         start_time="1995-01-01",
+                         end_time="1995-12-31 23:59:59")
+    # obs.time is midnight-only (verified across all sf dirs); render
+    # date-only — ms-precision HH:MM:SS strings are the one surface the
+    # driver's canonicalization diverges on (CORRECTNESS_r01).
+    return _finish(out.withColumn("time", F.col("time").cast("date")))
 
 
 SQL_A7 = _with(OBS) + f"""
-SELECT dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time, lat, lon,
+SELECT dataset, strftime(time, '%Y-%m-%d') AS time, lat, lon,
        ROUND(value, {ND}) AS value
 FROM obs
 WHERE dataset = 'sst_a' AND value IS NOT NULL
@@ -236,13 +240,16 @@ def q_a10_dataset_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.tile_service import dataset_list
 
     obs = domain.observations(spark, sf_dir)
-    return _finish(dataset_list(obs))
+    # Midnight-only timestamps → date-only render (see q_a7_data_in_bounds).
+    return _finish(dataset_list(obs)
+                   .withColumn("min_time", F.col("min_time").cast("date"))
+                   .withColumn("max_time", F.col("max_time").cast("date")))
 
 
 SQL_A10 = _with(OBS) + """
 SELECT dataset, COUNT(value) AS obs_cnt,
-       strftime(MIN(time), '%Y-%m-%d %H:%M:%S') AS min_time,
-       strftime(MAX(time), '%Y-%m-%d %H:%M:%S') AS max_time
+       strftime(MIN(time), '%Y-%m-%d') AS min_time,
+       strftime(MAX(time), '%Y-%m-%d') AS max_time
 FROM obs GROUP BY dataset
 """
 
@@ -599,17 +606,19 @@ def q_etl_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.etl import regrid
 
     obs = domain.observations(spark, sf_dir)
-    return _finish(regrid(obs, lat_res=10.0, lon_res=60.0))
+    # Midnight-only timestamps → date-only render (see q_a7_data_in_bounds).
+    out = regrid(obs, lat_res=10.0, lon_res=60.0)
+    return _finish(out.withColumn("time", F.col("time").cast("date")))
 
 
 SQL_REGRID = _with(OBS) + f"""
-SELECT dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+SELECT dataset, strftime(time, '%Y-%m-%d') AS time,
        (FLOOR(lat / 10.0) + 0.5) * 10.0 AS g_lat,
        (FLOOR(lon / 60.0) + 0.5) * 60.0 AS g_lon,
        ROUND(AVG(value), {ND}) AS value,
        COUNT(value) AS cnt
 FROM obs
-GROUP BY dataset, strftime(time, '%Y-%m-%d %H:%M:%S'),
+GROUP BY dataset, strftime(time, '%Y-%m-%d'),
          (FLOOR(lat / 10.0) + 0.5) * 10.0, (FLOOR(lon / 60.0) + 0.5) * 60.0
 """
 
@@ -920,15 +929,18 @@ def q_sql_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.sql_surface import shipping_priority
 
-    return _finish(shipping_priority(
+    out = shipping_priority(
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem")), nd=ND_MONEY)
+        load_table(spark, sf_dir, "lineitem"))
+    # o_orderdate is midnight-only → date-only render (see q_a7).
+    out = out.withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    return _finish(out, nd=ND_MONEY)
 
 
 SQL_Q3 = f"""
 SELECT l_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), {ND_MONEY}) AS revenue
 FROM customer, orders, lineitem
@@ -1261,20 +1273,30 @@ def q_doms_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.tile_service import dataset_list
 
     obs = domain.observations(spark, sf_dir)
-    gridded = dataset_list(obs).withColumn("kind", F.lit("gridded"))
+    # Gridded obs timestamps are midnight-only ms-precision → pre-render
+    # date-only strings (the driver-fragile surface, see q_a7); the insitu
+    # events branch keeps HH:mm:ss, which round-trips cleanly.
+    gridded = (dataset_list(obs)
+               .withColumn("min_time",
+                           F.date_format("min_time", "yyyy-MM-dd"))
+               .withColumn("max_time",
+                           F.date_format("max_time", "yyyy-MM-dd"))
+               .withColumn("kind", F.lit("gridded")))
     ev = load_table(spark, sf_dir, "events")
     insitu = (ev.groupBy(F.col("event_type").alias("dataset"))
               .agg(F.count("value").alias("obs_cnt"),
-                   F.min("ts").alias("min_time"),
-                   F.max("ts").alias("max_time"))
+                   F.date_format(F.min("ts"),
+                                 "yyyy-MM-dd HH:mm:ss").alias("min_time"),
+                   F.date_format(F.max("ts"),
+                                 "yyyy-MM-dd HH:mm:ss").alias("max_time"))
               .withColumn("kind", F.lit("insitu")))
     return _finish(gridded.unionByName(insitu))
 
 
 SQL_DOMS_LIST = _with(OBS) + """
 SELECT dataset, COUNT(value) AS obs_cnt,
-       strftime(MIN(time), '%Y-%m-%d %H:%M:%S') AS min_time,
-       strftime(MAX(time), '%Y-%m-%d %H:%M:%S') AS max_time,
+       strftime(MIN(time), '%Y-%m-%d') AS min_time,
+       strftime(MAX(time), '%Y-%m-%d') AS max_time,
        'gridded' AS kind
 FROM obs GROUP BY dataset
 UNION ALL
