@@ -1524,7 +1524,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIM_IVF = f"""
 WITH {_VECS},
 cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
-          FROM n WHERE vec_id % 31 = 0),
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
 assign AS (
   SELECT vec_id AS neighbor_id, cent_id FROM (
     SELECT n.vec_id, c.cent_id,

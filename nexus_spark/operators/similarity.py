@@ -2,13 +2,19 @@
 
 - knn_bruteforce: exact cosine top-k — the correctness baseline. Query side
   must be small (it is broadcast); candidate side streams at any scale.
-- ann_lsh: random-hyperplane LSH — the 100 TB path: candidates share a
-  signed-projection bucket, so the join is an equi-join on (table, bucket),
-  not a cross join. Hyperplanes are seeded-RNG Gaussian vectors embedded as
-  plan literals, so the plan is reproducible run to run.
+- ann_ivf: coarse quantization + probe-limited search with a FIXED-size
+  centroid set (corpus-size independent), so the centroid broadcast and the
+  per-vector assignment cost stay constant as the corpus grows.
+- ann_lsh: random-hyperplane LSH — candidates share a signed-projection
+  bucket, so the join is an equi-join on (table, bucket), not a cross join.
+  Hyperplanes are seeded-RNG Gaussian vectors embedded as plan literals.
 
-All vector math is JVM-side higher-order functions (zip_with/aggregate) in
-double precision — no Python UDF in the hot path.
+All vector math is JVM-side whole-stage-codegen arithmetic over FLAT double
+columns (v0..v{dim-1}): on pair-volume workloads the lambda-HOF form
+(aggregate/zip_with) costs ~5x more than static column expressions, and
+per-pair array getItem falls out of efficient codegen entirely (measured
+37s vs 7s at 12.5M pairs — see dedup.embedding_near_dup). Dot products
+accumulate LEFT-TO-RIGHT to bit-match sequential list_dot_product oracles.
 """
 
 from __future__ import annotations
@@ -16,23 +22,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _with_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Project to (id, vec double[], nrm)."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
-        .withColumn(
-            "nrm",
-            F.sqrt(F.aggregate(F.transform(F.col("vec"), lambda x: x * x),
-                               F.lit(0.0), lambda a, x: a + x)))
-    )
+DIM = 64  # fixture embedding dimensionality (embeddings.parquet)
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+# --------------------------------------------------------------------------
+# flat-vector projection (shared, memoized per session+plan)
+# --------------------------------------------------------------------------
+
+def _flat(df: DataFrame, id_col: str, vec_col: str, dim: int,
+          prefix: str) -> DataFrame:
+    """Project to (id, nrm, {prefix}0..{prefix}{dim-1}) flat doubles.
+
+    The norm is an unrolled left-to-right sum of squares so it matches a
+    sequential list_sum(list_transform(v, x -> x*x)) oracle exactly.
+    """
+    flat = df.selectExpr(
+        f"{id_col} AS id",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec",
+        *[f"CAST({vec_col}[{i}] AS DOUBLE) AS {prefix}{i}"
+          for i in range(dim)])
+    ss = " + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim))
+    return flat.withColumn("nrm", F.expr(f"sqrt({ss})"))
+
+
+def _flat_dot(pa: str, pb: str, dim: int):
+    """Unrolled left-to-right dot product of two flat column families.
+
+    Built as ONE SQL expression string: composing 64 Column objects costs
+    hundreds of Py4J round trips per use; a string parses JVM-side in one.
+    """
+    return F.expr(" + ".join(f"{pa}{i} * {pb}{i}" for i in range(dim)))
+
+
+# Memo of cached flat frames per (session, input plan, params): repeated
+# invocations in a long-lived session reuse one materialization instead of
+# accumulating storage blocks (same rationale as domain._FRAME_CACHE).
+_FLAT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 prefix: str) -> DataFrame:
+    key = (id(df.sparkSession), df.semanticHash(), id_col, vec_col, dim,
+           prefix)
+    got = _FLAT_CACHE.get(key)
+    if got is None:
+        got = _flat(df, id_col, vec_col, dim, prefix).cache()
+        _FLAT_CACHE[key] = got
+    return got
+
+
+def clear_cache() -> None:
+    """Unpersist and drop every memoized flat-vector frame."""
+    for frame in _FLAT_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _FLAT_CACHE.clear()
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -46,114 +92,141 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = DIM) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: query_id, neighbor_id, rank, cosine. Deterministic tie-break on
     (rounded cosine desc, neighbor_id asc). Queries broadcast; the candidate
     scan streams — one shuffle for the per-query top-k window.
     """
-    q = _with_vec(queries, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"))
-    c = _with_vec(embeddings, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
-        F.col("nrm").alias("c_nrm"))
+    q = (_flat(queries, id_col, vec_col, dim, "q").drop("vec")
+         .withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    c = (_flat(embeddings, id_col, vec_col, dim, "c").drop("vec")
+         .withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine",
-                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    _flat_dot("q", "c", dim)
                     / (F.col("q_nrm") * F.col("c_nrm")))
     )
     return _topk(scored, k)
-
-
-def _bucket_expr(vec, dim: int, n_planes: int, table: int, seed: int = 42):
-    """LSH bucket id for one hash table: n_planes sign bits packed into an
-    int. Hyperplanes are standard-normal vectors from a seeded RNG,
-    materialized as literal arrays at plan-build time — deterministic and
-    reproducible, with none of the correlation a closed-form pseudo-random
-    sequence would have."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed + 1000 * table)
-    planes = rng.randn(n_planes, dim)
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(h)) for h in planes[p]])
-        proj = F.aggregate(F.zip_with(vec, plane, lambda x, h: x * h),
-                           F.lit(0.0), lambda a, x: a + x)
-        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
 
 
 def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            centroid_mod: int = 31, nprobe: int = 2) -> DataFrame:
+            n_centroids: int = 32, nprobe: int = 2,
+            dim: int = DIM) -> DataFrame:
     """IVF-style ANN: coarse quantization + probe-limited search.
 
-    Centroids are the deterministic subset id % centroid_mod == 0 (a
-    k-means iteration could refine them; the partition/probe machinery is
-    identical and this keeps the operator reproducible and oracle-checkable).
-    Every vector is assigned to its nearest centroid (broadcast of the tiny
-    centroid set); a query scores only vectors in its `nprobe` nearest
-    cells. At scale the assignment is a write-time partitioning column, so
-    a query touches nprobe partitions instead of the full corpus.
+    Centroids are a FIXED-k deterministic pseudo-random sample: the
+    n_centroids vectors with the smallest md5(id) hex string. The centroid
+    count is independent of corpus size, so the centroid broadcast and the
+    per-vector nearest-centroid scan stay O(k) per row at any scale (the
+    previous id % mod scheme grew the centroid set — and its broadcast —
+    linearly with the corpus). Selection is one TakeOrdered over the corpus
+    (O(n) scan, O(k) heap per partition, no full sort shuffle); a k-means
+    refinement could replace the sample without touching the assign/probe
+    machinery.
+
+    Every vector is assigned to its nearest centroid — a broadcast
+    crossJoin with the k-row centroid frame reduced by a map-side-combining
+    max_by aggregate (no window sort over the corpus). A query scores only
+    vectors in its `nprobe` nearest cells. At 100 TB the assignment is a
+    write-time partitioning column, so a query touches nprobe partitions
+    instead of the full corpus.
 
     Output: query_id, neighbor_id, rank, cosine (approximate).
     """
-    # One normalized-vector frame serves centroid derivation, assignment,
-    # probing, and final scoring — cache it instead of re-deriving 4x.
-    vecs = _with_vec(embeddings, id_col, vec_col).cache()
-    cents = (vecs.where(F.col("id") % centroid_mod == 0)
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    cents = (corpus.drop("vec")
+             .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+             .limit(n_centroids)
              .select(F.col("id").alias("cent_id"),
-                     F.col("vec").alias("cent_vec"),
-                     F.col("nrm").alias("cent_nrm")))
+                     F.col("nrm").alias("cent_nrm"),
+                     *[F.col(f"c{i}").alias(f"t{i}") for i in range(dim)]))
 
-    def nearest_cells(v: DataFrame, ident: str, n: int) -> DataFrame:
-        scored = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("c_cos",
-                        _dot(F.col("vec"), F.col("cent_vec"))
-                        / (F.col("nrm") * F.col("cent_nrm")))
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
-        return (scored.withColumn("crank", F.row_number().over(w))
-                .where(F.col("crank") <= n)
-                .select(F.col("id").alias(ident), "cent_id"))
+    def cell_scores(v: DataFrame) -> DataFrame:
+        return (v.drop("vec").crossJoin(F.broadcast(cents))
+                .withColumn("c_cos",
+                            _flat_dot("c" if "c0" in v.columns else "q",
+                                      "t", dim)
+                            / (F.col("nrm") * F.col("cent_nrm")))
+                .select("id", "cent_id", "c_cos"))
 
-    qvecs = _with_vec(queries, id_col, vec_col).cache()
-    assign = nearest_cells(vecs, "neighbor_id", 1)
-    probes = nearest_cells(qvecs, "query_id", nprobe)
+    # Tie-break = (rounded cosine desc, cent_id asc); max_by over the
+    # struct (round(cc,6), -cent_id) realizes it with partial aggregation.
+    assign = (cell_scores(corpus)
+              .groupBy(F.col("id").alias("neighbor_id"))
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t"))).alias("cent_id")))
 
-    q = qvecs.select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"))
-    c = vecs.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
-        F.col("nrm").alias("c_nrm"))
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (cell_scores(qflat)
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+
+    q = (qflat.drop("vec").withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    c = (corpus.drop("vec").withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
+    # Each neighbor belongs to exactly one cell, so (query, neighbor) pairs
+    # out of the probe join are already unique — no distinct shuffle.
     scored = (
-        probes.join(assign, "cent_id")
+        F.broadcast(probes).join(assign, "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id").distinct()
         .join(F.broadcast(q), "query_id").join(c, "neighbor_id")
         .withColumn("cosine",
-                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    _flat_dot("q", "c", dim)
                     / (F.col("q_nrm") * F.col("c_nrm")))
     )
     return _topk(scored, k)
 
 
+def _bucket_sql(vec_sql: str, dim: int, n_planes: int, table: int,
+                seed: int = 42) -> str:
+    """LSH bucket id for one hash table: n_planes sign bits packed into an
+    int. Hyperplanes are standard-normal vectors from a seeded RNG,
+    materialized as literal arrays inside ONE SQL expression string —
+    deterministic, reproducible, and parsed JVM-side in a single Py4J
+    call (building 256 literal Column objects per table through the
+    Python API costs seconds of driver time). Projections stay in HOF
+    (zip_with/aggregate) form ON PURPOSE: this runs once per ROW (not per
+    pair), and unrolling n_tables*n_planes*dim scalar terms blows
+    Janino's 64KB method limit into interpreted fallback (measured 5x
+    slower end-to-end)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed + 1000 * table)
+    planes = rng.randn(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        arr = ", ".join(f"{float(h)!r}D" for h in planes[p])
+        proj = (f"aggregate(zip_with({vec_sql}, array({arr}), "
+                f"(x, h) -> x * h), 0.0D, (a, x) -> a + x)")
+        bits.append(f"IF({proj} >= 0, {2 ** p}, 0)")
+    return " + ".join(bits)
+
+
 def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
+            dim: int = DIM, n_planes: int = 4, n_tables: int = 8) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
     n_tables independent tables of n_planes bits; a candidate is scored iff
     it shares a bucket with the query in >= 1 table. Equi-join on
-    (tbl, bucket) replaces the cross join — the 100 TB path. Output like
+    (tbl, bucket) replaces the cross join — the 100 TB path. The bucketed
+    frames carry only (id, tbl, bucket); vectors come back at scoring time
+    from the one cached flat frame, so the bucket equi-join shuffles 3
+    narrow columns instead of dim+2 wide rows per table. Output like
     knn_bruteforce (approximate; recall vs brute force covered in tests).
 
     Tuning: collision probability per plane is 1 - theta/pi; for weakly
@@ -161,38 +234,34 @@ def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     planes + more tables is the right trade — the 4x8 default hits ~0.67
     expected recall there, and much higher on genuinely clustered data.
     """
-    def bucketed(df: DataFrame, ident: str, vec_alias: str) -> DataFrame:
-        v = _with_vec(df, id_col, vec_col)
-        parts = []
-        for t in range(n_tables):
-            parts.append(v.select(
-                F.col("id").alias(ident),
-                F.col("vec").alias(f"{vec_alias}_vec"),
-                F.col("nrm").alias(f"{vec_alias}_nrm"),
-                F.lit(t).alias("tbl"),
-                _bucket_expr(F.col("vec"), dim, n_planes, t).alias("bucket")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    cf = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    qf = _flat_cached(queries, id_col, vec_col, dim, "q")
 
-    qb = bucketed(queries, "query_id", "q")
-    cb = bucketed(embeddings, "neighbor_id", "c")
+    # All n_tables buckets in ONE projection + inline(): an 8-way union of
+    # per-table projections costs 8 passes of plan analysis and 8 scan
+    # stages; inline() of an array of (tbl, bucket) structs is one.
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'bucket', "
+        f"{_bucket_sql('vec', dim, n_planes, t)})"
+        for t in range(n_tables))
+
+    def bucketed(flat: DataFrame, ident: str) -> DataFrame:
+        return flat.selectExpr(f"id AS {ident}", f"inline(array({structs}))")
+
     candidates = (
-        qb.join(cb, ["tbl", "bucket"])
+        bucketed(qf, "query_id").join(
+            bucketed(cf, "neighbor_id"), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id").distinct()
     )
-    q = _with_vec(queries, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"))
-    c = _with_vec(embeddings, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"),
-        F.col("nrm").alias("c_nrm"))
+    q = (qf.drop("vec").withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    c = (cf.drop("vec").withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
     scored = (
         candidates.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
         .withColumn("cosine",
-                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    _flat_dot("q", "c", dim)
                     / (F.col("q_nrm") * F.col("c_nrm")))
     )
     return _topk(scored, k)
