@@ -401,10 +401,11 @@ FROM pairs
 # --------------------------------------------------------------------------
 
 def q_a2_stats_from_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexus_spark.plans.summary import build_summary, stats_from_summary
+    from nexus_spark.plans.summary import stats_from_summary
 
     obs = domain.observations(spark, sf_dir)
-    summary = build_summary(obs, lat_tile_deg=10.0, lon_tile_deg=60.0)
+    summary = domain.summary_table(spark, sf_dir,
+                                   lat_tile_deg=10.0, lon_tile_deg=60.0)
     return _finish(stats_from_summary(
         obs, summary, "sst_a", -25, 25, -160, 160,
         lat_tile_deg=10.0, lon_tile_deg=60.0))

@@ -121,14 +121,27 @@ def _frame(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) 
 
 
 def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The long-format observations frame. Cached: every geo operator in a
-    session consumes this one derived view (the lake deployment would
-    materialize it as a table; in-session .cache() is the local analog —
-    first action materializes, all later queries scan memory)."""
-    key = (id(spark), sf_dir, "observations-cached")
+    """The long-format observations frame — a narrow 5-column projection.
+
+    Materialization policy: when NEXUS_SPARK_MATERIALIZE_OBS is truthy
+    (default "1" — right for single-node fixtures, bench, and the driver),
+    the derived view is .cache()d per session, the local analog of the lake
+    deployment materializing it as a written table. Set it to "0" on a real
+    cluster where the full view cannot fit executor memory: plans then
+    stay production-shaped — parquet filter pushdown, column pruning and
+    partition pruning reach the scan on every query (asserted by
+    tests/test_plans.py on the uncached derivation).
+    """
+    import os
+
+    materialize = os.environ.get("NEXUS_SPARK_MATERIALIZE_OBS", "1") != "0"
+    key = (id(spark), sf_dir,
+           "observations-cached" if materialize else "observations")
     cached = _FRAME_CACHE.get(key)
     if cached is None:
-        cached = _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",)).cache()
+        cached = _frame(spark, sf_dir, OBSERVATIONS_SQL, ("lineitem",))
+        if materialize:
+            cached = cached.cache()
         _FRAME_CACHE[key] = cached
     return cached
 
@@ -199,6 +212,54 @@ def climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _derived(spark, sf_dir, "climatology", build)
+
+
+def summary_table(spark: SparkSession, sf_dir: str,
+                  lat_tile_deg: float = 5.0,
+                  lon_tile_deg: float = 30.0) -> DataFrame:
+    """Session-materialized per-tile summary (zone map) — the stand-in for
+    the lake deployment's written summary table maintained at ingest.
+    Memoized + cached per (session, sf_dir, tiling): queries against it
+    demonstrate the aggregate-from-summaries win instead of re-paying the
+    full-scan aggregation on every call."""
+    from nexus_spark.plans.summary import build_summary
+
+    def build() -> DataFrame:
+        return build_summary(observations(spark, sf_dir),
+                             lat_tile_deg, lon_tile_deg).cache()
+
+    key = f"summary-{lat_tile_deg}-{lon_tile_deg}"
+    return _derived(spark, sf_dir, key, build)
+
+
+def invalidate(spark: SparkSession | None = None,
+               sf_dir: str | None = None) -> None:
+    """Drop memoized frames (and unpersist any cached ones) whose session /
+    data directory match. Write paths (lake.write_observations /
+    delete_partitions) call this so a rewritten directory is never served
+    from a stale cached view."""
+    doomed = []
+    for key in _FRAME_CACHE:
+        k_spark, k_dir = key[0], key[1]
+        if spark is not None and k_spark != id(spark):
+            continue
+        if sf_dir is not None and k_dir != sf_dir:
+            continue
+        doomed.append(key)
+    for key in doomed:
+        frame = _FRAME_CACHE.pop(key)
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    # Raw-table plan memos for the same directory go too (file listings /
+    # footers are re-read next access).
+    from nexus_spark import catalog
+
+    for key in [k for k in catalog._TABLE_CACHE
+                if (spark is None or k[0] == id(spark))
+                and (sf_dir is None or k[1] == sf_dir)]:
+        catalog._TABLE_CACHE.pop(key)
 
 
 def cte(sql_fragment: str, name: str) -> str:

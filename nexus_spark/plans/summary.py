@@ -65,9 +65,10 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
     Output: dataset, ts_date, ts_min, ts_max, ts_mean, ts_cnt.
     """
     # Both the interior branch and the boundary-key branch consume this
-    # subtree; cache so the summary aggregation runs once. (In a lake
-    # deployment the summary is a written table and this is a no-op.)
-    s = summary.where(F.col("dataset") == dataset).cache()
+    # subtree. Callers pass a cached/materialized summary
+    # (domain.summary_table); re-caching the filtered copy here would
+    # accumulate storage blocks per call for no win.
+    s = summary.where(F.col("dataset") == dataset)
     interior = s.where(
         (F.col("t_min_lat") >= min_lat) & (F.col("t_max_lat") <= max_lat)
         & (F.col("t_min_lon") >= min_lon) & (F.col("t_max_lon") <= max_lon)
@@ -99,13 +100,18 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
      .withColumn("tile_date", F.to_date("time"))
     o = o.join(F.broadcast(bkeys), ["dataset", "tile_date", "lat_tile", "lon_tile"],
                "left_semi")
+    # Shape each boundary observation as a singleton summary row and fold
+    # it into the SAME final aggregation as the interior tiles — one
+    # shuffle instead of a boundary pre-aggregation plus a merge.
     w = F.when(F.col("value").isNotNull(), cos_lat_weight("lat"))
-    boundary_parts = o.groupBy("dataset", F.col("tile_date").alias("ts_date")).agg(
-        F.sum(F.col("value") * cos_lat_weight("lat")).alias("t_sum_wv"),
-        F.sum(w).alias("t_sum_w"),
-        F.count("value").alias("t_cnt"),
-        F.min("value").alias("t_min"),
-        F.max("value").alias("t_max"),
+    boundary_parts = o.select(
+        "dataset", F.col("tile_date").alias("ts_date"),
+        (F.col("value") * cos_lat_weight("lat")).alias("t_sum_wv"),
+        w.alias("t_sum_w"),
+        F.when(F.col("value").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+         .cast("bigint").alias("t_cnt"),
+        F.col("value").alias("t_min"),
+        F.col("value").alias("t_max"),
     )
 
     return (

@@ -22,6 +22,12 @@ _RUNTIME_CONF = {
     # The events fixture stores TIMESTAMP(NANOS); Spark 4 rejects nanos
     # unless read as long (catalog.load_table converts back to timestamp).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Constraint propagation is O(n^2)+ in projection width during
+    # optimization: on the 64-column flat-vector self-joins
+    # (operators/similarity.py) getAllValidConstraints spends MINUTES in
+    # semanticEquals once no cached subtree truncates the plan. Our
+    # filters are all explicit — the inferred constraints buy nothing.
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 

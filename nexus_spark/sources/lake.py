@@ -36,6 +36,7 @@ def write_observations(obs: DataFrame, path: str,
         .write.mode(mode)
         .partitionBy("dataset", "obs_date")
         .parquet(path))
+    _invalidate_views(path)
 
 
 def read_observations(spark: SparkSession, path: str) -> DataFrame:
@@ -68,4 +69,14 @@ def delete_partitions(spark: SparkSession, path: str, dataset: str,
             continue
         shutil.rmtree(os.path.join(ds_dir, entry))
         removed += 1
+    if removed:
+        _invalidate_views(path)
     return removed
+
+
+def _invalidate_views(path: str) -> None:
+    """Drop any session-memoized derived frames built over this directory —
+    a rewritten/deleted lake path must never be served from a stale cache."""
+    from nexus_spark import domain
+
+    domain.invalidate(sf_dir=path)
