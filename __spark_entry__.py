@@ -102,18 +102,40 @@ def q_s1_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(time_series_compare(obs, "sst_a", "sst_b"))
 
 
-SQL_S1_COMPARE = _with(OBS) + f"""
+def _sql_s1_compare() -> str:
+    from nexus_spark.functions.stats import (pvalue_from_z_sql, stderr_sql,
+                                             tstat_sql, zstat_sql)
+
+    return _with(OBS) + f"""
 , ts AS (
   SELECT dataset, CAST(time AS DATE) AS ts_date, {WMEAN} AS ts_mean
   FROM obs GROUP BY dataset, CAST(time AS DATE)
-)
-SELECT ROUND(REGR_SLOPE(y.ts_mean, x.ts_mean), {ND}) AS cmp_slope,
-       ROUND(REGR_INTERCEPT(y.ts_mean, x.ts_mean), {ND}) AS cmp_intercept,
-       ROUND(CORR(x.ts_mean, y.ts_mean), {ND}) AS cmp_r,
-       COUNT(*) AS cmp_n
-FROM ts x JOIN ts y ON x.ts_date = y.ts_date
-WHERE x.dataset = 'sst_a' AND y.dataset = 'sst_b'
+),
+base AS (
+  SELECT REGR_SLOPE(y.ts_mean, x.ts_mean) AS cmp_slope,
+         REGR_INTERCEPT(y.ts_mean, x.ts_mean) AS cmp_intercept,
+         CORR(x.ts_mean, y.ts_mean) AS cmp_r,
+         COUNT(*) AS cmp_n,
+         REGR_SXX(y.ts_mean, x.ts_mean) AS _sxx,
+         REGR_SYY(y.ts_mean, x.ts_mean) AS _syy,
+         REGR_SXY(y.ts_mean, x.ts_mean) AS _sxy
+  FROM ts x JOIN ts y ON x.ts_date = y.ts_date
+  WHERE x.dataset = 'sst_a' AND y.dataset = 'sst_b'),
+se AS (SELECT *, {stderr_sql("cmp_slope", "_sxx", "_syy", "_sxy", "cmp_n")}
+              AS cmp_stderr FROM base),
+zs AS (SELECT *, {zstat_sql(tstat_sql("cmp_slope", "cmp_stderr"), "cmp_n")}
+              AS _z FROM se)
+SELECT ROUND(cmp_slope, {ND}) AS cmp_slope,
+       ROUND(cmp_intercept, {ND}) AS cmp_intercept,
+       ROUND(cmp_r, {ND}) AS cmp_r,
+       cmp_n,
+       ROUND(cmp_stderr, {ND}) AS cmp_stderr,
+       ROUND({pvalue_from_z_sql("_z", "cmp_stderr")}, {ND}) AS cmp_pvalue
+FROM zs
 """
+
+
+SQL_S1_COMPARE = _sql_s1_compare()
 
 
 # --------------------------------------------------------------------------
@@ -160,20 +182,47 @@ def q_a5_lonlat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(lonlat_map(obs, dataset="sst_b"))
 
 
-SQL_A5 = _with(OBS) + f"""
+def _sql_a5() -> str:
+    from nexus_spark.functions.stats import (pvalue_from_z_sql, stderr_sql,
+                                             tstat_sql, zstat_sql)
+
+    return _with(OBS) + f"""
+, base AS (
+  SELECT lat, lon,
+         REGR_SLOPE(value, t_day) AS ll_slope,
+         REGR_INTERCEPT(value, t_day) AS ll_intercept,
+         CORR(t_day, value) AS ll_r,
+         AVG(value) AS ll_mean,
+         MAX(value) AS ll_max,
+         MIN(value) AS ll_min,
+         STDDEV_POP(value) AS ll_std,
+         COUNT(value) AS ll_cnt,
+         REGR_SXX(value, t_day) AS _sxx,
+         REGR_SYY(value, t_day) AS _syy,
+         REGR_SXY(value, t_day) AS _sxy
+  FROM (SELECT lat, lon, value, CAST(epoch(time) AS DOUBLE) / 86400.0 AS t_day
+        FROM obs WHERE dataset = 'sst_b') o
+  GROUP BY lat, lon),
+se AS (SELECT *, {stderr_sql("ll_slope", "_sxx", "_syy", "_sxy", "ll_cnt")}
+              AS ll_stderr FROM base),
+ts AS (SELECT *, {tstat_sql("ll_slope", "ll_stderr")} AS _t FROM se),
+zs AS (SELECT *, {zstat_sql("_t", "ll_cnt")} AS _z FROM ts)
 SELECT lat, lon,
-       ROUND(REGR_SLOPE(value, t_day), {ND}) AS ll_slope,
-       ROUND(REGR_INTERCEPT(value, t_day), {ND}) AS ll_intercept,
-       ROUND(CORR(t_day, value), {ND}) AS ll_r,
-       ROUND(AVG(value), {ND}) AS ll_mean,
-       ROUND(MAX(value), {ND}) AS ll_max,
-       ROUND(MIN(value), {ND}) AS ll_min,
-       ROUND(STDDEV_POP(value), {ND}) AS ll_std,
-       COUNT(value) AS ll_cnt
-FROM (SELECT lat, lon, value, CAST(epoch(time) AS DOUBLE) / 86400.0 AS t_day
-      FROM obs WHERE dataset = 'sst_b') o
-GROUP BY lat, lon
+       ROUND(ll_slope, {ND}) AS ll_slope,
+       ROUND(ll_intercept, {ND}) AS ll_intercept,
+       ROUND(ll_r, {ND}) AS ll_r,
+       ROUND(ll_mean, {ND}) AS ll_mean,
+       ROUND(ll_max, {ND}) AS ll_max,
+       ROUND(ll_min, {ND}) AS ll_min,
+       ROUND(ll_std, {ND}) AS ll_std,
+       ll_cnt,
+       ROUND(ll_stderr, {ND}) AS ll_stderr,
+       ROUND({pvalue_from_z_sql("_z", "ll_stderr")}, {ND}) AS ll_pvalue
+FROM zs
 """
+
+
+SQL_A5 = _sql_a5()
 
 
 # --------------------------------------------------------------------------

@@ -75,17 +75,22 @@ def lonlat_map(obs: DataFrame, dataset: str | None = None,
                start_time=None, end_time=None) -> DataFrame:
     """Per-pixel stats incl. trend-vs-time regression
     (reference: algorithms/LongitudeLatitudeMap.py:192-244 — scipy.linregress
-    per pixel over (epoch-seconds, value) → regr_* aggregates).
+    per pixel over (epoch-seconds, value) → regr_* aggregates, with the
+    reference's p-value and stderr from the closed form on (slope, Sxx,
+    Syy, Sxy, n); see functions/stats.py for the approximation contract).
 
     Output: lat, lon, ll_slope (per DAY — the reference regresses on an
     epoch-seconds axis; we use days so slopes stay in a numerically
     meaningful range), ll_intercept, ll_r, ll_mean, ll_max, ll_min, ll_std
-    (population), ll_cnt.
+    (population), ll_cnt, ll_stderr, ll_pvalue.
     """
+    from nexus_spark.functions.stats import (pvalue_from_z_sql, stderr_sql,
+                                             tstat_sql, zstat_sql)
+
     df = _bounded(obs, dataset, min_lat, max_lat, min_lon, max_lon,
                   start_time, end_time)
     t = F.unix_timestamp("time").cast("double") / F.lit(86400.0)
-    return df.groupBy("lat", "lon").agg(
+    base = df.groupBy("lat", "lon").agg(
         F.regr_slope(F.col("value"), t).alias("ll_slope"),
         F.regr_intercept(F.col("value"), t).alias("ll_intercept"),
         F.corr(t, F.col("value")).alias("ll_r"),
@@ -94,4 +99,16 @@ def lonlat_map(obs: DataFrame, dataset: str | None = None,
         F.min("value").alias("ll_min"),
         F.stddev_pop("value").alias("ll_std"),
         F.count("value").alias("ll_cnt"),
+        F.regr_sxx(F.col("value"), t).alias("_sxx"),
+        F.regr_syy(F.col("value"), t).alias("_syy"),
+        F.regr_sxy(F.col("value"), t).alias("_sxy"),
     )
+    # Staged projections keep each engine evaluating the same named
+    # intermediate exactly once (the SQL text is shared with the oracle).
+    se = base.withColumn("ll_stderr", F.expr(
+        stderr_sql("ll_slope", "_sxx", "_syy", "_sxy", "ll_cnt")))
+    ts = se.withColumn("_t", F.expr(tstat_sql("ll_slope", "ll_stderr")))
+    zs = ts.withColumn("_z", F.expr(zstat_sql("_t", "ll_cnt")))
+    return (zs.withColumn("ll_pvalue",
+                          F.expr(pvalue_from_z_sql("_z", "ll_stderr")))
+            .drop("_sxx", "_syy", "_sxy", "_t", "_z"))

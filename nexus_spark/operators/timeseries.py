@@ -63,10 +63,16 @@ def time_series_compare(obs: DataFrame, dataset_x: str, dataset_y: str,
                         **bounds) -> DataFrame:
     """Two-dataset comparison: per-day means self-joined on day, then
     slope/intercept/r over the aligned series (reference
-    TimeSeriesSpark.py:337-355 uses scipy.linregress on the merged means).
+    TimeSeriesSpark.py:337-355 uses scipy.linregress on the merged means —
+    including its p-value and stderr, reproduced here via the closed form
+    in functions/stats.py).
 
-    Returns one row: cmp_slope, cmp_intercept, cmp_r, cmp_n.
+    Returns one row: cmp_slope, cmp_intercept, cmp_r, cmp_n, cmp_stderr,
+    cmp_pvalue.
     """
+    from nexus_spark.functions.stats import (pvalue_from_z_sql, stderr_sql,
+                                             tstat_sql, zstat_sql)
+
     ts = time_series(obs, datasets=[dataset_x, dataset_y], **bounds)
     x = ts.where(F.col("dataset") == dataset_x).select(
         "ts_date", F.col("ts_mean").alias("mean_x"))
@@ -75,9 +81,19 @@ def time_series_compare(obs: DataFrame, dataset_x: str, dataset_y: str,
     # Daily-mean series are tiny relative to obs; this join is never the
     # bottleneck — AQE will broadcast one side.
     aligned = x.join(y, "ts_date")
-    return aligned.agg(
+    base = aligned.agg(
         F.regr_slope("mean_y", "mean_x").alias("cmp_slope"),
         F.regr_intercept("mean_y", "mean_x").alias("cmp_intercept"),
         F.corr("mean_x", "mean_y").alias("cmp_r"),
         F.count(F.lit(1)).alias("cmp_n"),
+        F.regr_sxx(F.col("mean_y"), F.col("mean_x")).alias("_sxx"),
+        F.regr_syy(F.col("mean_y"), F.col("mean_x")).alias("_syy"),
+        F.regr_sxy(F.col("mean_y"), F.col("mean_x")).alias("_sxy"),
     )
+    se = base.withColumn("cmp_stderr", F.expr(
+        stderr_sql("cmp_slope", "_sxx", "_syy", "_sxy", "cmp_n")))
+    zs = (se.withColumn("_t", F.expr(tstat_sql("cmp_slope", "cmp_stderr")))
+          .withColumn("_z", F.expr(zstat_sql("_t", "cmp_n"))))
+    return (zs.withColumn("cmp_pvalue",
+                          F.expr(pvalue_from_z_sql("_z", "cmp_stderr")))
+            .drop("_sxx", "_syy", "_sxy", "_t", "_z"))

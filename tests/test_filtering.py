@@ -70,3 +70,95 @@ def test_filtfilt_padlen_validation():
     b, a = butter_lowpass(2, 0.5)
     with pytest.raises(ValueError):
         filtfilt(b, a, np.ones(5), padlen=10)
+
+
+# --------------------------------------------------------------------------
+# regression-inference closed form (functions/stats.py)
+# --------------------------------------------------------------------------
+
+def _bi_raw(a, b, x, eps=1e-15, maxiter=500):
+    import math
+
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta) / a
+    f, c, d = 1.0, 1.0, 0.0
+    for i in range(maxiter):
+        m = i // 2
+        if i == 0:
+            num = 1.0
+        elif i % 2 == 0:
+            num = m * (b - m) * x / ((a + 2 * m - 1) * (a + 2 * m))
+        else:
+            num = -(a + m) * (a + b + m) * x / ((a + 2 * m) * (a + 2 * m + 1))
+        d = 1.0 + num * d
+        d = 1.0 / (d if abs(d) > 1e-300 else 1e-300)
+        c = 1.0 + num / (c if abs(c) > 1e-300 else 1e-300)
+        f *= c * d
+        if abs(1.0 - c * d) < eps:
+            break
+    return front * (f - 1.0)
+
+
+def _betainc(a, b, x):
+    """Regularized incomplete beta I_x(a, b): Lentz continued fraction,
+    with the symmetry identity outside its fast-convergence region —
+    the exact reference for the Student-t p-value."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    if x < (a + 1.0) / (a + b + 2.0):
+        return _bi_raw(a, b, x)
+    return 1.0 - _bi_raw(b, a, 1.0 - x)
+
+
+def _t_sf_two_sided(t, df):
+    return _betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+def test_pvalue_sql_matches_exact_t_cdf(spark):
+    """The shared SQL approximation (A&S t->z + normal tail) must track the
+    exact t CDF within measured tiers: 5e-3 at df=8, 1e-3 at df=20,
+    1e-4 at df=60, 1e-5 at df>=200 (real pixels have df in the
+    thousands, where the error is ~1e-7)."""
+    from nexus_spark.functions.stats import pvalue_from_z_sql, zstat_sql
+
+    cases = [(t, df) for t in (0.0, 0.5, 1.0, 1.96, 2.5, 3.2, 4.0)
+             for df in (8, 20, 60, 200, 1000)]
+    df_in = spark.createDataFrame(
+        [(float(t), int(df) + 2) for t, df in cases], "t double, n int")
+    z = zstat_sql("t", "n")
+    got = (df_in.selectExpr("t", "n", f"{z} AS _z")
+           .selectExpr("t", "n",
+                       pvalue_from_z_sql("_z", "1.0") + " AS p")
+           .collect())
+    tol = {8: 5e-3, 20: 1e-3, 60: 1e-4, 200: 1e-5, 1000: 1e-6}
+    for row in got:
+        df = row["n"] - 2
+        exact = _t_sf_two_sided(row["t"], df)
+        assert abs(row["p"] - exact) < tol[df], (row["t"], df, row["p"], exact)
+
+
+def test_stderr_sql_matches_closed_form(spark):
+    """stderr from (slope, Sxx, Syy, Sxy, n) equals the direct residual
+    formula on a small regression computed in numpy."""
+    import numpy as np
+
+    from nexus_spark.functions.stats import stderr_sql
+
+    rng = np.random.RandomState(7)
+    x = np.arange(40, dtype=float)
+    y = 0.3 * x + 2.0 + rng.randn(40)
+    n = len(x)
+    sxx = float(((x - x.mean()) ** 2).sum())
+    syy = float(((y - y.mean()) ** 2).sum())
+    sxy = float(((x - x.mean()) * (y - y.mean())).sum())
+    slope = sxy / sxx
+    resid = y - (slope * x + (y.mean() - slope * x.mean()))
+    want = float(np.sqrt((resid ** 2).sum() / (n - 2) / sxx))
+    df_in = spark.createDataFrame(
+        [(slope, sxx, syy, sxy, n)],
+        "slope double, sxx double, syy double, sxy double, n int")
+    got = df_in.selectExpr(
+        stderr_sql("slope", "sxx", "syy", "sxy", "n") + " AS se").first()["se"]
+    assert abs(got - want) < 1e-9 * max(1.0, want)
