@@ -11,7 +11,12 @@ matplotlib/netCDF4 (absent here) and are stubbed behind import guards.
 
 from __future__ import annotations
 
+import csv
+import io
 import json
+import struct
+import zipfile
+import zlib
 from typing import Any
 
 import numpy as np
@@ -56,13 +61,167 @@ def to_json_records(df: DataFrame, limit: int | None = None) -> str:
                       default=str)
 
 
-def to_png(*_args, **_kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "PNG rendering requires matplotlib (not in this environment); the "
-        "reference's plotters consume exactly the to_grid() payload")
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _png_encode(rgba: np.ndarray) -> bytes:
+    """Encode an (H, W, 4) uint8 array as a PNG byte string (zlib/struct
+    only — no imaging deps). Filter type 0 on every scanline; 8-bit RGBA."""
+    h, w = rgba.shape[:2]
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+# RdYlBu-reversed anchor ramp (cold→hot), the shape of the reference's SST
+# map palettes. Interpolated linearly between anchors.
+_RAMP = np.array([[49, 54, 149], [116, 173, 209], [255, 255, 191],
+                  [244, 109, 67], [165, 0, 38]], dtype=float)
+
+
+def colorize(grid: np.ndarray, vmin: float | None = None,
+             vmax: float | None = None) -> np.ndarray:
+    """Map a 2-D float grid to (H, W, 4) uint8 RGBA; NaN → transparent."""
+    grid = np.asarray(grid, dtype=float)
+    mask = ~np.isfinite(grid)
+    if vmin is None:
+        vmin = float(np.nanmin(grid)) if (~mask).any() else 0.0
+    if vmax is None:
+        vmax = float(np.nanmax(grid)) if (~mask).any() else 1.0
+    span = (vmax - vmin) or 1.0
+    t = np.clip((np.nan_to_num(grid, nan=vmin) - vmin) / span, 0.0, 1.0)
+    pos = t * (len(_RAMP) - 1)
+    i0 = np.clip(np.floor(pos).astype(int), 0, len(_RAMP) - 2)
+    frac = (pos - i0)[..., None]
+    rgb = _RAMP[i0] * (1.0 - frac) + _RAMP[i0 + 1] * frac
+    rgba = np.concatenate(
+        [rgb, np.full((*grid.shape, 1), 255.0)], axis=-1)
+    rgba[mask] = 0.0  # fully transparent where no data
+    return np.ascontiguousarray(np.round(rgba).astype(np.uint8))
+
+
+def to_png(grid_payload: dict[str, Any], vmin: float | None = None,
+           vmax: float | None = None, scale: int = 1) -> bytes:
+    """Render a to_grid() payload as PNG bytes — the content-negotiation
+    branch the reference serves per endpoint (reference:
+    analysis/webservice/webapp.py:99-136; map plotters e.g.
+    algorithms/TimeAvgMapSpark.py:204-233 consume the same mosaic).
+
+    Pure-Python encoder (no matplotlib/PIL). Row 0 renders the NORTHMOST
+    latitude (image origin top-left, map origin bottom-left — same flip the
+    reference's plotters apply). `scale` integer-upscales with nearest
+    neighbor for visibility of coarse grids.
+    """
+    grid = np.asarray(grid_payload["grid"], dtype=float)[::-1, :]
+    rgba = colorize(grid, vmin=vmin, vmax=vmax)
+    if scale > 1:
+        rgba = np.ascontiguousarray(
+            rgba.repeat(scale, axis=0).repeat(scale, axis=1))
+    return _png_encode(rgba)
+
+
+def _csv_bytes(df: DataFrame, limit: int | None = None) -> str:
+    rows = (df.limit(limit) if limit else df).collect()
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(df.columns)
+    for r in rows:
+        w.writerow([r[c] for c in df.columns])
+    return buf.getvalue()
+
+
+def to_zip_subset(frames: dict[str, DataFrame], date_range: str = "",
+                  bounds: str = "", limit: int | None = None) -> bytes:
+    """ZIP-of-CSVs subset delivery (reference: doms/subsetter.py:200-218 —
+    one CSV per dataset, arcname '{dataset}.{date_range}.{bounds}.csv',
+    zipped for a single download artifact).
+
+    Subset downloads are bounded responses by contract (the reference
+    enforces resultSizeLimit), so the driver-side CSV build here is a
+    presentation step, not a scale path; pass `limit` to enforce the bound.
+    For unbounded exports use to_csv(single_file=False) per frame instead.
+    """
+    out = io.BytesIO()
+    suffix = "".join(f".{part}" for part in (date_range, bounds) if part)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, df in frames.items():
+            z.writestr(f"{name}{suffix}.csv", _csv_bytes(df, limit=limit))
+    return out.getvalue()
+
+
+def histogram_payload(df: DataFrame, col: str, bins: int = 50,
+                      vmin: float | None = None,
+                      vmax: float | None = None) -> dict[str, Any]:
+    """Distributed histogram: bin counts computed as a single Spark
+    aggregate (reference: doms/histogramplot.py — numpy hist over collected
+    values; here the bin assignment shuffles counts, never values, so it
+    holds at any scale).
+
+    Returns {"edges": [bins+1 floats], "counts": [bins ints]}.
+    """
+    from pyspark.sql import functions as F
+    if vmin is None or vmax is None:
+        lo, hi = df.agg(F.min(col), F.max(col)).first()
+        vmin = float(lo) if vmin is None else vmin
+        vmax = float(hi) if vmax is None else vmax
+    span = (vmax - vmin) or 1.0
+    # Clamp into [0, bins-1] so max lands in the last bin, as numpy does.
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(col) - F.lit(vmin)) / F.lit(span) * bins)
+    ).cast("int")
+    got = {r["b"]: r["n"] for r in
+           df.where(F.col(col).isNotNull())
+             .where((F.col(col) >= vmin) & (F.col(col) <= vmax))
+             .groupBy(bucket.alias("b")).count()
+             .withColumnRenamed("count", "n").collect()}
+    edges = [vmin + span * i / bins for i in range(bins + 1)]
+    return {"edges": edges, "counts": [int(got.get(i, 0)) for i in range(bins)]}
+
+
+def histogram_png(payload: dict[str, Any], height: int = 120) -> bytes:
+    """Rasterize a histogram_payload as a bar chart PNG (2px/bar)."""
+    counts = np.asarray(payload["counts"], dtype=float)
+    peak = counts.max() or 1.0
+    levels = np.round(counts / peak * (height - 1)).astype(int)
+    grid = np.full((height, len(counts)), np.nan)
+    for x, lv in enumerate(levels):
+        if lv > 0:
+            grid[height - lv:, x] = counts[x]
+    return to_png({"grid": grid[::-1, :]}, scale=2)
+
+
+def scatter_png(df: DataFrame, x_col: str, y_col: str, width: int = 256,
+                height: int = 256, limit: int = 50000) -> bytes:
+    """Density scatter (reference: doms/scatterplot.py). The 2-D binning is
+    a Spark aggregate (counts per pixel cell, bounded by width×height), so
+    only the raster — never the points — reaches the driver."""
+    from pyspark.sql import functions as F
+    pts = df.select(F.col(x_col).cast("double").alias("x"),
+                    F.col(y_col).cast("double").alias("y")).dropna()
+    if limit:
+        pts = pts.limit(limit)
+    xmin, xmax, ymin, ymax = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+    xs = (xmax - xmin) or 1.0
+    ys = (ymax - ymin) or 1.0
+    px = F.least(F.lit(width - 1),
+                 F.floor((F.col("x") - xmin) / xs * width)).cast("int")
+    py = F.least(F.lit(height - 1),
+                 F.floor((F.col("y") - ymin) / ys * height)).cast("int")
+    cells = pts.groupBy(px.alias("px"), py.alias("py")).count().collect()
+    grid = np.full((height, width), np.nan)
+    for r in cells:
+        grid[r["py"], r["px"]] = r["count"]
+    return to_png({"grid": grid})
 
 
 def to_netcdf(*_args, **_kwargs):  # pragma: no cover
     raise NotImplementedError(
         "NetCDF export requires netCDF4 (not in this environment); consumes "
-        "the to_grid() payload")
+        "the to_grid() payload (reference: NexusHandler.py:506-550, "
+        "doms/BaseDomsHandler.py:243-534)")

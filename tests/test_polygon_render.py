@@ -110,3 +110,79 @@ def test_stateful_running_stats(spark, tmp_path):
                         round(r["max_value"], 6)) for r in batch.collect()}
     assert f == b
     assert len(b) > 0
+
+
+def test_png_encoder_golden_2x2():
+    """Decode our own PNG byte stream and verify pixels end-to-end."""
+    import struct
+    import zlib
+
+    from nexus_spark.plans.render import to_png
+
+    grid = np.array([[0.0, 1.0], [np.nan, 0.5]])
+    png = to_png({"grid": grid})
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: width=2 height=2, bit depth 8, color type 6 (RGBA)
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    assert (w, h, depth, ctype) == (2, 2, 8, 6)
+    # Decode IDAT scanlines (filter 0) back to RGBA
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    raw = zlib.decompress(png[41:41 + idat_len])
+    rows = [raw[i * 9 + 1:(i + 1) * 9] for i in range(2)]  # strip filter byte
+    # Render flips rows: image row 0 = grid row 1 = [nan, 0.5]
+    nan_px = rows[0][0:4]
+    assert nan_px == b"\x00\x00\x00\x00"  # NaN → fully transparent
+    lo_px, hi_px = rows[1][0:4], rows[1][4:8]
+    assert lo_px[3] == 255 and hi_px[3] == 255
+    assert lo_px[2] > lo_px[0]   # vmin → blue end of ramp
+    assert hi_px[0] > hi_px[2]   # vmax → red end of ramp
+
+
+def test_zip_subset_two_csvs(spark):
+    import zipfile
+
+    from nexus_spark import domain
+    from nexus_spark.plans.render import to_zip_subset
+
+    obs = domain.observations(spark, SF_DIR)
+    frames = {
+        "sst_a": obs.where(F.col("dataset") == "sst_a").limit(25),
+        "sst_b": obs.where(F.col("dataset") == "sst_b").limit(25),
+    }
+    blob = to_zip_subset(frames, date_range="20190101-20190301",
+                         bounds="30.0000W_10.0000S_60.0000E_20.0000N")
+    zf = zipfile.ZipFile(__import__("io").BytesIO(blob))
+    names = sorted(zf.namelist())
+    assert names == [
+        "sst_a.20190101-20190301.30.0000W_10.0000S_60.0000E_20.0000N.csv",
+        "sst_b.20190101-20190301.30.0000W_10.0000S_60.0000E_20.0000N.csv"]
+    for n in names:
+        lines = zf.read(n).decode().strip().split("\n")
+        assert len(lines) == 26  # header + 25 rows
+        assert lines[0].split(",")[:1] == ["dataset"] or "dataset" in lines[0]
+
+
+def test_histogram_distributed_matches_numpy(spark):
+    from nexus_spark import domain
+    from nexus_spark.plans.render import histogram_payload, histogram_png
+
+    obs = domain.observations(spark, SF_DIR).limit(5000)
+    vals = np.array([r["value"] for r in obs.select("value").collect()
+                     if r["value"] is not None])
+    payload = histogram_payload(obs, "value", bins=20)
+    np_counts, np_edges = np.histogram(vals, bins=20,
+                                       range=(vals.min(), vals.max()))
+    assert payload["counts"] == np_counts.tolist()
+    assert np.allclose(payload["edges"], np_edges)
+    png = histogram_png(payload)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_scatter_png_smoke(spark):
+    from nexus_spark import domain
+    from nexus_spark.plans.render import scatter_png
+
+    obs = domain.observations(spark, SF_DIR)
+    png = scatter_png(obs, "lon", "lat", width=64, height=64, limit=2000)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(png) > 100
