@@ -1,0 +1,314 @@
+"""Thin HTTP facade over the operator library.
+
+The reference's entire query surface is HTTP (reference:
+analysis/webservice/webapp.py:169-256 route table; webmodel.py:138-341
+parameter parsing/validation — malformed requests get a 400 before any
+compute). This module reproduces that surface with the stdlib
+ThreadingHTTPServer: each route is ~3 lines of param parsing plus one
+operator call from MIGRATION.md's table, and the content negotiation
+(`output=JSON|CSV|PNG|ZIP`, webapp.py:99-136) reuses plans/render.
+
+The service is a presentation shim, not an execution layer — every
+request plans a Spark job; Spark schedules concurrent jobs from the
+threaded handlers (FAIR/FIFO is a SparkConf concern, not ours). At
+deployment the session would point at the production lake instead of a
+test sf_dir.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SHORTNAME = re.compile(r"^[a-zA-Z0-9_\-,.]+$")
+
+
+class RequestError(ValueError):
+    """Maps to HTTP 400 — the NexusProcessingException(code=400) analog."""
+
+
+class Params:
+    """Query-param accessors mirroring the reference's getters
+    (webmodel.py:148-233): typed parses with defaults, shortname
+    validation, ISO-8601-Z-or-epoch datetimes."""
+
+    def __init__(self, query: dict[str, list[str]]):
+        self._q = {k: v[-1] for k, v in query.items()}
+
+    def get(self, name: str, default: str | None = None) -> str | None:
+        return self._q.get(name, default)
+
+    def get_float(self, name: str, default: float | None = None) -> float | None:
+        raw = self._q.get(name)
+        if raw is None:
+            return default
+        try:
+            return float(raw)
+        except ValueError:
+            raise RequestError(f"'{name}' is not a number: {raw!r}")
+
+    def get_int(self, name: str, default: int | None = None) -> int | None:
+        raw = self._q.get(name)
+        if raw is None:
+            return default
+        try:
+            return int(raw)
+        except ValueError:
+            raise RequestError(f"'{name}' is not an integer: {raw!r}")
+
+    def get_bool(self, name: str, default: bool = False) -> bool:
+        raw = self._q.get(name)
+        if raw is None:
+            return default
+        return raw in ("true", "1", "t", "y", "yes", "True", "T", "Y", "Yes")
+
+    def get_datetime(self, name: str, default: str | None = None) -> str | None:
+        """Accepts %Y-%m-%dT%H:%M:%SZ or epoch seconds (webmodel.py:196-204);
+        returns the 'YYYY-mm-dd HH:MM:SS' form the operators take."""
+        raw = self._q.get(name)
+        if raw is None:
+            return default
+        try:
+            dt = datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            try:
+                dt = datetime.fromtimestamp(int(raw), tz=timezone.utc)
+            except (ValueError, OverflowError):
+                raise RequestError(f"'{name}' is not ISO8601Z or epoch: {raw!r}")
+        return dt.strftime("%Y-%m-%d %H:%M:%S")
+
+    def get_dataset(self, name: str = "ds", required: bool = True) -> str | None:
+        ds = self._q.get(name)
+        if ds is None:
+            if required:
+                raise RequestError(f"missing required parameter '{name}'")
+            return None
+        if not _SHORTNAME.match(ds):
+            raise RequestError(f"invalid shortname: {ds!r}")
+        return ds
+
+    def get_datasets(self, name: str = "ds") -> list[str]:
+        return self.get_dataset(name).split(",")
+
+    def get_bbox(self) -> dict[str, float]:
+        """`b=minLon,minLat,maxLon,maxLat` (webmodel.py:226-229), validated
+        with the library's 400-table (functions/validation.py)."""
+        from nexus_spark.functions.validation import validate_bbox
+
+        raw = self._q.get("b")
+        if raw is None:
+            box = dict(min_lon=-180.0, min_lat=-90.0,
+                       max_lon=180.0, max_lat=90.0)
+        else:
+            try:
+                w, s, e, n = (float(x) for x in raw.split(","))
+            except ValueError:
+                raise RequestError(f"'b' must be minLon,minLat,maxLon,maxLat: {raw!r}")
+            box = dict(min_lon=w, min_lat=s, max_lon=e, max_lat=n)
+        try:
+            validate_bbox(box["min_lat"], box["max_lat"],
+                          box["min_lon"], box["max_lon"])
+        except ValueError as exc:
+            raise RequestError(str(exc))
+        return box
+
+    def bounds(self) -> dict[str, Any]:
+        out: dict[str, Any] = dict(self.get_bbox())
+        out["start_time"] = self.get_datetime("startTime")
+        out["end_time"] = self.get_datetime("endTime")
+        return out
+
+
+def build_routes(spark: SparkSession, sf_dir: str
+                 ) -> dict[str, Callable[[Params], Any]]:
+    """Route table (webapp.py:169-256). Each handler returns a DataFrame
+    (content-negotiated) or a plain dict/list (JSON only). Handlers that
+    are map-shaped return (df, grid_value_col) so `output=PNG` can render."""
+    from nexus_spark import capabilities, domain
+    from nexus_spark.operators.correlation import corr_map
+    from nexus_spark.operators.daily_difference import daily_difference
+    from nexus_spark.operators.hofmoeller import hofmoeller
+    from nexus_spark.operators.maps import clim_map, lonlat_map, time_avg_map
+    from nexus_spark.operators.matchup import matchup
+    from nexus_spark.operators.tile_service import (data_in_bounds,
+                                                    dataset_list,
+                                                    nearest_value,
+                                                    tiles_in_box)
+    from nexus_spark.operators.timeseries import time_series
+    from nexus_spark.functions.validation import (validate_month,
+                                                  validate_tolerances)
+
+    def obs() -> DataFrame:
+        return domain.observations(spark, sf_dir)
+
+    def r_time_series(p: Params):
+        return time_series(obs(), datasets=p.get_datasets(), **p.bounds())
+
+    def r_time_avg_map(p: Params):
+        return time_avg_map(obs(), dataset=p.get_dataset(), **p.bounds()), "map_mean"
+
+    def r_clim_map(p: Params):
+        month = p.get_int("month", 1)
+        try:
+            validate_month(month)
+        except ValueError as exc:
+            raise RequestError(str(exc))
+        return clim_map(obs(), month=month, dataset=p.get_dataset(),
+                        **p.get_bbox()), "clim_mean"
+
+    def r_corr_map(p: Params):
+        return corr_map(obs(), p.get_dataset("ds1"), p.get_dataset("ds2"),
+                        **p.bounds()), "corr"
+
+    def r_lonlat_map(p: Params):
+        return lonlat_map(obs(), dataset=p.get_dataset(), **p.bounds()), "ll_mean"
+
+    def r_hofmoeller(axis: str):
+        def handler(p: Params):
+            return hofmoeller(obs(), axis=axis, dataset=p.get_dataset(),
+                              **p.bounds())
+        return handler
+
+    def r_daily_difference(p: Params):
+        ds = p.get_dataset()
+        clim_ds = p.get("climatology", f"{ds}_CLIM")
+        return daily_difference(obs(), domain.climatology(spark, sf_dir),
+                                ds, clim_ds)
+
+    def r_matchup(p: Params):
+        radius_m = p.get_float("rt", 1000.0)
+        tt = p.get_float("tt", 86400.0)
+        try:
+            validate_tolerances(radius_m / 1000.0, tt)
+        except ValueError as exc:
+            raise RequestError(str(exc))
+        return matchup(domain.matchup_primary(spark, sf_dir),
+                       domain.matchup_secondary(spark, sf_dir),
+                       radius_km=radius_m / 1000.0, time_tolerance_s=tt,
+                       match_once=p.get_bool("matchOnce"))
+
+    def r_data_in_bounds(p: Params):
+        return data_in_bounds(obs(), dataset=p.get_dataset(required=False),
+                              **p.bounds())
+
+    def r_nearest(p: Params):
+        lat, lon = p.get_float("latitude"), p.get_float("longitude")
+        if lat is None or lon is None:
+            raise RequestError("latitude and longitude are required")
+        return nearest_value(obs(), p.get_dataset(), lat, lon)
+
+    def r_tiles(p: Params):
+        return tiles_in_box(domain.tiles(spark, sf_dir), **p.get_bbox())
+
+    def r_subset(p: Params):
+        from pyspark.sql import functions as F
+        frames = {ds: obs().where(F.col("dataset") == ds)
+                  for ds in p.get_datasets()}
+        return frames  # ZIP-only payload
+
+    return {
+        "/timeSeriesSpark": r_time_series,
+        "/stats": r_time_series,
+        "/timeAvgMapSpark": r_time_avg_map,
+        "/climMapSpark": r_clim_map,
+        "/corrMapSpark": r_corr_map,
+        "/longitudeLatitudeMap": r_lonlat_map,
+        "/latitudeTimeHofMoellerSpark": r_hofmoeller("lat"),
+        "/longitudeTimeHofMoellerSpark": r_hofmoeller("lon"),
+        "/dailydifferenceaverage_spark": r_daily_difference,
+        "/match_spark": r_matchup,
+        "/datainbounds": r_data_in_bounds,
+        "/standardDeviation": r_nearest,
+        "/tiles": r_tiles,
+        "/list": lambda p: dataset_list(obs()),
+        "/domslist": lambda p: dataset_list(obs()),
+        "/domssubset": r_subset,
+        "/capabilities": lambda p: capabilities(),
+        "/heartbeat": lambda p: {"online": True},
+        "/version": lambda p: {"version": __import__("nexus_spark").__version__},
+    }
+
+
+def _negotiate(result: Any, p: Params) -> tuple[bytes, str]:
+    """Content negotiation (webapp.py:99-136): JSON default; CSV and PNG
+    and ZIP per `output`."""
+    from nexus_spark.plans.render import (_csv_bytes, to_grid, to_json_records,
+                                          to_png, to_zip_subset)
+
+    output = (p.get("output", "JSON") or "JSON").upper()
+    grid_col = None
+    if isinstance(result, tuple):
+        result, grid_col = result
+
+    if isinstance(result, dict) and result and all(
+            isinstance(v, DataFrame) for v in result.values()):
+        if output != "ZIP":
+            raise RequestError("this endpoint only supports output=ZIP")
+        return to_zip_subset(result, limit=p.get_int("limit", 100000)), \
+            "application/zip"
+    if not isinstance(result, DataFrame):
+        return json.dumps(result).encode(), "application/json"
+
+    if output == "JSON":
+        return to_json_records(result, limit=p.get_int("limit")).encode(), \
+            "application/json"
+    if output == "CSV":
+        return _csv_bytes(result, limit=p.get_int("limit")).encode(), "text/csv"
+    if output == "PNG":
+        if grid_col is None:
+            raise RequestError("output=PNG is only valid for map endpoints")
+        return to_png(to_grid(result, grid_col)), "image/png"
+    raise RequestError(f"unsupported output type: {output}")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    routes: dict[str, Callable[[Params], Any]] = {}
+
+    def log_message(self, *args):  # quiet test output
+        pass
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        handler = self.routes.get(url.path)
+        if handler is None:
+            self._send(404, json.dumps(
+                {"error": f"no such endpoint: {url.path}"}).encode(),
+                "application/json")
+            return
+        p = Params(parse_qs(url.query))
+        try:
+            body, ctype = _negotiate(handler(p), p)
+            self._send(200, body, ctype)
+        except RequestError as exc:
+            self._send(400, json.dumps({"error": str(exc)}).encode(),
+                       "application/json")
+        except Exception as exc:  # noqa: BLE001 — 500 boundary
+            self._send(500, json.dumps({"error": repr(exc)}).encode(),
+                       "application/json")
+
+    def _send(self, status: int, body: bytes, ctype: str):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def serve(spark: SparkSession, sf_dir: str, port: int = 0
+          ) -> ThreadingHTTPServer:
+    """Start the facade on `port` (0 = ephemeral); returns the server —
+    `server.server_address[1]` is the bound port; call `.shutdown()` to
+    stop. Runs daemon-threaded so tests and notebooks can use it inline."""
+    handler = type("BoundHandler", (_Handler,),
+                   {"routes": build_routes(spark, sf_dir)})
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

@@ -1,0 +1,119 @@
+"""HTTP facade tests: route → operator parity, content negotiation, and
+the reference's 400 table (reference: webmodel.py:138-341 validation;
+tests/algorithms/StandardDeviationSearch_test.py's 400/200 style)."""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+import zipfile
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from nexus_spark.service import serve
+
+    srv = serve(spark, SF_DIR, port=0)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=120) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def _get_status(base: str, path: str) -> tuple[int, dict]:
+    try:
+        status, _, body = _get(base, path)
+        return status, json.loads(body)
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_time_series_json_matches_library(spark, server):
+    from nexus_spark import domain
+    from nexus_spark.operators.timeseries import time_series
+
+    status, ctype, body = _get(
+        server, "/timeSeriesSpark?ds=sst_a&b=-60,-10,60,10"
+                "&startTime=1995-01-01T00:00:00Z&endTime=1995-06-30T00:00:00Z")
+    assert status == 200 and ctype == "application/json"
+    rows = json.loads(body)
+    expected = time_series(
+        domain.observations(spark, SF_DIR), datasets=["sst_a"],
+        min_lat=-10, max_lat=10, min_lon=-60, max_lon=60,
+        start_time="1995-01-01 00:00:00",
+        end_time="1995-06-30 00:00:00").count()
+    assert len(rows) == expected > 0
+    assert {"dataset", "ts_date", "ts_mean"} <= set(rows[0])
+
+
+def test_map_png_and_csv(server):
+    status, ctype, body = _get(server, "/timeAvgMapSpark?ds=sst_a&output=PNG")
+    assert (status, ctype) == (200, "image/png")
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    status, ctype, body = _get(server, "/timeAvgMapSpark?ds=sst_a&output=CSV")
+    assert (status, ctype) == (200, "text/csv")
+    header = body.decode().splitlines()[0]
+    assert "lat" in header and "map_mean" in header
+
+
+def test_matchup_route_matches_library(spark, server):
+    from nexus_spark import domain
+    from nexus_spark.operators.matchup import matchup
+
+    status, _, body = _get(server, "/match_spark?rt=80000&tt=86400&matchOnce=true")
+    assert status == 200
+    expected = matchup(domain.matchup_primary(spark, SF_DIR),
+                       domain.matchup_secondary(spark, SF_DIR),
+                       radius_km=80.0, time_tolerance_s=86400,
+                       match_once=True).count()
+    assert len(json.loads(body)) == expected
+
+
+def test_subset_zip(server):
+    status, ctype, body = _get(server,
+                               "/domssubset?ds=sst_a,sst_b&output=ZIP&limit=10")
+    assert (status, ctype) == (200, "application/zip")
+    zf = zipfile.ZipFile(io.BytesIO(body))
+    assert sorted(zf.namelist()) == ["sst_a.csv", "sst_b.csv"]
+
+
+def test_trivial_endpoints(server):
+    assert _get_status(server, "/heartbeat") == (200, {"online": True})
+    status, caps = _get_status(server, "/capabilities")
+    assert status == 200 and isinstance(caps, list) and len(caps) > 10
+    status, dsl = _get_status(server, "/list")
+    assert status == 200 and {d["dataset"] for d in dsl} == {"sst_a", "sst_b"}
+
+
+@pytest.mark.parametrize("path,frag", [
+    ("/timeSeriesSpark", "missing required parameter 'ds'"),
+    ("/timeSeriesSpark?ds=sst%20a", "invalid shortname"),
+    ("/timeSeriesSpark?ds=sst_a&b=1,2,3", "minLon,minLat,maxLon,maxLat"),
+    ("/timeSeriesSpark?ds=sst_a&b=-60,-95,60,10", "latitude out of range"),
+    ("/timeSeriesSpark?ds=sst_a&b=60,-10,-60,10", "min_lon"),
+    ("/timeSeriesSpark?ds=sst_a&startTime=not-a-time", "ISO8601Z or epoch"),
+    ("/climMapSpark?ds=sst_a&month=13", "month must be 1..12"),
+    ("/match_spark?rt=-5", "must be positive"),
+    ("/standardDeviation?ds=sst_a", "latitude and longitude are required"),
+    ("/list?output=BMP", "unsupported output type"),
+    ("/timeSeriesSpark?ds=sst_a&output=PNG", "only valid for map endpoints"),
+])
+def test_400_table(server, path, frag):
+    status, err = _get_status(server, path)
+    assert status == 400, (path, err)
+    assert frag in err["error"]
+
+
+def test_404_unknown_route(server):
+    status, err = _get_status(server, "/noSuchThing")
+    assert status == 404 and "no such endpoint" in err["error"]
