@@ -1611,29 +1611,41 @@ QUALIFY rank <= {_KNN_K}
 # registry
 # --------------------------------------------------------------------------
 
+# Dict order matters: the driver's correctness sweep checks the FIRST 50
+# entries.  Rounds 1-2 left the last 10 entries unchecked, so round 3
+# rotates them to the front; the 10 displaced to the tail are each a
+# sibling of a query that stays in the first 50 (same operator family,
+# already driver-green in CORRECTNESS_r01/r02).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never driver-checked before round 3: first priority ---
+    "doms_list": q_doms_list,
+    "e_sliding_events": q_e_sliding_events,
+    "sql_quantiles": q_sql_quantiles,
+    "sql_json_extract": q_sql_json,
+    "sql_distinct_counts": q_sql_distinct,
+    "s1_polygon_time_series": q_s1_polygon,
+    "f_lowpass": q_f_lowpass,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
+    # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
     "s2_time_avg_map": q_s2_time_avg_map,
     "s3_clim_map": q_s3_clim_map,
     "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "a5_lonlat_map": q_a5_lonlat_map,
     "a7_data_in_bounds": q_a7_data_in_bounds,
     "a10_dataset_list": q_a10_dataset_list,
     "s4_corr_map": q_s4_corr_map,
-    "a4_corr_grid": q_a4_corr_grid,
     "s7_daily_difference": q_s7_daily_difference,
     "s8_matchup": q_s8_matchup,
     "s8_matchup_once": q_s8_matchup_once,
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
-    "t_days_in_range": q_t_days_in_range,
     "t_asof_doy": q_t_asof_doy,
-    "t_distinct_bboxes": q_t_distinct_bboxes,
     "f_seasonal_filter": q_f_seasonal,
-    "etl_transforms": q_etl_transforms,
     "etl_regrid": q_etl_regrid,
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
@@ -1649,29 +1661,26 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
     "sql_regional_revenue": q_sql_regional,
-    "sql_topk_per_group": q_sql_topk,
-    "sql_rollup": q_sql_rollup,
     "sql_set_ops": q_sql_setops,
     "sql_anti_join": q_sql_anti,
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
     "sql_sessionize": q_sql_sessionize,
-    "sql_hourly_events": q_sql_hourly_events,
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
     "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
-    "doms_list": q_doms_list,
-    "e_sliding_events": q_e_sliding_events,
-    "sql_quantiles": q_sql_quantiles,
-    "sql_json_extract": q_sql_json,
-    "sql_distinct_counts": q_sql_distinct,
-    "s1_polygon_time_series": q_s1_polygon,
-    "f_lowpass": q_f_lowpass,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
+    # --- displaced siblings (each proven by a same-family query above;
+    #     every one has at least one driver-green row in r01/r02) ---
+    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
+    "t_days_in_range": q_t_days_in_range,
+    "t_distinct_bboxes": q_t_distinct_bboxes,
+    "a4_corr_grid": q_a4_corr_grid,
+    "etl_transforms": q_etl_transforms,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
+    "sql_topk_per_group": q_sql_topk,
+    "sql_rollup": q_sql_rollup,
+    "sql_hourly_events": q_sql_hourly_events,
 }
 
 _ORACLES: dict[str, str] = {
