@@ -260,6 +260,14 @@ def invalidate(spark: SparkSession | None = None,
                 if (spark is None or k[0] == id(spark))
                 and (sf_dir is None or k[1] == sf_dir)]:
         catalog._TABLE_CACHE.pop(key)
+    # Operator-level memos (flat vectors, shingle postings) are keyed on the
+    # input plan's semanticHash, not the directory, so they can't be targeted
+    # per-path — drop them wholesale. Rebuild cost is one materialization;
+    # serving stale vectors after a lake rewrite is a correctness bug.
+    from nexus_spark.operators import dedup, similarity
+
+    similarity.clear_cache()
+    dedup.clear_cache()
 
 
 def cte(sql_fragment: str, name: str) -> str:

@@ -65,15 +65,38 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# Memo of cached postings frames per (session, input plan, cols): repeated
+# dedup calls in a long-lived session reuse ONE materialization instead of
+# stacking a new storage block per invocation (mirror of
+# similarity._FLAT_CACHE; dropped by clear_cache() / domain.invalidate()).
+_POSTINGS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Distinct (id, shingle-hash) postings with per-doc distinct-shingle
-    counts — the shared inverted index for jaccard computations. Cached:
-    consumed by both sides of self-joins."""
-    dp = (shingle_postings(docs, id_col, text_col).distinct()
-          .withColumn("n_shingles",
-                      F.count(F.lit(1)).over(Window.partitionBy("id"))))
-    return dp.cache()
+    counts — the shared inverted index for jaccard computations. Cached and
+    memoized per (session, plan): consumed by both sides of self-joins and
+    by repeated minhash/ngram invocations."""
+    key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
+    got = _POSTINGS_CACHE.get(key)
+    if got is None:
+        got = (shingle_postings(docs, id_col, text_col).distinct()
+               .withColumn("n_shingles",
+                           F.count(F.lit(1)).over(Window.partitionBy("id"))))
+        got = got.cache()
+        _POSTINGS_CACHE[key] = got
+    return got
+
+
+def clear_cache() -> None:
+    """Unpersist and drop every memoized postings frame."""
+    for frame in _POSTINGS_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _POSTINGS_CACHE.clear()
 
 
 def jaccard_verify(candidates: DataFrame, postings: DataFrame,

@@ -5,8 +5,8 @@ Reference content negotiation returns JSON/PNG/CSV/NetCDF
 DataInBoundsSearch.py:165-205; mosaic index arithmetic
 NexusHandler.py:494-504, TimeAvgMapSpark.py:204-233). In the rebuild,
 map-shaped output is a driver-side pivot of the (small) collected result —
-a presentation step, never a storage concern. PNG/NetCDF writers need
-matplotlib/netCDF4 (absent here) and are stubbed behind import guards.
+a presentation step, never a storage concern. PNG and NetCDF-3 writers are
+from-scratch struct/zlib implementations (no matplotlib/netCDF4 needed).
 """
 
 from __future__ import annotations
@@ -166,6 +166,12 @@ def histogram_payload(df: DataFrame, col: str, bins: int = 50,
     from pyspark.sql import functions as F
     if vmin is None or vmax is None:
         lo, hi = df.agg(F.min(col), F.max(col)).first()
+        if lo is None or hi is None:  # empty frame / all-NULL column
+            vmin = 0.0 if vmin is None else vmin
+            vmax = vmin + 1.0 if vmax is None else vmax
+            span = vmax - vmin
+            return {"edges": [vmin + span * i / bins for i in range(bins + 1)],
+                    "counts": [0] * bins}
         vmin = float(lo) if vmin is None else vmin
         vmax = float(hi) if vmax is None else vmax
     span = (vmax - vmin) or 1.0
@@ -204,24 +210,126 @@ def scatter_png(df: DataFrame, x_col: str, y_col: str, width: int = 256,
     pts = df.select(F.col(x_col).cast("double").alias("x"),
                     F.col(y_col).cast("double").alias("y")).dropna()
     if limit:
-        pts = pts.limit(limit)
-    xmin, xmax, ymin, ymax = pts.agg(
-        F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
-    xs = (xmax - xmin) or 1.0
-    ys = (ymax - ymin) or 1.0
-    px = F.least(F.lit(width - 1),
-                 F.floor((F.col("x") - xmin) / xs * width)).cast("int")
-    py = F.least(F.lit(height - 1),
-                 F.floor((F.col("y") - ymin) / ys * height)).cast("int")
-    cells = pts.groupBy(px.alias("px"), py.alias("py")).count().collect()
+        # limit() is nondeterministic across jobs — pin ONE sample so the
+        # bounds job and the binning job see identical points.
+        pts = pts.limit(limit).cache()
+    try:
+        bounds = pts.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")).first()
+        if bounds[0] is None:  # no points
+            return to_png({"grid": np.full((height, width), np.nan)})
+        xmin, xmax, ymin, ymax = bounds
+        xs = (xmax - xmin) or 1.0
+        ys = (ymax - ymin) or 1.0
+        # Clamp both ends: symmetric guard against any point outside the
+        # sampled bounds mapping to a negative (numpy-wrapping) index.
+        px = F.greatest(F.lit(0), F.least(
+            F.lit(width - 1),
+            F.floor((F.col("x") - xmin) / xs * width))).cast("int")
+        py = F.greatest(F.lit(0), F.least(
+            F.lit(height - 1),
+            F.floor((F.col("y") - ymin) / ys * height))).cast("int")
+        cells = pts.groupBy(px.alias("px"), py.alias("py")).count().collect()
+    finally:
+        if limit:
+            pts.unpersist()
     grid = np.full((height, width), np.nan)
     for r in cells:
         grid[r["py"], r["px"]] = r["count"]
     return to_png({"grid": grid})
 
 
-def to_netcdf(*_args, **_kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "NetCDF export requires netCDF4 (not in this environment); consumes "
-        "the to_grid() payload (reference: NexusHandler.py:506-550, "
-        "doms/BaseDomsHandler.py:243-534)")
+# --------------------------------------------------------------------------
+# NetCDF-3 classic writer — pure struct, no netCDF4/scipy dependency.
+# Format constants from the public NetCDF classic format spec
+# (CDF-1: magic 'CDF\x01', big-endian header + padded data section).
+# --------------------------------------------------------------------------
+
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+_NC_CHAR, _NC_INT, _NC_DOUBLE = 2, 4, 6
+
+
+def _nc_pad(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 4)
+
+
+def _nc_name(name: str) -> bytes:
+    raw = name.encode("utf-8")
+    return struct.pack(">I", len(raw)) + _nc_pad(raw)
+
+
+def _nc_att(name: str, value) -> bytes:
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return (_nc_name(name) + struct.pack(">II", _NC_CHAR, len(raw))
+                + _nc_pad(raw))
+    vals = np.atleast_1d(np.asarray(value, dtype=">f8"))
+    return (_nc_name(name) + struct.pack(">II", _NC_DOUBLE, vals.size)
+            + vals.tobytes())
+
+
+def _nc_att_list(attrs: dict) -> bytes:
+    if not attrs:
+        return struct.pack(">II", 0, 0)  # ABSENT
+    return (struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+            + b"".join(_nc_att(k, v) for k, v in attrs.items()))
+
+
+def to_netcdf(grid_payload: dict[str, Any], var_name: str = "value",
+              units: str | None = None,
+              global_attrs: dict | None = None) -> bytes:
+    """Serialize a to_grid() payload as NetCDF-3 classic bytes (the
+    content-negotiation branch the reference serves per endpoint —
+    reference: analysis/webservice/NexusHandler.py:506-550,
+    doms/BaseDomsHandler.py:243-534, which use netCDF4; this is a
+    from-scratch struct writer of the documented CDF-1 classic format,
+    readable by scipy.io.netcdf_file / netCDF4 / ncdump).
+
+    Layout: dims (lat, lon); coordinate vars lat(lat), lon(lon) as doubles
+    with degree units; data var `var_name`(lat, lon) double with NaN fill.
+    Like the PNG path, this consumes an already-aggregated raster — a
+    bounded presentation artifact, not a scale path.
+    """
+    lats = np.asarray(grid_payload["lats"], dtype=">f8")
+    lons = np.asarray(grid_payload["lons"], dtype=">f8")
+    grid = np.ascontiguousarray(
+        np.asarray(grid_payload["grid"], dtype=float), dtype=">f8")
+    if grid.shape != (lats.size, lons.size):
+        raise ValueError(f"grid shape {grid.shape} != "
+                         f"(n_lats={lats.size}, n_lons={lons.size})")
+
+    dims = [("lat", lats.size), ("lon", lons.size)]
+    variables = [  # (name, dimids, attrs, big-endian payload)
+        ("lat", [0], {"units": "degrees_north"}, lats.tobytes()),
+        ("lon", [1], {"units": "degrees_east"}, lons.tobytes()),
+        (var_name, [0, 1],
+         ({"units": units} if units else {}) | {"_FillValue": np.nan},
+         grid.tobytes()),
+    ]
+
+    def header(begins: list[int]) -> bytes:
+        out = [b"CDF\x01", struct.pack(">I", 0)]  # magic, numrecs
+        out.append(struct.pack(">II", _NC_DIMENSION, len(dims)))
+        for name, size in dims:
+            out.append(_nc_name(name) + struct.pack(">I", size))
+        out.append(_nc_att_list(global_attrs or {}))
+        out.append(struct.pack(">II", _NC_VARIABLE, len(variables)))
+        for (name, dimids, attrs, payload), begin in zip(variables, begins):
+            out.append(_nc_name(name))
+            out.append(struct.pack(">I", len(dimids)))
+            out.append(b"".join(struct.pack(">I", d) for d in dimids))
+            out.append(_nc_att_list(attrs))
+            vsize = len(payload) + (-len(payload) % 4)
+            out.append(struct.pack(">III", _NC_DOUBLE, vsize, begin))
+        return b"".join(out)
+
+    # begin offsets appear inside the header, but CDF-1 offsets are fixed
+    # 4-byte ints, so header length is independent of their values: size
+    # with zeros, then fill in the real offsets.
+    offset = len(header([0] * len(variables)))
+    begins = []
+    for _, _, _, payload in variables:
+        begins.append(offset)
+        offset += len(payload) + (-len(payload) % 4)
+    return (header(begins)
+            + b"".join(_nc_pad(p) for _, _, _, p in variables))

@@ -135,3 +135,25 @@ def test_ann_lsh_is_much_smaller_join(spark):
     queries = emb.where(F.col("vec_id") < 10)
     plan = ann_lsh(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_postings_memo_one_materialization(spark, docs):
+    """Repeated dedup calls in one session share ONE cached postings frame
+    (the similarity._FLAT_CACHE pattern ported to dedup), and
+    domain.invalidate() drops it."""
+    from nexus_spark import domain
+    from nexus_spark.operators import dedup
+
+    dedup.clear_cache()
+    p1 = dedup.distinct_postings(docs)
+    p2 = dedup.distinct_postings(docs)
+    assert p1 is p2                      # memo hit, not a new plan+cache
+    assert len(dedup._POSTINGS_CACHE) == 1
+    p1.count()
+    # Exactly one cached RDD for the postings frame in the storage layer.
+    jsc = spark.sparkContext._jsc.sc()
+    n_cached_before = len(jsc.getRDDStorageInfo())
+    dedup.distinct_postings(docs).count()
+    assert len(jsc.getRDDStorageInfo()) == n_cached_before
+    domain.invalidate()
+    assert len(dedup._POSTINGS_CACHE) == 0

@@ -186,3 +186,101 @@ def test_scatter_png_smoke(spark):
     png = scatter_png(obs, "lon", "lat", width=64, height=64, limit=2000)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(png) > 100
+
+def _parse_netcdf3(buf: bytes) -> dict:
+    """Minimal independent CDF-1 reader (big-endian classic format) used to
+    round-trip-verify the struct writer without scipy/netCDF4."""
+    import struct
+
+    pos = [0]
+
+    def take(n):
+        b = buf[pos[0]:pos[0] + n]
+        pos[0] += n
+        return b
+
+    def u32():
+        return struct.unpack(">I", take(4))[0]
+
+    def name():
+        n = u32()
+        raw = take(n + (-n % 4))[:n]
+        return raw.decode()
+
+    def att_list():
+        tag, n = u32(), u32()
+        out = {}
+        for _ in range(n):
+            k = name()
+            typ, ne = u32(), u32()
+            if typ == 2:  # NC_CHAR
+                out[k] = take(ne + (-ne % 4))[:ne].decode()
+            elif typ == 6:  # NC_DOUBLE
+                out[k] = list(struct.unpack(f">{ne}d", take(8 * ne)))
+            else:
+                raise AssertionError(f"unexpected att type {typ}")
+        return out
+
+    assert take(4) == b"CDF\x01"
+    assert u32() == 0  # numrecs
+    tag, ndims = u32(), u32()
+    assert tag == 0x0A
+    dims = [(name(), u32()) for _ in range(ndims)]
+    gatts = att_list()
+    tag, nvars = u32(), u32()
+    assert tag == 0x0B
+    variables = {}
+    for _ in range(nvars):
+        vname = name()
+        dimids = [u32() for _ in range(u32())]
+        vatts = att_list()
+        typ, vsize, begin = u32(), u32(), u32()
+        assert typ == 6
+        shape = tuple(dims[d][1] for d in dimids)
+        count = int(np.prod(shape)) if shape else 1
+        data = np.frombuffer(buf[begin:begin + 8 * count],
+                             dtype=">f8").reshape(shape)
+        variables[vname] = {"dims": [dims[d][0] for d in dimids],
+                            "atts": vatts, "data": data}
+    return {"dims": dict(dims), "gatts": gatts, "vars": variables}
+
+
+def test_netcdf3_roundtrip_2x3():
+    from nexus_spark.plans.render import to_netcdf
+
+    payload = {"lats": [-5.0, 5.0], "lons": [0.0, 10.0, 20.0],
+               "grid": np.array([[1.0, 2.0, np.nan], [4.0, 5.0, 6.0]])}
+    buf = to_netcdf(payload, var_name="sst", units="degC",
+                    global_attrs={"title": "nexus-spark export"})
+    nc = _parse_netcdf3(buf)
+    assert nc["dims"] == {"lat": 2, "lon": 3}
+    assert nc["gatts"] == {"title": "nexus-spark export"}
+    assert nc["vars"]["lat"]["atts"]["units"] == "degrees_north"
+    assert nc["vars"]["lat"]["data"].tolist() == [-5.0, 5.0]
+    assert nc["vars"]["lon"]["data"].tolist() == [0.0, 10.0, 20.0]
+    v = nc["vars"]["sst"]
+    assert v["dims"] == ["lat", "lon"]
+    assert v["atts"]["units"] == "degC"
+    assert np.isnan(v["atts"]["_FillValue"][0])
+    got = v["data"]
+    assert got[0, 0] == 1.0 and got[1, 2] == 6.0 and np.isnan(got[0, 2])
+    # Data section is 4-aligned and offsets don't overlap the header.
+    assert len(buf) % 4 == 0
+
+
+def test_netcdf3_shape_mismatch_raises():
+    from nexus_spark.plans.render import to_netcdf
+
+    with pytest.raises(ValueError, match="grid shape"):
+        to_netcdf({"lats": [0.0], "lons": [0.0],
+                   "grid": np.zeros((2, 2))})
+
+
+def test_histogram_empty_frame_zero_counts(spark):
+    from nexus_spark import domain
+    from nexus_spark.plans.render import histogram_payload
+
+    obs = domain.observations(spark, SF_DIR).where(F.lit(False))
+    payload = histogram_payload(obs, "value", bins=10)
+    assert payload["counts"] == [0] * 10
+    assert len(payload["edges"]) == 11
