@@ -1320,27 +1320,14 @@ FROM hof
 
 def q_doms_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
-    from nexus_spark.operators.tile_service import dataset_list
+    from nexus_spark.operators.tile_service import doms_dataset_list
 
     obs = domain.observations(spark, sf_dir)
-    # Gridded obs timestamps are midnight-only ms-precision → pre-render
-    # date-only strings (the driver-fragile surface, see q_a7); the insitu
-    # events branch keeps HH:mm:ss, which round-trips cleanly.
-    gridded = (dataset_list(obs)
-               .withColumn("min_time",
-                           F.date_format("min_time", "yyyy-MM-dd"))
-               .withColumn("max_time",
-                           F.date_format("max_time", "yyyy-MM-dd"))
-               .withColumn("kind", F.lit("gridded")))
+    # Gridded obs timestamps are midnight-only ms-precision → the operator
+    # pre-renders date-only strings (the driver-fragile surface, see q_a7);
+    # the insitu events branch keeps HH:mm:ss, which round-trips cleanly.
     ev = load_table(spark, sf_dir, "events")
-    insitu = (ev.groupBy(F.col("event_type").alias("dataset"))
-              .agg(F.count("value").alias("obs_cnt"),
-                   F.date_format(F.min("ts"),
-                                 "yyyy-MM-dd HH:mm:ss").alias("min_time"),
-                   F.date_format(F.max("ts"),
-                                 "yyyy-MM-dd HH:mm:ss").alias("max_time"))
-              .withColumn("kind", F.lit("insitu")))
-    return _finish(gridded.unionByName(insitu))
+    return _finish(doms_dataset_list(obs, ev))
 
 
 SQL_DOMS_LIST = _with(OBS) + """

@@ -27,6 +27,29 @@ def dataset_list(obs: DataFrame) -> DataFrame:
     )
 
 
+def doms_dataset_list(obs: DataFrame, events: DataFrame) -> DataFrame:
+    """DOMS catalog: gridded datasets UNION insitu event datasets
+    (reference: doms/DomsInitialization list surface — the DOMS list spans
+    both the gridded lake and the insitu stores, unlike /list which is
+    gridded-only). Times render as strings (date-only for the
+    midnight-aligned gridded branch) so the surface is engine-stable.
+
+    Output: dataset, obs_cnt, min_time, max_time, kind.
+    """
+    gridded = (dataset_list(obs)
+               .withColumn("min_time", F.date_format("min_time", "yyyy-MM-dd"))
+               .withColumn("max_time", F.date_format("max_time", "yyyy-MM-dd"))
+               .withColumn("kind", F.lit("gridded")))
+    insitu = (events.groupBy(F.col("event_type").alias("dataset"))
+              .agg(F.count("value").alias("obs_cnt"),
+                   F.date_format(F.min("ts"),
+                                 "yyyy-MM-dd HH:mm:ss").alias("min_time"),
+                   F.date_format(F.max("ts"),
+                                 "yyyy-MM-dd HH:mm:ss").alias("max_time"))
+              .withColumn("kind", F.lit("insitu")))
+    return gridded.unionByName(insitu)
+
+
 def data_in_bounds(obs: DataFrame, dataset: str | None = None,
                    min_lat: float = -90, max_lat: float = 90,
                    min_lon: float = -180, max_lon: float = 180,

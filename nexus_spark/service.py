@@ -34,6 +34,16 @@ class RequestError(ValueError):
     """Maps to HTTP 400 — the NexusProcessingException(code=400) analog."""
 
 
+class Accepted(Exception):
+    """Maps to HTTP 202 with a JSON body — the reference's over-limit
+    matchup response (Matchup.py:269-275 returns a 202-style payload when
+    the result exceeds resultSizeLimit instead of streaming it)."""
+
+    def __init__(self, payload: dict):
+        super().__init__(payload.get("message", "accepted"))
+        self.payload = payload
+
+
 class Params:
     """Query-param accessors mirroring the reference's getters
     (webmodel.py:148-233): typed parses with defaults, shortname
@@ -63,11 +73,26 @@ class Params:
         except ValueError:
             raise RequestError(f"'{name}' is not an integer: {raw!r}")
 
+    _TRUE = ("true", "1", "t", "y", "yes", "True", "T", "Y", "Yes")
+    _FALSE = ("false", "0", "f", "n", "no", "False", "F", "N", "No")
+
     def get_bool(self, name: str, default: bool = False) -> bool:
         raw = self._q.get(name)
         if raw is None:
             return default
-        return raw in ("true", "1", "t", "y", "yes", "True", "T", "Y", "Yes")
+        return raw in self._TRUE
+
+    def get_strict_bool(self, name: str, default: bool = False) -> bool:
+        """Boolean that 400s on unrecognized values (webmodel.py boolean
+        getters reject rather than coerce)."""
+        raw = self._q.get(name)
+        if raw is None:
+            return default
+        if raw in self._TRUE:
+            return True
+        if raw in self._FALSE:
+            return False
+        raise RequestError(f"'{name}' is not a boolean: {raw!r}")
 
     def get_datetime(self, name: str, default: str | None = None) -> str | None:
         """Accepts %Y-%m-%dT%H:%M:%SZ or epoch seconds (webmodel.py:196-204);
@@ -126,6 +151,40 @@ class Params:
         return out
 
 
+def _with_lowpass(spark: SparkSession, ts: DataFrame) -> DataFrame:
+    """Join a Butterworth low-pass column onto a time-series result.
+
+    The filtfilt recursion is inherently sequential over one
+    already-day-aggregated series (reference Filtering.py:87-97), so each
+    dataset's series — bounded at |days| rows by construction — is filtered
+    driver-side and joined back on (dataset, ts_date)."""
+    import numpy as np
+
+    from nexus_spark.functions.filtering import low_pass_filter
+
+    rows = ts.select("dataset", "ts_date", "ts_mean") \
+             .orderBy("dataset", "ts_date").collect()
+    out: list[tuple] = []
+    by_ds: dict[str, list] = {}
+    for r in rows:
+        by_ds.setdefault(r["dataset"], []).append(r)
+    for ds, series in by_ds.items():
+        vals = np.array([r["ts_mean"] if r["ts_mean"] is not None else np.nan
+                         for r in series])
+        idx = np.arange(len(vals))
+        good = ~np.isnan(vals)
+        if good.sum() < 2:
+            smooth = vals
+        else:
+            filled = np.interp(idx, idx[good], vals[good])
+            smooth = low_pass_filter(filled, cutoff=12.0, order=9)
+        out.extend((ds, r["ts_date"], float(v))
+                   for r, v in zip(series, smooth))
+    lp = spark.createDataFrame(out, "dataset string, ts_date date,"
+                                    " ts_mean_lowpass double")
+    return ts.join(lp, ["dataset", "ts_date"], "left")
+
+
 def build_routes(spark: SparkSession, sf_dir: str
                  ) -> dict[str, Callable[[Params], Any]]:
     """Route table (webapp.py:169-256). Each handler returns a DataFrame
@@ -137,8 +196,10 @@ def build_routes(spark: SparkSession, sf_dir: str
     from nexus_spark.operators.hofmoeller import hofmoeller
     from nexus_spark.operators.maps import clim_map, lonlat_map, time_avg_map
     from nexus_spark.operators.matchup import matchup
+    from nexus_spark.catalog import load_table
     from nexus_spark.operators.tile_service import (data_in_bounds,
                                                     dataset_list,
+                                                    doms_dataset_list,
                                                     nearest_value,
                                                     tiles_in_box)
     from nexus_spark.operators.timeseries import time_series
@@ -149,7 +210,17 @@ def build_routes(spark: SparkSession, sf_dir: str
         return domain.observations(spark, sf_dir)
 
     def r_time_series(p: Params):
-        return time_series(obs(), datasets=p.get_datasets(), **p.bounds())
+        ts = time_series(obs(), datasets=p.get_datasets(), **p.bounds())
+        # Optional series filters (reference TimeSeriesSpark.py:192-227
+        # applies seasonalFilter/lowPassFilter from request params).
+        if p.get_strict_bool("seasonalFilter"):
+            from nexus_spark.functions.filtering import seasonal_cycle_filter
+            ts = seasonal_cycle_filter(ts, "ts_mean", "ts_date",
+                                       partition_cols=["dataset"],
+                                       out_col="ts_mean_seasonal")
+        if p.get_strict_bool("lowPassFilter"):
+            ts = _with_lowpass(spark, ts)
+        return ts
 
     def r_time_avg_map(p: Params):
         return time_avg_map(obs(), dataset=p.get_dataset(), **p.bounds()), "map_mean"
@@ -189,10 +260,27 @@ def build_routes(spark: SparkSession, sf_dir: str
             validate_tolerances(radius_m / 1000.0, tt)
         except ValueError as exc:
             raise RequestError(str(exc))
-        return matchup(domain.matchup_primary(spark, sf_dir),
-                       domain.matchup_secondary(spark, sf_dir),
-                       radius_km=radius_m / 1000.0, time_tolerance_s=tt,
-                       match_once=p.get_bool("matchOnce"))
+        result = matchup(domain.matchup_primary(spark, sf_dir),
+                         domain.matchup_secondary(spark, sf_dir),
+                         radius_km=radius_m / 1000.0, time_tolerance_s=tt,
+                         match_once=p.get_bool("matchOnce"))
+        # resultSizeLimit gate (reference Matchup.py:111-118,269-275): an
+        # over-limit result returns a 202-style JSON instead of the rows.
+        # The count is one extra aggregate job over the already-planned
+        # join — never a second matchup materialization at the driver.
+        limit = p.get_int("resultSizeLimit", 0)
+        if limit and limit > 0:
+            n = result.count()
+            if n > limit:
+                raise Accepted({
+                    "code": 202,
+                    "message": f"result size {n} exceeds "
+                               f"resultSizeLimit {limit}; narrow the "
+                               "query or raise the limit",
+                    "result_count": n,
+                    "resultSizeLimit": limit,
+                })
+        return result
 
     def r_data_in_bounds(p: Params):
         return data_in_bounds(obs(), dataset=p.get_dataset(required=False),
@@ -228,7 +316,8 @@ def build_routes(spark: SparkSession, sf_dir: str
         "/standardDeviation": r_nearest,
         "/tiles": r_tiles,
         "/list": lambda p: dataset_list(obs()),
-        "/domslist": lambda p: dataset_list(obs()),
+        "/domslist": lambda p: doms_dataset_list(
+            obs(), load_table(spark, sf_dir, "events")),
         "/domssubset": r_subset,
         "/capabilities": lambda p: capabilities(),
         "/heartbeat": lambda p: {"online": True},
@@ -256,11 +345,14 @@ def _negotiate(result: Any, p: Params) -> tuple[bytes, str]:
     if not isinstance(result, DataFrame):
         return json.dumps(result).encode(), "application/json"
 
+    # Every DataFrame response is size-bounded (the reference enforces a
+    # result bound on every endpoint); callers raise the cap explicitly.
+    row_cap = p.get_int("limit", 100000)
     if output == "JSON":
-        return to_json_records(result, limit=p.get_int("limit")).encode(), \
+        return to_json_records(result, limit=row_cap).encode(), \
             "application/json"
     if output == "CSV":
-        return _csv_bytes(result, limit=p.get_int("limit")).encode(), "text/csv"
+        return _csv_bytes(result, limit=row_cap).encode(), "text/csv"
     if output == "PNG":
         if grid_col is None:
             raise RequestError("output=PNG is only valid for map endpoints")
@@ -286,6 +378,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body, ctype = _negotiate(handler(p), p)
             self._send(200, body, ctype)
+        except Accepted as exc:
+            self._send(202, json.dumps(exc.payload).encode(),
+                       "application/json")
         except RequestError as exc:
             self._send(400, json.dumps({"error": str(exc)}).encode(),
                        "application/json")

@@ -117,3 +117,62 @@ def test_400_table(server, path, frag):
 def test_404_unknown_route(server):
     status, err = _get_status(server, "/noSuchThing")
     assert status == 404 and "no such endpoint" in err["error"]
+
+def test_time_series_seasonal_filter(server):
+    status, _, body = _get(
+        server, "/timeSeriesSpark?ds=sst_a&b=-60,-10,60,10"
+                "&startTime=1995-01-01T00:00:00Z&endTime=1995-12-31T00:00:00Z"
+                "&seasonalFilter=true")
+    assert status == 200
+    rows = json.loads(body)
+    assert rows and "ts_mean_seasonal" in rows[0]
+    # Deseasoned = value minus same-calendar-month mean → near-zero mean
+    # within each month group; spot-check it differs from the raw mean.
+    assert any(abs(r["ts_mean_seasonal"] - r["ts_mean"]) > 1e-9
+               for r in rows if r["ts_mean"] is not None)
+
+
+def test_time_series_lowpass_filter(server):
+    status, _, body = _get(
+        server, "/timeSeriesSpark?ds=sst_a&b=-60,-10,60,10"
+                "&startTime=1995-01-01T00:00:00Z&endTime=1995-12-31T00:00:00Z"
+                "&lowPassFilter=true")
+    assert status == 200
+    rows = json.loads(body)
+    assert rows and "ts_mean_lowpass" in rows[0]
+    assert all(r["ts_mean_lowpass"] is not None for r in rows)
+
+
+def test_time_series_bad_filter_param_400(server):
+    status, err = _get_status(
+        server, "/timeSeriesSpark?ds=sst_a&seasonalFilter=maybe")
+    assert status == 400 and "not a boolean" in err["error"]
+
+
+def test_matchup_result_size_limit_202(server):
+    status, payload = _get_status(
+        server, "/match_spark?rt=500000&tt=432000&resultSizeLimit=5")
+    assert status == 202
+    assert payload["resultSizeLimit"] == 5
+    assert payload["result_count"] > 5
+    assert "exceeds" in payload["message"]
+    # Under the limit, normal 200 with rows.
+    status, rows = _get_status(
+        server, "/match_spark?rt=500000&tt=432000&resultSizeLimit=10000000")
+    assert status == 200 and isinstance(rows, list) and len(rows) > 0
+
+
+def test_domslist_includes_insitu(server):
+    status, rows = _get_status(server, "/domslist")
+    assert status == 200
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"gridded", "insitu"}
+    assert {r["dataset"] for r in rows if r["kind"] == "gridded"} == \
+        {"sst_a", "sst_b"}
+
+
+def test_json_default_row_cap(server):
+    # /datainbounds over everything would be huge; the default cap bounds it.
+    status, _, body = _get(server, "/datainbounds?limit=7")
+    assert status == 200
+    assert len(json.loads(body)) == 7
