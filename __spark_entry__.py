@@ -1290,6 +1290,51 @@ GROUP BY c.lat, c.lon
 """
 
 
+def q_gauss_interp_offgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-grid gaussian interpolation with time downweighting: source
+    observations weighted onto a target set SHIFTED off the native grid
+    (+1.7 deg lat, -8.3 deg lon) — the arbitrary-target-grid + time-sigma
+    case of reference gaussInterp (climatology/clim/gaussInterp.pyx:60-130)
+    that the grid-aligned g_gaussian_interp cannot express."""
+    from nexus_spark.operators.climatology_batch import gaussian_interp_to
+
+    obs = domain.observations(spark, sf_dir)
+    pts = obs.where(F.col("dataset") == "sst_a")
+    targets = (pts.select((F.col("lat") + 1.7).alias("out_lat"),
+                          (F.col("lon") - 8.3).alias("out_lon"))
+               .distinct())
+    return _finish(gaussian_interp_to(
+        pts, targets, wlat=10.0, wlon=60.0, slat=2.0, slon=10.0,
+        stime_days=365.0, vfactor=-0.6931))
+
+
+SQL_GAUSS_OFFGRID = _with(OBS) + """
+, pts AS (SELECT lat, lon, value, EPOCH(time) AS secs FROM obs
+          WHERE dataset = 'sst_a' AND value IS NOT NULL)
+, mid AS (SELECT (MIN(secs) + MAX(secs)) / 2.0 AS m FROM pts)
+, targets AS (SELECT DISTINCT lat + 1.7 AS out_lat, lon - 8.3 AS out_lon
+              FROM obs WHERE dataset = 'sst_a')
+, weighted AS (
+  SELECT t.out_lat, t.out_lon,
+         EXP(-0.6931 * (
+             ((p.lat - t.out_lat) / 2.0) * ((p.lat - t.out_lat) / 2.0)
+           + ((p.lon - t.out_lon) / 10.0) * ((p.lon - t.out_lon) / 10.0)
+           + ((p.secs - mid.m) / 86400.0 / 365.0)
+             * ((p.secs - mid.m) / 86400.0 / 365.0))) AS w,
+         p.value AS v
+  FROM pts p, mid
+  JOIN targets t
+    ON ABS(p.lat - t.out_lat) <= 5.0 AND ABS(p.lon - t.out_lon) <= 30.0
+)
+SELECT out_lat, out_lon,
+       ROUND(SUM(w * v) / SUM(w), 6) AS gi_mean,
+       ROUND(SUM(w), 6) AS gi_wsum,
+       COUNT(w) AS gi_n
+FROM weighted
+GROUP BY out_lat, out_lon
+"""
+
+
 def q_f_hof_deseason(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.functions.filtering import seasonal_cycle_filter
     from nexus_spark.operators.hofmoeller import hofmoeller
@@ -1616,10 +1661,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     # --- driver-green in r02, kept in the checked window ---
+    # --- new in round 3: needs its first driver row ---
+    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
+    # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
     "s2_time_avg_map": q_s2_time_avg_map,
-    "s3_clim_map": q_s3_clim_map,
     "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
     "a5_lonlat_map": q_a5_lonlat_map,
     "a7_data_in_bounds": q_a7_data_in_bounds,
@@ -1658,6 +1705,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_hof_deseason": q_f_hof_deseason,
     # --- displaced siblings (each proven by a same-family query above;
     #     every one has at least one driver-green row in r01/r02) ---
+    "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
     "t_distinct_bboxes": q_t_distinct_bboxes,
@@ -1720,6 +1768,7 @@ _ORACLES: dict[str, str] = {
     "clim_pixel_stats": SQL_PIXEL_STATS,
     "g_spatial_smooth": SQL_SMOOTH,
     "g_gaussian_interp": _sql_gauss_interp(),
+    "g_gaussian_interp_offgrid": SQL_GAUSS_OFFGRID,
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,
