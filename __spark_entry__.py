@@ -1639,6 +1639,67 @@ QUALIFY rank <= {_KNN_K}
 """
 
 
+def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 paged EDGE in-situ subset end-to-end through the paging adapter
+    (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
+    doms/insitusubset.py:161-171 handler): a bounded slice of the events
+    table becomes an in-memory EDGE endpoint serving 'Point(lon lat)'
+    records over offset paging; read_edge pages it back via mapInPandas
+    (one page per executor task), records run the reference's
+    normalization, and the result must equal a plain SQL scan of the same
+    slice — which is exactly what the oracle does. The fixture build
+    collects the ~10% 'error' slice driver-side (test scaffold, bounded
+    by contract); production points the same adapter at a real EDGE HTTP
+    service (sources/edge.py:http_fetcher)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.sources.edge import insitu_subset, make_fixture_endpoint
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (ev.where(F.col("event_type") == "error")
+              .select("event_id", "user_id",
+                      F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                      .alias("iso"), "value")
+              .orderBy("event_id").collect())
+    records = [
+        {"id": int(r.event_id), "time": r.iso,
+         "point": (f"Point({(r.event_id % 40) * 0.5 - 10.0}"
+                   f" {(r.user_id % 20) * 0.5 - 5.0})"),
+         "platform": int(r.user_id % 9) + 1,
+         "depth": float(r.user_id % 10),
+         "sea_water_temperature": float(r.value)}
+        for r in rows]
+    ep = make_fixture_endpoint(records, name="events_edge",
+                               items_per_page=200)
+    df = insitu_subset(spark, ep, "2024-01-01T00:00:00Z",
+                       "2027-12-31T23:59:59Z", "-10,-5,5,3",
+                       parameter="sst", depth_min=2.0, depth_max=8.0,
+                       platforms="1,2,3,4,5")
+    return _finish(df.select("id", "source", "time", "lat", "lon",
+                             "platform", "depth", "value"))
+
+
+SQL_D8_INSITU = """
+SELECT 'id-' || CAST(event_id AS VARCHAR) AS id,
+       'events_edge' AS source,
+       CAST(FLOOR(epoch(ts)) AS DOUBLE) * 1000 AS time,
+       CAST(user_id % 20 AS DOUBLE) * 0.5 - 5.0 AS lat,
+       CAST(event_id % 40 AS DOUBLE) * 0.5 - 10.0 AS lon,
+       CASE user_id % 9 + 1
+            WHEN 1 THEN 'ship' WHEN 2 THEN 'moored surface buoy'
+            WHEN 3 THEN 'drifting surface float'
+            WHEN 4 THEN 'drifting subsurface profiling float'
+            WHEN 5 THEN 'autonomous underwater vehicle' END AS platform,
+       CAST(user_id % 10 AS DOUBLE) AS depth,
+       ROUND(value, 6) AS value
+FROM events
+WHERE event_type = 'error'
+  AND user_id % 9 + 1 <= 5
+  AND user_id % 10 BETWEEN 2 AND 8
+  AND user_id % 20 <= 16
+  AND event_id % 40 <= 30
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1663,6 +1724,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-green in r02, kept in the checked window ---
     # --- new in round 3: needs its first driver row ---
     "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
+    "d8_insitu_subset": q_d8_insitu_subset,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -1702,9 +1764,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
     "g_gaussian_interp": q_gauss_interp,
-    "f_hof_deseason": q_f_hof_deseason,
     # --- displaced siblings (each proven by a same-family query above;
     #     every one has at least one driver-green row in r01/r02) ---
+    "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
@@ -1769,6 +1831,7 @@ _ORACLES: dict[str, str] = {
     "g_spatial_smooth": SQL_SMOOTH,
     "g_gaussian_interp": _sql_gauss_interp(),
     "g_gaussian_interp_offgrid": SQL_GAUSS_OFFGRID,
+    "d8_insitu_subset": SQL_D8_INSITU,
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,

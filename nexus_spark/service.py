@@ -185,7 +185,8 @@ def _with_lowpass(spark: SparkSession, ts: DataFrame) -> DataFrame:
     return ts.join(lp, ["dataset", "ts_date"], "left")
 
 
-def build_routes(spark: SparkSession, sf_dir: str
+def build_routes(spark: SparkSession, sf_dir: str,
+                 edge_endpoints: dict[str, dict] | None = None
                  ) -> dict[str, Callable[[Params], Any]]:
     """Route table (webapp.py:169-256). Each handler returns a DataFrame
     (content-negotiated) or a plain dict/list (JSON only). Handlers that
@@ -301,6 +302,48 @@ def build_routes(spark: SparkSession, sf_dir: str
                   for ds in p.get_datasets()}
         return frames  # ZIP-only payload
 
+    def r_insitu_subset(p: Params):
+        # D8 /domsinsitusubset (reference insitusubset.py:100-171): paged
+        # EDGE fetch of one in-situ source over the search domain. The
+        # endpoint registry is injected at serve() time (the reference's
+        # doms/config.py endpoint list); tests inject a fixture endpoint.
+        from nexus_spark.sources.edge import insitu_subset
+        source = p.get("source")
+        if source is None or source.strip() == "":
+            raise RequestError("'source' argument is required")
+        endpoint = (edge_endpoints or {}).get(source)
+        if endpoint is None:
+            raise RequestError(f"unknown in situ source: {source!r}")
+        start = p.get_datetime("startTime")
+        end = p.get_datetime("endTime")
+        if start is None or end is None:
+            raise RequestError("startTime and endTime are required")
+        if start > end:
+            raise RequestError("The starting time must be before the "
+                               "ending time. Received startTime: "
+                               f"{start}, endTime: {end}")
+        platforms = p.get("platforms")
+        if platforms is not None:
+            try:
+                [int(x) for x in platforms.split(",")]
+            except ValueError:
+                raise RequestError("platforms must be a comma-delimited "
+                                   "list of integers")
+        box = p.get_bbox()
+        bbox = (f"{box['min_lon']},{box['min_lat']},"
+                f"{box['max_lon']},{box['max_lat']}")
+        iso = "%Y-%m-%dT%H:%M:%SZ"
+        try:
+            return insitu_subset(
+                spark, endpoint,
+                datetime.strptime(start, "%Y-%m-%d %H:%M:%S").strftime(iso),
+                datetime.strptime(end, "%Y-%m-%d %H:%M:%S").strftime(iso),
+                bbox, parameter=p.get("parameter"),
+                depth_min=p.get_float("depthMin"),
+                depth_max=p.get_float("depthMax"), platforms=platforms)
+        except ValueError as exc:
+            raise RequestError(str(exc))
+
     return {
         "/timeSeriesSpark": r_time_series,
         "/stats": r_time_series,
@@ -319,6 +362,7 @@ def build_routes(spark: SparkSession, sf_dir: str
         "/domslist": lambda p: doms_dataset_list(
             obs(), load_table(spark, sf_dir, "events")),
         "/domssubset": r_subset,
+        "/domsinsitusubset": r_insitu_subset,
         "/capabilities": lambda p: capabilities(),
         "/heartbeat": lambda p: {"online": True},
         "/version": lambda p: {"version": __import__("nexus_spark").__version__},
@@ -396,13 +440,16 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
-def serve(spark: SparkSession, sf_dir: str, port: int = 0
+def serve(spark: SparkSession, sf_dir: str, port: int = 0,
+          edge_endpoints: dict[str, dict] | None = None
           ) -> ThreadingHTTPServer:
     """Start the facade on `port` (0 = ephemeral); returns the server —
     `server.server_address[1]` is the bound port; call `.shutdown()` to
-    stop. Runs daemon-threaded so tests and notebooks can use it inline."""
+    stop. Runs daemon-threaded so tests and notebooks can use it inline.
+    `edge_endpoints` maps in-situ source names to EDGE endpoint dicts
+    (sources/edge.py) for /domsinsitusubset."""
     handler = type("BoundHandler", (_Handler,),
-                   {"routes": build_routes(spark, sf_dir)})
+                   {"routes": build_routes(spark, sf_dir, edge_endpoints)})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

@@ -1,0 +1,314 @@
+"""Paged EDGE in-situ source adapter (DOMS D8).
+
+Reference contract (analysis/webservice/algorithms/doms/fetchedgeimpl.py):
+`fetch` issues a first non-parallel page request to learn `totalResults`
+and the server-forced `itemsPerPage`, then fans the remaining startIndex
+offsets across a ThreadPool (fetchedgeimpl.py:141-173); records are
+normalized by `__resultRawToUsable` (:34-59 — ISO time -> ms epoch,
+`point` -> lat/lon, platform/device/mission id -> description,
+sea_surface_temperature -> sea_water_temperature, "id-" prefix). The
+serial variant follows `next` links (insitusubset.py:query_edge:235-247).
+
+Spark-first shape: the ThreadPool becomes `spark.range` over page offsets
++ `mapInPandas` — each executor task fetches and parses ONE page, so a
+1000-executor cluster pages a large EDGE store with the same code that
+tests against an in-memory fixture. The fetcher is an injected callable
+`(url, params) -> decoded-JSON dict`; `http_fetcher` (stdlib urllib, retry
+x5 mirroring fetchedgeimpl.__fetchJson:62-77) is the production default
+and anything picklable works for tests. The `next`-link protocol is
+inherently serial, so `read_edge_next_links` stays driver-side and is the
+documented fallback for endpoints without offset paging.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import datetime, timezone
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Fetcher = Callable[[str, dict], dict]
+
+# Controlled vocabularies (reference doms/values.py:1-27 — public API data).
+PLATFORMS = {1: "ship", 2: "moored surface buoy", 3: "drifting surface float",
+             4: "drifting subsurface profiling float",
+             5: "autonomous underwater vehicle", 6: "offshore structure",
+             7: "coastal structure", 8: "towed unmanned submersible",
+             9: "orbiting satellite"}
+DEVICES = {1: "bathythermographs", 2: "discrete water samplers", 3: "CTD",
+           4: "Current profilers  / acousticDopplerCurrentProfiler",
+           5: "radiometers", 6: "scatterometers"}
+MISSIONS = {1: "SAMOS", 2: "ICOADS", 3: "Aquarius", 4: "SPURS1"}
+
+# In-situ parameter -> measurement field (insitusubset.py params table).
+PARAMETER_FIELDS = {"sst": "sea_water_temperature",
+                    "sss": "sea_water_salinity",
+                    "wind": "wind_speed"}
+
+EDGE_SCHEMA = ("id string, source string, time double, lat double, "
+               "lon double, platform string, device string, mission string, "
+               "depth double, data map<string,double>")
+
+_CORE_KEYS = frozenset(("id", "source", "time", "point", "x", "y", "lat",
+                        "lon", "latitude", "longitude", "platform", "device",
+                        "mission", "depth", "metadata"))
+
+
+def http_fetcher(url: str, params: dict) -> dict:
+    """Stdlib GET-with-retry page fetcher (fetchedgeimpl.__fetchJson:62-77:
+    5 tries, any non-200 or bad JSON retries). Module-level so executors
+    can pickle it."""
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
+    qs = urlencode({k: v for k, v in params.items() if v is not None},
+                   doseq=True)
+    last_err: Exception | None = None
+    for _ in range(5):
+        try:
+            with urlopen(f"{url}?{qs}", timeout=500.0) as resp:
+                if resp.status != 200:
+                    last_err = OSError(f"HTTP {resp.status}")
+                    continue
+                return json.loads(resp.read().decode())
+        except Exception as exc:  # noqa: BLE001 — retry loop boundary
+            last_err = exc
+    raise RuntimeError(f"Maximum retries attempted: {last_err}")
+
+
+def _parse_time_ms(raw: Any) -> float:
+    """ISO-8601Z (or epoch seconds) -> float ms since epoch
+    (fetchedgeimpl.__parseDatetime:13-17)."""
+    if isinstance(raw, (int, float)):
+        return float(raw) * 1000.0
+    dt = datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")
+    return dt.replace(tzinfo=timezone.utc).timestamp() * 1000.0
+
+
+def _parse_location(raw: str) -> tuple[float, float]:
+    """'Point(lon lat)' or 'lat,lon' -> (lat, lon)
+    (fetchedgeimpl.__parseLocation:20-31)."""
+    if "Point" in raw:
+        raw = raw[raw.index("(") + 1:-1]
+    if "," in raw:
+        lat, lon = (float(x) for x in raw.split(","))
+    else:
+        parts = raw.split(" ")
+        lat, lon = float(parts[1]), float(parts[0])
+    return lat, lon
+
+
+def parse_edge_record(rec: dict, source: str) -> tuple:
+    """One raw EDGE result dict -> one EDGE_SCHEMA row
+    (fetchedgeimpl.__resultRawToUsable:34-59 semantics)."""
+    rec = dict(rec)
+    if "sea_surface_temperature" in rec:
+        rec["sea_water_temperature"] = rec.pop("sea_surface_temperature")
+    if "point" in rec:
+        lat, lon = _parse_location(rec["point"])
+    else:
+        lat = rec.get("y", rec.get("lat", rec.get("latitude")))
+        lon = rec.get("x", rec.get("lon", rec.get("longitude")))
+    rid = rec.get("id", rec.get("metadata"))
+    data = {k: float(v) for k, v in rec.items()
+            if k not in _CORE_KEYS and isinstance(v, (int, float))
+            and not (isinstance(v, float) and math.isnan(v))}
+    depth = rec.get("depth", rec.get("sea_water_temperature_depth"))
+    return (f"id-{rid}", source, _parse_time_ms(rec["time"]),
+            float(lat), float(lon),
+            PLATFORMS.get(rec.get("platform"), str(rec.get("platform"))) if
+            rec.get("platform") is not None else None,
+            DEVICES.get(rec.get("device"), str(rec.get("device"))) if
+            rec.get("device") is not None else None,
+            MISSIONS.get(rec.get("mission"), str(rec.get("mission"))) if
+            rec.get("mission") is not None else None,
+            float(depth) if depth is not None else None, data)
+
+
+def _page_params(start_time: str, end_time: str, bbox: str,
+                 items_per_page: int, start_index: int,
+                 depth_min: float | None, depth_max: float | None,
+                 platforms: str | None, variable: str | None) -> dict:
+    p = {"startTime": start_time, "endTime": end_time, "bbox": bbox,
+         "itemsPerPage": items_per_page, "startIndex": start_index,
+         "stats": "true"}
+    if depth_min is not None:
+        p["minDepth"] = depth_min
+    if depth_max is not None:
+        p["maxDepth"] = depth_max
+    if platforms is not None:
+        p["platform"] = platforms.split(",")
+    if variable is not None:
+        p["variable"] = variable
+    return p
+
+
+def edge_count(endpoint: dict, start_time: str, end_time: str, bbox: str,
+               depth_min: float | None = None, depth_max: float | None = None,
+               platforms: str | None = None) -> int:
+    """totalResults without fetching rows — itemsPerPage=0 probe
+    (fetchedgeimpl.getCount:132-138)."""
+    fetcher: Fetcher = endpoint.get("fetcher", http_fetcher)
+    page = fetcher(endpoint["url"], _page_params(
+        start_time, end_time, bbox, 0, 0, depth_min, depth_max,
+        platforms, None))
+    return int(page["totalResults"])
+
+
+def read_edge(spark: SparkSession, endpoint: dict, start_time: str,
+              end_time: str, bbox: str, depth_min: float | None = None,
+              depth_max: float | None = None, platforms: str | None = None,
+              variable: str | None = None) -> DataFrame:
+    """Distributed offset-paged read of one EDGE endpoint -> EDGE_SCHEMA
+    DataFrame.
+
+    Page 1 is fetched at the driver (exactly the reference's first
+    non-parallel call, fetchedgeimpl.fetch:147-155 — it alone knows
+    `totalResults` and the server-FORCED page size, which may differ from
+    the requested one). Remaining offsets become `spark.range` rows, one
+    page per task via mapInPandas — the executor-pool analog of
+    fetchThreads (:157-162) that scales with the cluster instead of one
+    process's threads. Each task holds one page (<= itemsPerPage rows) in
+    memory; no driver accumulation of the full result set.
+    """
+    # The page-fetch closure references this module's parse helpers; ship
+    # the module by value with the task so executors need no --py-files
+    # deployment of nexus_spark (documented cloudpickle API — the same
+    # mechanism Spark uses for any dynamic closure).
+    import sys
+
+    import pyspark.cloudpickle as _cp
+    _cp.register_pickle_by_value(sys.modules[__name__])
+
+    fetcher: Fetcher = endpoint.get("fetcher", http_fetcher)
+    url, name = endpoint["url"], endpoint.get("name", "edge")
+    req_ipp = int(endpoint.get("itemsPerPage", 1000))
+
+    first = fetcher(url, _page_params(start_time, end_time, bbox, req_ipp, 0,
+                                      depth_min, depth_max, platforms,
+                                      variable))
+    total = int(first["totalResults"])
+    results = first.get("results", [])
+    first_rows = [parse_edge_record(r, name) for r in results]
+    first_df = spark.createDataFrame(first_rows, EDGE_SCHEMA)
+    if total <= len(first_rows) or not first_rows:
+        return first_df
+
+    ipp = int(first.get("itemsPerPage", req_ipp)) or req_ipp
+    offsets = list(range(len(first_rows), total, ipp))
+
+    def fetch_pages(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for batch in batches:
+            for start in batch["start"]:
+                page = fetcher(url, _page_params(
+                    start_time, end_time, bbox, ipp, int(start),
+                    depth_min, depth_max, platforms, variable))
+                rows = [parse_edge_record(r, name)
+                        for r in page.get("results", [])]
+                yield pd.DataFrame(rows, columns=["id", "source", "time",
+                                                  "lat", "lon", "platform",
+                                                  "device", "mission",
+                                                  "depth", "data"])
+
+    rest = (spark.createDataFrame([(o,) for o in offsets], "start long")
+            .repartition(min(len(offsets), 64))
+            .mapInPandas(fetch_pages, EDGE_SCHEMA))
+    return first_df.unionByName(rest)
+
+
+def read_edge_next_links(spark: SparkSession, endpoint: dict,
+                         params: dict) -> DataFrame:
+    """Serial `next`-link pager (insitusubset.query_edge:235-247) for
+    endpoints without offset paging. Driver-side by protocol necessity —
+    each page's URL is only known after the previous page arrives — so use
+    only for bounded subsets; `read_edge` is the scale path."""
+    fetcher: Fetcher = endpoint.get("fetcher", http_fetcher)
+    name = endpoint.get("name", "edge")
+    page = fetcher(endpoint["url"], params)
+    rows = [parse_edge_record(r, name) for r in page.get("results", [])]
+    next_url = page.get("next")
+    while next_url:
+        page = fetcher(next_url, {})
+        rows.extend(parse_edge_record(r, name)
+                    for r in page.get("results", []))
+        next_url = page.get("next")
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def insitu_subset(spark: SparkSession, endpoint: dict, start_time: str,
+                  end_time: str, bbox: str, parameter: str | None = None,
+                  depth_min: float | None = None,
+                  depth_max: float | None = None,
+                  platforms: str | None = None) -> DataFrame:
+    """D8 /domsinsitusubset (insitusubset.py:161-171): paged fetch of one
+    in-situ source filtered to the search domain; `parameter` narrows to
+    one measurement ('sst'|'sss'|'wind') surfaced as a `value` column."""
+    if parameter is not None and parameter not in PARAMETER_FIELDS:
+        raise ValueError(f"Parameter {parameter} not supported. Must be one "
+                         "of 'sst', 'sss', 'wind'.")
+    if (depth_min is not None and depth_max is not None
+            and depth_min >= depth_max):
+        raise ValueError("Depth Min should be less than Depth Max")
+    field = PARAMETER_FIELDS.get(parameter) if parameter else None
+    df = read_edge(spark, endpoint, start_time, end_time, bbox,
+                   depth_min=depth_min, depth_max=depth_max,
+                   platforms=platforms, variable=field)
+    if field is not None:
+        df = (df.withColumn("value", F.col("data")[field])
+                .where(F.col("value").isNotNull()))
+    return df
+
+
+def edge_bounds(df: DataFrame) -> dict[str, float]:
+    """Actual data bounds of a fetched frame — the BoundsConstrainer fold
+    (fetchedgeimpl.py:94-111) as one aggregate."""
+    row = df.agg(F.max("lat").alias("north"), F.min("lat").alias("south"),
+                 F.min("lon").alias("west"), F.max("lon").alias("east")
+                 ).collect()[0]
+    return {"north": row.north, "south": row.south,
+            "west": row.west, "east": row.east}
+
+
+def make_fixture_endpoint(records: list[dict], name: str = "fixture",
+                          items_per_page: int = 25,
+                          forced_items_per_page: int | None = None) -> dict:
+    """In-memory EDGE endpoint for tests: offset paging + totalResults
+    over a records list, honoring bbox/time/depth/platform filters the way
+    a real EDGE server would. `forced_items_per_page` simulates a server
+    that overrides the requested page size (the reason read_edge trusts
+    the response's itemsPerPage, not its own request)."""
+    def fetcher(url: str, params: dict) -> dict:
+        sel = records
+        if "bbox" in params:
+            w, s, e, n = (float(x) for x in str(params["bbox"]).split(","))
+            sel = [r for r in sel if s <= _parse_location(r["point"])[0] <= n
+                   and w <= _parse_location(r["point"])[1] <= e]
+        t0 = _parse_time_ms(params["startTime"])
+        t1 = _parse_time_ms(params["endTime"])
+        sel = [r for r in sel if t0 <= _parse_time_ms(r["time"]) <= t1]
+        if params.get("minDepth") is not None:
+            sel = [r for r in sel
+                   if r.get("depth", 0.0) >= float(params["minDepth"])]
+        if params.get("maxDepth") is not None:
+            sel = [r for r in sel
+                   if r.get("depth", 0.0) <= float(params["maxDepth"])]
+        if params.get("platform"):
+            allowed = {int(p) for p in params["platform"]}
+            sel = [r for r in sel if r.get("platform") in allowed]
+        if params.get("variable"):
+            sel = [r for r in sel if params["variable"] in r
+                   or (params["variable"] == "sea_water_temperature"
+                       and "sea_surface_temperature" in r)]
+        ipp = forced_items_per_page or int(params.get("itemsPerPage", 1000))
+        start = int(params.get("startIndex", 0))
+        return {"totalResults": len(sel), "startIndex": start,
+                "itemsPerPage": ipp,
+                "results": sel[start:start + ipp] if ipp else []}
+
+    return {"name": name, "url": f"fixture://{name}",
+            "itemsPerPage": items_per_page, "fetchThreads": 8,
+            "fetcher": fetcher}
