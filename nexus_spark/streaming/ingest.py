@@ -1,0 +1,129 @@
+"""Continuous granule ingest: watch a directory, tile new granules, append
+to the partitioned lake.
+
+Reference: the Spring-XD message pipeline (SURVEY §2.4 row 1; nexus-ingest
+tilereadingprocessor.py) — granules arrive, get sliced into tiles, land in
+the store. The Spark-native equivalent is a file-source Structured
+Streaming query: `binaryFile` discovers new granules exactly-once via the
+checkpoint log, the same pure-struct NetCDF parser used by the batch
+reader (sources/granule.py) tiles each granule inside `mapInPandas`, and
+`foreachBatch` appends through sources.lake.write_observations so the
+streaming lake layout is byte-identical to the batch one (partition
+pruning, zone maps and all).
+
+Scale shape: one task per granule file (binaryFile splits at file
+boundaries for unsplittable content), parse + tile entirely executor-side,
+append writes only the touched (dataset, obs_date) partitions. No shuffle
+anywhere in the pipeline; throughput is bounded by granule-read
+parallelism, exactly like the batch reader.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+INGEST_SCHEMA = ("granule string, section_spec string, dataset string, "
+                 "time timestamp, lat double, lon double, value double")
+
+
+def stream_granules(spark: SparkSession, watch_dir: str, variable: str,
+                    dataset: str, latitude: str = "lat",
+                    longitude: str = "lon", time: str | None = None,
+                    tile_shape: dict[str, int] | None = None,
+                    time_offset: int | None = None,
+                    reader: str = "GRIDTILE",
+                    max_files_per_trigger: int | None = None,
+                    glob: str = "*.nc") -> DataFrame:
+    """Streaming frame of tiled observation rows from granules appearing
+    under `watch_dir`.
+
+    Unlike the batch reader (whose work list carries explicit section
+    specs), a watched granule's specs aren't known up front — each task
+    parses its granule's dims and auto-tiles them with
+    granule.section_specs (`tile_shape` chunks named dims; absent dims
+    stay whole), then emits through the same GRIDTILE/SWATHTILE slicers.
+    """
+    from nexus_spark.sources import granule as g
+
+    # Worker closure references the granule parser module; ship it by
+    # value so executors need no --py-files deployment (same mechanism as
+    # sources/edge.py).
+    import pyspark.cloudpickle as _cp
+    _cp.register_pickle_by_value(sys.modules[g.__name__])
+
+    if reader not in ("GRIDTILE", "SWATHTILE"):
+        raise NotImplementedError(
+            f"READER must be GRIDTILE or SWATHTILE, got {reader!r}")
+    if reader == "SWATHTILE" and time is None:
+        raise ValueError("SWATHTILE requires a time variable")
+    emit = g._emit_grid if reader == "GRIDTILE" else g._emit_swath
+    parse = g.parse_netcdf3
+    make_specs = g.section_specs
+    tiling = dict(tile_shape or {})
+
+    # binaryFile's schema is fixed by the format, but the streaming source
+    # still demands it explicitly.
+    src = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary") \
+        .option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+
+    def tile_granules(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                nc = parse(bytes(content))
+                gname = str(path).rsplit("/", 1)[-1]
+                data_dims = {d: nc["dims"][d]
+                             for d in nc["variables"][variable]["dims"]}
+                for spec in make_specs(data_dims, tiling):
+                    dimtoslice = {}
+                    for dimension in spec.split(","):
+                        nm, lo, hi = dimension.split(":")
+                        dimtoslice[nm] = slice(int(lo), int(hi))
+                    t_s, lats, lons, vals = emit(
+                        nc, spec, dimtoslice, variable, latitude,
+                        longitude, time, time_offset)
+                    yield pd.DataFrame({
+                        "granule": gname, "section_spec": spec,
+                        "dataset": dataset,
+                        "time": pd.to_datetime(t_s, unit="s"),
+                        "lat": lats, "lon": lons, "value": vals,
+                    })
+
+    return src.load(watch_dir).select("path", "content") \
+              .mapInPandas(tile_granules, INGEST_SCHEMA)
+
+
+def ingest_to_lake(rows: DataFrame, lake_path: str, checkpoint: str,
+                   available_now: bool = True) -> StreamingQuery:
+    """Append the streaming tile rows to the lake through the SAME writer
+    the batch path uses (sources/lake.write_observations — dataset/obs_date
+    partition layout), via foreachBatch. The checkpoint log is the
+    exactly-once contract: a granule file is tiled and appended once even
+    across restarts.
+
+    `available_now=True` drains everything currently in the watch dir and
+    stops (the test/backfill trigger); False runs continuously.
+    """
+    from nexus_spark.sources.lake import write_observations
+
+    def append_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        write_observations(batch.drop("granule", "section_spec"),
+                           lake_path, mode="append")
+
+    writer = (rows.writeStream.foreachBatch(append_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,135 @@
+"""Streaming granule ingest + streaming dedup tests.
+
+Ingest: granules dropped in a watched dir are tiled by the same NetCDF
+parser as the batch reader and appended to the lake through the same
+writer — so the streamed lake equals the batch-ingested one, and a second
+trigger run ingests ONLY new granules (checkpoint exactly-once).
+
+Dedup: streaming exact dedup converges to the batch keep-set
+(kappa check against operators/dedup.exact_duplicates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nexus_spark.plans.render import to_netcdf
+
+
+def _granule(seed: int) -> bytes:
+    """Deterministic 4x3 grid granule; value depends on seed so granules
+    are distinguishable in the lake."""
+    rng = np.random.RandomState(seed)
+    return to_netcdf({
+        "lats": [10.0, 20.0, 30.0, 40.0],
+        "lons": [100.0, 110.0, 120.0],
+        "grid": rng.rand(4, 3) * 10.0,
+    }, var_name="sst", units="degC")
+
+
+def _run_ingest(spark, watch, lake, ckpt):
+    from nexus_spark.streaming.ingest import ingest_to_lake, stream_granules
+
+    rows = stream_granules(spark, str(watch), variable="sst",
+                           dataset="stream_sst",
+                           tile_shape={"lat": 2, "lon": 2})
+    q = ingest_to_lake(rows, str(lake), str(ckpt))
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_tiles_granules_into_lake(spark, tmp_path):
+    from nexus_spark.sources.lake import read_observations
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "g1.nc").write_bytes(_granule(1))
+    (watch / "g2.nc").write_bytes(_granule(2))
+    (watch / "ignore.txt").write_bytes(b"not a granule")
+
+    _run_ingest(spark, watch, tmp_path / "lake", tmp_path / "ckpt")
+
+    got = read_observations(spark, str(tmp_path / "lake"))
+    # 2 granules x 12 cells, all under dataset=stream_sst
+    assert got.count() == 24
+    assert got.select("dataset").distinct().collect()[0][0] == "stream_sst"
+    # Values survive the tile_shape={"lat":2,"lon":2} slicing intact:
+    # each granule contributes its full value set.
+    vals = {round(r.value, 6) for r in got.collect()}
+    assert len(vals) == 24
+
+    # Incremental run: one NEW granule -> exactly 12 new rows, old rows
+    # not re-ingested (checkpoint exactly-once).
+    (watch / "g3.nc").write_bytes(_granule(3))
+    _run_ingest(spark, watch, tmp_path / "lake", tmp_path / "ckpt")
+    assert read_observations(spark, str(tmp_path / "lake")).count() == 36
+
+
+def test_stream_ingest_layout_matches_batch_writer(spark, tmp_path):
+    """The streamed lake must use the batch writer's partition layout so
+    every downstream operator (pruning included) works unchanged."""
+    import os
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "g1.nc").write_bytes(_granule(7))
+    _run_ingest(spark, watch, tmp_path / "lake", tmp_path / "ckpt")
+
+    assert os.path.isdir(str(tmp_path / "lake" / "dataset=stream_sst"))
+    sub = os.listdir(str(tmp_path / "lake" / "dataset=stream_sst"))
+    assert any(e.startswith("obs_date=") for e in sub)
+
+
+def test_streaming_exact_dedup_matches_batch_keepset(spark, tmp_path):
+    from nexus_spark.operators.dedup import exact_duplicates
+    from nexus_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 7}", f"2024-01-01 00:{i:02d}:00")
+         for i in range(40)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # Horizon must cover the 40-minute data span: duplicates farther apart
+    # than the watermark are legitimately re-admitted (state was evicted).
+    q = (streaming_exact_dedup(stream, watermark="2 hours")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_stream").collect()
+    # One survivor per distinct content hash (7 distinct bodies), same
+    # key-set as the batch dedup operator.
+    want_hashes = {r.content_hash for r in exact_duplicates(docs).collect()}
+    assert {r.content_hash for r in got} == want_hashes
+    assert len(got) == 7
+
+    # Batch path of the same function = plain dropDuplicates.
+    assert streaming_exact_dedup(docs).count() == 7
+
+
+def test_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState seen-set: exactly one emission per hash
+    across micro-batches, duplicates in later batches suppressed."""
+    from nexus_spark.streaming.dedup import first_seen
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}") for i in range(30)],
+        "doc_id long, text string")
+    src = str(tmp_path / "fs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (first_seen(stream).writeStream.format("memory")
+         .queryName("fs_stream").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.table("fs_stream").collect()
+    assert len(got) == 5  # one per distinct text, ever
+    assert len({r.content_hash for r in got}) == 5
