@@ -89,19 +89,34 @@ def lonlat_map(obs: DataFrame, dataset: str | None = None,
 
     df = _bounded(obs, dataset, min_lat, max_lat, min_lon, max_lon,
                   start_time, end_time)
-    t = F.unix_timestamp("time").cast("double") / F.lit(86400.0)
-    base = df.groupBy("lat", "lon").agg(
-        F.regr_slope(F.col("value"), t).alias("ll_slope"),
-        F.regr_intercept(F.col("value"), t).alias("ll_intercept"),
-        F.corr(t, F.col("value")).alias("ll_r"),
-        F.avg("value").alias("ll_mean"),
+    # One shared regressor column (not an expression repeated inside every
+    # aggregate — codegen does not CSE across aggregate buffers), and the
+    # minimal sufficient-stat buffer set: slope/intercept/r/std all derive
+    # from (Sxx, Syy, Sxy, avgx, avgy, n) in the post-aggregation
+    # projection, instead of regr_slope/regr_intercept/corr/stddev_pop
+    # each folding their own covariance buffer over every row.
+    t = (F.unix_timestamp("time").cast("double") / F.lit(86400.0)).alias("_t")
+    base = df.select("lat", "lon", "value", t).groupBy("lat", "lon").agg(
         F.max("value").alias("ll_max"),
         F.min("value").alias("ll_min"),
-        F.stddev_pop("value").alias("ll_std"),
         F.count("value").alias("ll_cnt"),
-        F.regr_sxx(F.col("value"), t).alias("_sxx"),
-        F.regr_syy(F.col("value"), t).alias("_syy"),
-        F.regr_sxy(F.col("value"), t).alias("_sxy"),
+        F.regr_avgx(F.col("value"), F.col("_t")).alias("_avgx"),
+        F.regr_avgy(F.col("value"), F.col("_t")).alias("_avgy"),
+        F.regr_sxx(F.col("value"), F.col("_t")).alias("_sxx"),
+        F.regr_syy(F.col("value"), F.col("_t")).alias("_syy"),
+        F.regr_sxy(F.col("value"), F.col("_t")).alias("_sxy"),
+    ).select(
+        "lat", "lon", "ll_max", "ll_min", "ll_cnt",
+        "_sxx", "_syy", "_sxy",
+        # try_divide: NULL on zero denominators — exactly regr_slope /
+        # corr's undefined-variance semantics (ANSI division would throw).
+        F.try_divide(F.col("_sxy"), F.col("_sxx")).alias("ll_slope"),
+        (F.col("_avgy") - F.try_divide(F.col("_sxy"), F.col("_sxx"))
+         * F.col("_avgx")).alias("ll_intercept"),
+        F.try_divide(F.col("_sxy"),
+                     F.sqrt(F.col("_sxx") * F.col("_syy"))).alias("ll_r"),
+        F.col("_avgy").alias("ll_mean"),
+        F.sqrt(F.try_divide(F.col("_syy"), F.col("ll_cnt"))).alias("ll_std"),
     )
     # Staged projections keep each engine evaluating the same named
     # intermediate exactly once (the SQL text is shared with the oracle).
