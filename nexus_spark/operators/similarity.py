@@ -142,24 +142,11 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Output: query_id, neighbor_id, rank, cosine (approximate).
     """
     corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    cents = (corpus.drop("vec")
-             .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-             .limit(n_centroids)
-             .select(F.col("id").alias("cent_id"),
-                     F.col("nrm").alias("cent_nrm"),
-                     *[F.col(f"c{i}").alias(f"t{i}") for i in range(dim)]))
-
-    def cell_scores(v: DataFrame) -> DataFrame:
-        return (v.drop("vec").crossJoin(F.broadcast(cents))
-                .withColumn("c_cos",
-                            _flat_dot("c" if "c0" in v.columns else "q",
-                                      "t", dim)
-                            / (F.col("nrm") * F.col("cent_nrm")))
-                .select("id", "cent_id", "c_cos"))
+    cents = _select_centroids(corpus, n_centroids, dim)
 
     # Tie-break = (rounded cosine desc, cent_id asc); max_by over the
     # struct (round(cc,6), -cent_id) realizes it with partial aggregation.
-    assign = (cell_scores(corpus)
+    assign = (_cell_scores(corpus, cents, dim, "c")
               .groupBy(F.col("id").alias("neighbor_id"))
               .agg(F.max_by(
                   "cent_id",
@@ -169,7 +156,7 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
     wq = Window.partitionBy("id").orderBy(
         F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
-    probes = (cell_scores(qflat)
+    probes = (_cell_scores(qflat, cents, dim, "q")
               .withColumn("crank", F.row_number().over(wq))
               .where(F.col("crank") <= nprobe)
               .select(F.col("id").alias("query_id"), "cent_id"))
@@ -184,6 +171,98 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.broadcast(probes).join(assign, "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+        .withColumn("cosine",
+                    _flat_dot("q", "c", dim)
+                    / (F.col("q_nrm") * F.col("c_nrm")))
+    )
+    return _topk(scored, k)
+
+
+def _select_centroids(corpus: DataFrame, n_centroids: int, dim: int,
+                      src_prefix: str = "c") -> DataFrame:
+    """Fixed-k deterministic pseudo-random centroid sample (md5-ordered
+    LIMIT k — see ann_ivf docstring): one TakeOrdered over the corpus,
+    O(k) result at any corpus size."""
+    return (corpus.drop("vec")
+            .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+            .limit(n_centroids)
+            .select(F.col("id").alias("cent_id"),
+                    F.col("nrm").alias("cent_nrm"),
+                    *[F.col(f"{src_prefix}{i}").alias(f"t{i}")
+                      for i in range(dim)]))
+
+
+def _cell_scores(v: DataFrame, cents: DataFrame, dim: int,
+                 prefix: str) -> DataFrame:
+    return (v.drop("vec").crossJoin(F.broadcast(cents))
+            .withColumn("c_cos", _flat_dot(prefix, "t", dim)
+                        / (F.col("nrm") * F.col("cent_nrm")))
+            .select("id", "cent_id", "c_cos"))
+
+
+def ivf_write(embeddings: DataFrame, path: str, n_centroids: int = 32,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = DIM) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet layout —
+    the write-time form of ann_ivf's coarse quantization, and the actual
+    100 TB serving path: a probe reads `nprobe` partition directories
+    instead of the corpus.
+
+    Layout: `path/cell_id=<cent_id>/...` holding flat vector rows
+    (id, nrm, c0..c{dim-1}); `path/_centroids` (underscore-prefixed, so
+    corpus reads skip it) holds the k centroid rows. Assignment is the
+    same broadcast-crossJoin + max_by partial aggregate as ann_ivf — one
+    shuffle-free scan plus the partitioned write.
+    """
+    corpus = _flat(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    assign = (_cell_scores(corpus, cents, dim, "c")
+              .groupBy("id")
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t"))).alias("cell_id")))
+    (corpus.drop("vec").join(assign, "id")
+     .write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search(spark, path: str, queries: DataFrame, k: int = 5,
+               nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Probe a written IVF index: score queries against the (tiny)
+    centroid frame, take each query's `nprobe` best cells, then scan ONLY
+    those `cell_id=` partitions (the literal isin predicate is a partition
+    filter — Catalyst never lists the other directories). The probed-cell
+    collect is bounded by |queries| x nprobe cell ids, not by data.
+
+    Same output contract and tie-breaks as ann_ivf; given the same
+    n_centroids/nprobe it returns ann_ivf's exact results.
+    """
+    cents = spark.read.parquet(f"{path}/_centroids")
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (_cell_scores(qflat, cents, dim, "q")
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+    probe_rows = probes.collect()
+    cells = sorted({r.cent_id for r in probe_rows})
+
+    corpus = (spark.read.parquet(path)
+              .where(F.col("cell_id").isin(cells)))
+    q = (qflat.drop("vec").withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    c = (corpus.withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
+    probe_df = F.broadcast(spark.createDataFrame(
+        [(r.query_id, r.cent_id) for r in probe_rows],
+        "query_id long, cell_id long"))
+    scored = (
+        probe_df.join(c, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine",
                     _flat_dot("q", "c", dim)
                     / (F.col("q_nrm") * F.col("c_nrm")))

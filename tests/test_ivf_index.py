@@ -1,0 +1,70 @@
+"""Persistent IVF index: write-time cell partitioning + partition-pruned
+probes — the materialized form of ann_ivf's coarse quantization (the
+100 TB serving path its docstring commits to)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    from nexus_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_ivf_write_layout_and_centroids(spark, tmp_path):
+    from nexus_spark.operators.similarity import ivf_write
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, n_centroids=8)
+
+    cells = [e for e in os.listdir(path) if e.startswith("cell_id=")]
+    assert 1 < len(cells) <= 8  # every dir is one coarse cell
+    cents = spark.read.parquet(f"{path}/_centroids")
+    assert cents.count() == 8
+    # Corpus read skips the _-prefixed metadata dir and covers every vector
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivf_search_matches_in_memory_ann(spark, tmp_path):
+    """Same centroids + nprobe => the written index returns ann_ivf's
+    exact results (the index is a layout change, not a semantics change)."""
+    from nexus_spark.operators.similarity import ann_ivf, ivf_search, ivf_write
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, n_centroids=32)
+
+    got = {(r.query_id, r.neighbor_id, r.rank)
+           for r in ivf_search(spark, path, queries, k=5, nprobe=2).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ann_ivf(emb, queries, k=5, n_centroids=32,
+                             nprobe=2).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ivf_search_prunes_partitions(spark, tmp_path):
+    """The probe scan must carry the cell_id partition filter — only the
+    probed directories are read (the entire point of the layout)."""
+    from nexus_spark.operators.similarity import ivf_search, ivf_write
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, n_centroids=8)
+
+    plan = (ivf_search(spark, path, queries, k=5, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # and the filter is non-trivial: the scan node mentions cell_id IN (...)
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln and "cell_id" in ln]
+    assert any("cell_id" in ln and "[]" not in ln.split(
+        "PartitionFilters:")[-1][:40] for ln in scan_lines)
