@@ -200,9 +200,63 @@ def _cell_scores(v: DataFrame, cents: DataFrame, dim: int,
             .select("id", "cent_id", "c_cos"))
 
 
+def kmeans_refine(corpus: DataFrame, cents: DataFrame, dim: int = DIM,
+                  iters: int = 2) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of an IVF centroid set.
+
+    Each iteration: assign every vector to its max-cosine centroid (the
+    same broadcast crossJoin + max_by partial aggregate the IVF assigner
+    uses — no window, no shuffle beyond the k-group aggregate), then
+    recompute each centroid as the mean of its members. Cosine scoring
+    divides by the centroid norm, so the mean works unnormalized. A cell
+    that loses all members keeps its previous centroid (k stays fixed).
+
+    Cost per iteration is one corpus scan + one k-row aggregate — O(n*k)
+    compute, O(k) driver/broadcast state — so refinement scales exactly
+    like the IVF assignment itself. The spherical k-means objective
+    (sum of member->centroid cosines) is non-decreasing over iterations;
+    the tests assert that.
+
+    `corpus` is a flat frame (`_flat` shape, prefix 'c'); `cents` the
+    `_select_centroids` shape. Returns the refined centroid frame.
+    """
+    for _ in range(int(iters)):
+        assign = (_cell_scores(corpus, cents, dim, "c")
+                  .groupBy("id")
+                  .agg(F.max_by(
+                      "cent_id",
+                      F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                               (-F.col("cent_id")).alias("t")))
+                      .alias("cent_id")))
+        means = (corpus.drop("vec").join(assign, "id")
+                 .groupBy("cent_id")
+                 .agg(*[F.avg(f"c{i}").alias(f"m{i}") for i in range(dim)]))
+        ss = " + ".join(f"m{i} * m{i}" for i in range(dim))
+        refined = means.withColumn("new_nrm", F.expr(f"sqrt({ss})"))
+        cents = (cents.join(refined, "cent_id", "left")
+                 .select("cent_id",
+                         F.coalesce("new_nrm", "cent_nrm").alias("cent_nrm"),
+                         *[F.coalesce(F.col(f"m{i}"), F.col(f"t{i}"))
+                           .alias(f"t{i}") for i in range(dim)]))
+        # Materialize: each iteration's plan otherwise nests the previous
+        # crossJoin, and the k-row result is broadcast state anyway.
+        cents = cents.sparkSession.createDataFrame(
+            cents.collect(), cents.schema)
+    return cents
+
+
+def ivf_objective(corpus: DataFrame, cents: DataFrame,
+                  dim: int = DIM) -> float:
+    """Spherical k-means objective: mean best-centroid cosine over the
+    corpus (higher = tighter cells = fewer probes needed for recall)."""
+    return (_cell_scores(corpus, cents, dim, "c")
+            .groupBy("id").agg(F.max("c_cos").alias("best"))
+            .agg(F.avg("best")).collect()[0][0])
+
+
 def ivf_write(embeddings: DataFrame, path: str, n_centroids: int = 32,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              dim: int = DIM) -> None:
+              dim: int = DIM, refine_iters: int = 0) -> None:
     """Materialize the IVF index as a cell-partitioned parquet layout —
     the write-time form of ann_ivf's coarse quantization, and the actual
     100 TB serving path: a probe reads `nprobe` partition directories
@@ -216,6 +270,8 @@ def ivf_write(embeddings: DataFrame, path: str, n_centroids: int = 32,
     """
     corpus = _flat(embeddings, id_col, vec_col, dim, "c")
     cents = _select_centroids(corpus, n_centroids, dim)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, dim, refine_iters)
     assign = (_cell_scores(corpus, cents, dim, "c")
               .groupBy("id")
               .agg(F.max_by(

@@ -68,3 +68,33 @@ def test_ivf_search_prunes_partitions(spark, tmp_path):
                   if "PartitionFilters" in ln and "cell_id" in ln]
     assert any("cell_id" in ln and "[]" not in ln.split(
         "PartitionFilters:")[-1][:40] for ln in scan_lines)
+
+
+def test_kmeans_refinement_improves_objective(spark):
+    """Lloyd iterations must not decrease the spherical k-means objective
+    (mean best-centroid cosine), and typically strictly improve it over
+    the md5 sample."""
+    from nexus_spark.operators.similarity import (_flat, _select_centroids,
+                                                  ivf_objective,
+                                                  kmeans_refine)
+
+    corpus = _flat(_emb(spark), "vec_id", "embedding", 64, "c").cache()
+    cents0 = _select_centroids(corpus, 16, 64)
+    obj0 = ivf_objective(corpus, cents0, 64)
+    cents2 = kmeans_refine(corpus, cents0, 64, iters=2)
+    obj2 = ivf_objective(corpus, cents2, 64)
+    assert cents2.count() == 16  # k preserved (empty cells keep old seed)
+    assert obj2 >= obj0 - 1e-9
+    corpus.unpersist()
+
+
+def test_refined_index_still_searches(spark, tmp_path):
+    from nexus_spark.operators.similarity import ivf_search, ivf_write
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_refined")
+    ivf_write(emb, path, n_centroids=16, refine_iters=2)
+    out = ivf_search(spark, path, queries, k=5, nprobe=2).collect()
+    assert len(out) == 25  # 5 queries x k
+    assert all(r.rank <= 5 for r in out)
