@@ -357,6 +357,63 @@ def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95, dim: int = 64,
+                           n_centroids: int = 32,
+                           nprobe: int = 2) -> DataFrame:
+    """Cell-bucketed embedding near-dup — the beyond-memory scale route
+    the brute/GEMM docstrings point to.
+
+    Every vector is assigned to its `nprobe` nearest coarse cells (the
+    IVF quantizer from operators.similarity); only pairs sharing a cell
+    are scored. Pair volume drops from n^2 to sum(|cell|^2) — with the
+    multi-probe assignment absorbing boundary pairs whose members
+    quantize differently. Precision is exact (every emitted pair carries
+    its true cosine, same flat-codegen dot as the brute path); recall is
+    approximate with the usual IVF knob (raise nprobe/n_centroids).
+
+    At 100 TB the cell assignment is write-time partitioning
+    (similarity.ivf_write) and this join runs per cell partition.
+    Output: id_a, id_b, cosine — same surface as embedding_near_dup.
+    """
+    from nexus_spark.operators.similarity import (_cell_scores, _flat_cached,
+                                                  _flat_dot,
+                                                  _select_centroids)
+
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    w = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    cells = (_cell_scores(corpus, cents, dim, "c")
+             .withColumn("crank", F.row_number().over(w))
+             .where(F.col("crank") <= nprobe)
+             .select("id", "cent_id"))
+
+    cand = (cells.select(F.col("cent_id"), F.col("id").alias("id_a"))
+            .join(cells.select(F.col("cent_id"), F.col("id").alias("id_b")),
+                  "cent_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+    a = (corpus.drop("vec").withColumnRenamed("id", "id_a")
+         .withColumnRenamed("nrm", "nrm_a"))
+    a = a.select("id_a", "nrm_a",
+                 *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])
+    b = (corpus.drop("vec").withColumnRenamed("id", "id_b")
+         .withColumnRenamed("nrm", "nrm_b"))
+    b = b.select("id_b", "nrm_b",
+                 *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)])
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cosine",
+                    _flat_dot("a", "b", dim)
+                    / (F.col("nrm_a") * F.col("nrm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_gemm(embeddings: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95) -> DataFrame:

