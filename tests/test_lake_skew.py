@@ -119,3 +119,52 @@ def test_salted_count_equals_plain(spark):
     salted = {r["event_type"]: r["cnt"] for r in
               salted_count(ev, ["event_type"], salts=8).collect()}
     assert salted == plain
+
+
+def test_zorder_write_tightens_rowgroup_zone_maps(spark, tmp_path):
+    """The zorder=True pass must shrink per-row-group lat/lon min-max
+    spans (the zone maps bbox scans prune on) vs insertion order.
+
+    Uses ONE large single-day partition: the tightening only exists when
+    a partition spans many row groups (at real scale a day holds millions
+    of rows; a daily 144-cell fixture fits one group and shows nothing).
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nexus_spark.sources.lake import write_observations
+
+    obs = (spark.range(120000).select(
+        F.lit("big").alias("dataset"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("time"),
+        (F.rand(7) * 180 - 90).alias("lat"),
+        (F.rand(11) * 360 - 180).alias("lon"),
+        F.rand(13).alias("value")).coalesce(1))
+    small = {"parquet.block.size": str(256 * 1024),
+             "parquet.page.size": str(16 * 1024)}
+
+    def span_sum(path: str) -> tuple[float, int]:
+        total, groups = 0.0, 0
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+            meta = pq.ParquetFile(f).metadata
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema == "lat":
+                        st = col.statistics
+                        total += float(st.max) - float(st.min)
+                        groups += 1
+        return total, groups
+
+    write_observations(obs, str(tmp_path / "plain"), options=small)
+    write_observations(obs, str(tmp_path / "zorder"), zorder=True,
+                       options=small)
+    plain_span, plain_groups = span_sum(str(tmp_path / "plain"))
+    z_span, z_groups = span_sum(str(tmp_path / "zorder"))
+    assert plain_groups > 3 and z_groups > 3  # stats exist across groups
+    # Random order covers ~full extent per group; Z order covers tight
+    # boxes -> total span collapses.
+    assert z_span < plain_span * 0.5, (z_span, plain_span)
