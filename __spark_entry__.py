@@ -1669,7 +1669,7 @@ def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
          "sea_water_temperature": float(r.value)}
         for r in rows]
     ep = make_fixture_endpoint(records, name="events_edge",
-                               items_per_page=200)
+                               items_per_page=200, spark=spark)
     df = insitu_subset(spark, ep, "2024-01-01T00:00:00Z",
                        "2027-12-31T23:59:59Z", "-10,-5,5,3",
                        parameter="sst", depth_min=2.0, depth_max=8.0,
