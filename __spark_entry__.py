@@ -838,6 +838,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(text_stats(docs))
 
 
+def q_d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus curation (text.curate): quality gate
+    → exact dedup on the normalized fingerprint, one scan + one hash
+    aggregate. The oracle composes the text-stats SQL with the same gate
+    and a fingerprint GROUP BY."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(curate(docs, min_quality=0.6))
+
+
+def _sql_curation() -> str:
+    return f"""
+WITH stats AS ({_sql_text_stats()}),
+gated AS (SELECT * FROM stats WHERE quality >= 0.6),
+kept AS (SELECT fingerprint, MIN(doc_id) AS doc_id,
+                COUNT(*) AS dup_cnt
+         FROM gated GROUP BY fingerprint)
+SELECT g.doc_id, g.n_tokens, g.quality, g.lang_pred, g.fingerprint,
+       k.dup_cnt
+FROM gated g JOIN kept k USING (fingerprint, doc_id)
+"""
+
+
 def _sql_lang_score(lang_markers) -> str:
     return ("list_sum(list_transform(words, w -> CASE WHEN w IN ({m}) "
             "THEN 1 ELSE 0 END))").format(
@@ -1725,6 +1750,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 3: needs its first driver row ---
     "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
     "d8_insitu_subset": q_d8_insitu_subset,
+    "d_curation_pipeline": q_d_curation_pipeline,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -1763,9 +1789,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
-    "g_gaussian_interp": q_gauss_interp,
     # --- displaced siblings (each proven by a same-family query above;
     #     every one has at least one driver-green row in r01/r02) ---
+    "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
@@ -1832,6 +1858,7 @@ _ORACLES: dict[str, str] = {
     "g_gaussian_interp": _sql_gauss_interp(),
     "g_gaussian_interp_offgrid": SQL_GAUSS_OFFGRID,
     "d8_insitu_subset": SQL_D8_INSITU,
+    "d_curation_pipeline": _sql_curation(),
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,

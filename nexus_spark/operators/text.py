@@ -119,3 +119,30 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def curate(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", min_quality: float = 0.6,
+           langs: tuple[str, ...] | None = None) -> DataFrame:
+    """End-to-end curation pass for a pretraining corpus: quality gate →
+    optional language filter → exact dedup on the normalized fingerprint
+    (lowest id survives, copies counted).
+
+    The whole pipeline is ONE projection + one fingerprint aggregate —
+    the scan computes every per-doc statistic in a single pass, the only
+    shuffle is the dedup groupBy on the content hash, and everything is
+    JVM-side expression code (the shape that survives a 100 TB corpus).
+
+    Output: doc_id, n_tokens, quality, lang_pred, fingerprint, dup_cnt
+    (copies collapsed among quality-passing docs).
+    """
+    stats = text_stats(docs, id_col, text_col)
+    gated = stats.where(F.col("quality") >= min_quality)
+    if langs:
+        gated = gated.where(F.col("lang_pred").isin(list(langs)))
+    kept = (gated.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_cnt")))
+    return (gated.join(kept, ["fingerprint", id_col])
+            .select(id_col, "n_tokens", "quality", "lang_pred",
+                    "fingerprint", "dup_cnt"))
