@@ -863,6 +863,48 @@ FROM gated g JOIN kept k USING (fingerprint, doc_id)
 """
 
 
+def q_d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the md5 60-bit word hash — the fully
+    oracle-checkable variant (mirror of d_dedup_minhash_md5): every bit of
+    the fingerprint is reproducible from the md5 hex string in both
+    engines, so banding, candidates and hamming verify hash-compare."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(simhash_pairs(docs, hash_fn="md5", bits=60))
+
+
+# DuckDB reconstructs the same 60-bit hash bit-by-bit from the md5 hex:
+# bit j of conv(substr(md5,1,15),16,10) = bit (j%4) of hex digit at string
+# position 15 - j//4 (1-indexed, c1 most significant).
+SQL_D_SIMHASH_MD5 = """
+WITH w AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+wb AS (
+  SELECT id, bit,
+         CASE WHEN ((strpos('0123456789abcdef',
+                  substring(md5(word), 15 - CAST(FLOOR(bit / 4) AS INT), 1))
+                 - 1) >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM w, (SELECT unnest(generate_series(0, 59)) AS bit) bits),
+v AS (SELECT id, bit, SUM(vote) AS v FROM wb GROUP BY id, bit),
+fp AS (SELECT id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS simhash
+       FROM v GROUP BY id),
+segs AS (SELECT id, simhash, band,
+                (simhash >> (band * 15)) & 32767 AS segment
+         FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bands),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM segs a JOIN segs b ON a.band = b.band AND a.segment = b.segment
+  WHERE a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 def _sql_lang_score(lang_markers) -> str:
     return ("list_sum(list_transform(words, w -> CASE WHEN w IN ({m}) "
             "THEN 1 ELSE 0 END))").format(
@@ -1751,6 +1793,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
     "d8_insitu_subset": q_d8_insitu_subset,
     "d_curation_pipeline": q_d_curation_pipeline,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -1788,9 +1831,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_sessionize": q_sql_sessionize,
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
-    "g_spatial_smooth": q_spatial_smooth,
     # --- displaced siblings (each proven by a same-family query above;
     #     every one has at least one driver-green row in r01/r02) ---
+    "g_spatial_smooth": q_spatial_smooth,
     "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
@@ -1859,6 +1902,7 @@ _ORACLES: dict[str, str] = {
     "g_gaussian_interp_offgrid": SQL_GAUSS_OFFGRID,
     "d8_insitu_subset": SQL_D8_INSITU,
     "d_curation_pipeline": _sql_curation(),
+    "d_dedup_simhash_md5": SQL_D_SIMHASH_MD5,
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,

@@ -256,17 +256,34 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", bits: int = 64) -> DataFrame:
-    """SimHash: per-bit majority vote of xxhash64(word) over the doc.
+                         text_col: str = "text", bits: int = 64,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash: per-bit majority vote of a word hash over the doc.
 
     Plan: explode (word, bit) — a bits-fold row blowup but linear and
     perfectly partitioned on (id, bit); then reassemble the fingerprint as
     Σ 2^bit over majority bits. Output: id, simhash (bigint).
+
+    hash_fn:
+    - 'xxhash64' (default): 64-bit int word hash — the fast path.
+    - 'md5': the first 15 hex chars of md5(word) parsed as a 60-bit int
+      (signed-long safe). Same estimator, and every bit is reproducible
+      from the md5 hex string in ANY engine — the fully oracle-checkable
+      variant (mirror of minhash_signatures' md5 mode). Callers should
+      pass bits<=60.
     """
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        word_hash = F.conv(F.substring(F.md5(F.col("word")), 1, 15),
+                           16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        word_hash = F.xxhash64("word")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     words = (
         with_words(docs, text_col)
         .select(F.col(id_col).alias("id"), F.explode("words").alias("word"))
-        .withColumn("h", F.xxhash64("word"))
+        .withColumn("h", word_hash)
         .withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
         # column-valued shift counts need the SQL form (the pyspark wrapper
         # only takes literal bit counts)
@@ -283,15 +300,18 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  bands: int = 4) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
-    16-bit segments; hamming<=bands-1 guarantees >=1 equal band (pigeonhole),
-    so equi-join on (band, segment) finds all candidates; verify hamming.
+                  bands: int = 4, bits: int = 64,
+                  hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into `bands` segments;
+    hamming<=bands-1 guarantees >=1 equal band (pigeonhole), so equi-join
+    on (band, segment) finds all candidates; verify hamming.
 
     Output: id_a, id_b, hamming.
     """
-    fp = simhash_fingerprints(docs, id_col, text_col)
-    seg_bits = 64 // bands
+    fp = simhash_fingerprints(docs, id_col, text_col, bits, hash_fn)
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+    seg_bits = bits // bands
     mask = (1 << seg_bits) - 1
     segs = (
         fp.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
