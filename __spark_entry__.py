@@ -816,14 +816,56 @@ FROM ranked WHERE rank <= {_KNN_K}
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (no SQL oracle — approximate by design;
-    recall vs knn_bruteforce asserted in unit tests)."""
+    """Random-hyperplane LSH ANN. Approximate vs brute force, but fully
+    DETERMINISTIC: the hyperplanes are seeded-RNG literals baked into the
+    plan, so DuckDB reproduces the exact buckets (same float constants,
+    same sequential dot products) and the oracle hash-compares the whole
+    bucket→candidate→score→top-k pipeline."""
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.similarity import ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
     return _finish(ann_lsh(emb, queries_df, k=_KNN_K))
+
+
+def _sql_sim_lsh(n_planes: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+    """DuckDB mirror of similarity.ann_lsh: same seeded hyperplane
+    literals (similarity._bucket_sql), same sign-bit bucket packing, same
+    candidate equi-join and scoring tie-breaks as SQL_SIM_IVF."""
+    import numpy as np
+
+    selects = []
+    for t in range(n_tables):
+        rng = np.random.RandomState(seed + 1000 * t)
+        planes = rng.randn(n_planes, 64)
+        bits = []
+        for p in range(n_planes):
+            arr = ", ".join(repr(float(h)) for h in planes[p])
+            proj = f"list_dot_product(vec, [{arr}])"
+            bits.append(f"CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END")
+        selects.append(f"SELECT vec_id, {t} AS tbl, "
+                       + " + ".join(bits) + " AS bucket FROM n")
+    buckets = "\nUNION ALL ".join(selects)
+    return f"""
+WITH {_VECS},
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c USING (tbl, bucket)
+  WHERE q.vec_id < {_KNN_QUERIES} AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = query_id
+            JOIN n c ON c.vec_id = neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cosine, {ND}) AS cosine
+FROM scored
+QUALIFY rank <= {_KNN_K}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1903,6 +1945,7 @@ _ORACLES: dict[str, str] = {
     "d8_insitu_subset": SQL_D8_INSITU,
     "d_curation_pipeline": _sql_curation(),
     "d_dedup_simhash_md5": SQL_D_SIMHASH_MD5,
+    "sim_ann_lsh": _sql_sim_lsh(),
     "f_hof_deseason": SQL_HOF_DESEASON,
     "doms_list": SQL_DOMS_LIST,
     "e_sliding_events": SQL_SLIDING,
