@@ -404,8 +404,47 @@ def _negotiate(result: Any, p: Params) -> tuple[bytes, str]:
     raise RequestError(f"unsupported output type: {output}")
 
 
+class _ResponseCache:
+    """TTL response cache keyed on the full request path — the reference
+    decorates every handler with a 60-second results cache
+    (webmodel.py:481-514 cached(ttl=timedelta(seconds=...))). Entries are
+    (expiry, body, ctype); expired entries are dropped on access, and the
+    store is bounded (oldest-expiry eviction) so a scan of distinct URLs
+    cannot grow it without limit."""
+
+    def __init__(self, ttl_s: float = 60.0, max_entries: int = 256):
+        self.ttl_s, self.max_entries = ttl_s, max_entries
+        self._d: dict[str, tuple[float, bytes, str]] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str):
+        import time
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is None:
+                return None
+            if hit[0] < time.monotonic():
+                del self._d[key]
+                return None
+            return hit[1], hit[2]
+
+    def put(self, key: str, body: bytes, ctype: str) -> None:
+        import time
+        with self._lock:
+            if len(self._d) >= self.max_entries:
+                oldest = min(self._d, key=lambda k: self._d[k][0])
+                del self._d[oldest]
+            self._d[key] = (time.monotonic() + self.ttl_s, body, ctype)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+
 class _Handler(BaseHTTPRequestHandler):
     routes: dict[str, Callable[[Params], Any]] = {}
+    spark: SparkSession | None = None
+    cache: _ResponseCache | None = None
 
     def log_message(self, *args):  # quiet test output
         pass
@@ -418,9 +457,25 @@ class _Handler(BaseHTTPRequestHandler):
                 {"error": f"no such endpoint: {url.path}"}).encode(),
                 "application/json")
             return
+        if self.cache is not None:
+            hit = self.cache.get(self.path)
+            if hit is not None:
+                self._send(200, hit[0], hit[1])
+                return
         p = Params(parse_qs(url.query))
+        # Each request runs in its own handler thread; tagging the thread
+        # with a scheduler pool gives concurrent requests FAIR sharing of
+        # the one SparkContext (the reference's spark.scheduler.mode=FAIR,
+        # webapp.py:219 — pool config is a SparkConf concern, the tag is
+        # ours). Local properties are per-thread, so this is safe under
+        # the ThreadingHTTPServer.
+        if self.spark is not None:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "interactive")
         try:
             body, ctype = _negotiate(handler(p), p)
+            if self.cache is not None:
+                self.cache.put(self.path, body, ctype)
             self._send(200, body, ctype)
         except Accepted as exc:
             self._send(202, json.dumps(exc.payload).encode(),
@@ -441,16 +496,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(spark: SparkSession, sf_dir: str, port: int = 0,
-          edge_endpoints: dict[str, dict] | None = None
-          ) -> ThreadingHTTPServer:
+          edge_endpoints: dict[str, dict] | None = None,
+          cache_ttl_s: float = 0.0) -> ThreadingHTTPServer:
     """Start the facade on `port` (0 = ephemeral); returns the server —
     `server.server_address[1]` is the bound port; call `.shutdown()` to
     stop. Runs daemon-threaded so tests and notebooks can use it inline.
     `edge_endpoints` maps in-situ source names to EDGE endpoint dicts
-    (sources/edge.py) for /domsinsitusubset."""
+    (sources/edge.py) for /domsinsitusubset. `cache_ttl_s` > 0 enables the
+    reference's TTL result cache (60 s there) on 200 responses; the cache
+    handle is exposed as `server.response_cache` for invalidation."""
+    cache = _ResponseCache(ttl_s=cache_ttl_s) if cache_ttl_s > 0 else None
     handler = type("BoundHandler", (_Handler,),
-                   {"routes": build_routes(spark, sf_dir, edge_endpoints)})
+                   {"routes": build_routes(spark, sf_dir, edge_endpoints),
+                    "spark": spark, "cache": cache})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    server.response_cache = cache  # type: ignore[attr-defined]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server

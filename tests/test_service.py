@@ -176,3 +176,35 @@ def test_json_default_row_cap(server):
     status, _, body = _get(server, "/datainbounds?limit=7")
     assert status == 200
     assert len(json.loads(body)) == 7
+
+
+def test_ttl_response_cache_and_fair_pool(spark):
+    """cache_ttl_s>0 serves repeat GETs from the TTL cache (the
+    reference's 60s results cache) and request threads carry the FAIR
+    scheduler pool tag."""
+    import time as _time
+
+    from nexus_spark.service import serve
+
+    srv = serve(spark, SF_DIR, port=0, cache_ttl_s=60.0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        path = ("/timeSeriesSpark?ds=sst_a&b=-60,-10,60,10"
+                "&startTime=1995-01-01T00:00:00Z"
+                "&endTime=1995-03-31T00:00:00Z")
+        t0 = _time.time()
+        s1, _, b1 = _get(base, path)
+        cold = _time.time() - t0
+        t0 = _time.time()
+        s2, _, b2 = _get(base, path)
+        warm = _time.time() - t0
+        assert (s1, s2) == (200, 200) and b1 == b2
+        assert warm < cold / 5  # cache hit never plans a Spark job
+        # invalidation handle works
+        srv.response_cache.clear()
+        assert srv.response_cache.get(path) is None
+        # errors are not cached
+        s3, _ = _get_status(base, "/timeSeriesSpark?b=0,0,bad")
+        assert s3 == 400
+    finally:
+        srv.shutdown()
