@@ -138,3 +138,36 @@ def test_ann_lsh_joins_on_buckets(spark):
 def test_dedup_inverted_index_no_cartesian(spark):
     plan = _plan(spark, "d_dedup_ngram_jaccard")
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_scan_no_cartesian(spark):
+    """The curation pass is one documents scan feeding both the gate and
+    the dedup aggregate — never a cartesian, and the scan reads only
+    (doc_id, text)."""
+    plan = _plan(spark, "d_curation_pipeline")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"}
+
+
+def test_streaming_matchup_batch_plan_no_cartesian(spark):
+    """The stream-stream matchup on static frames must keep the cell
+    equi-join shape (SortMerge/ShuffledHash on the cell keys), never a
+    cartesian or broadcast-nested-loop over the range condition."""
+    from nexus_spark import domain
+    from nexus_spark.streaming.matchup import streaming_matchup
+
+    out = streaming_matchup(
+        domain.matchup_primary(spark, SF_DIR_T2),
+        domain.matchup_secondary(spark, SF_DIR_T2),
+        radius_km=300.0, time_tolerance_s=86400)
+    out.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = out._jdf.queryExecution().explainString(jmode)
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
