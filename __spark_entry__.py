@@ -19,7 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, DoubleType, FloatType, TimestampType
+from pyspark.sql.types import (DateType, DoubleType, FloatType,
+                               TimestampNTZType, TimestampType)
 
 from nexus_spark import domain
 from nexus_spark.session import tune
@@ -47,7 +48,7 @@ def _finish(df: DataFrame, nd: int = ND) -> DataFrame:
             )
         elif isinstance(f.dataType, DateType):
             df = df.withColumn(f.name, F.date_format(c, "yyyy-MM-dd"))
-        elif isinstance(f.dataType, TimestampType):
+        elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
             df = df.withColumn(f.name, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
     return df
 
@@ -719,6 +720,75 @@ FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING CAST(COUNT(*) AS DOUBLE)
        / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= {_JACCARD_T}
+"""
+
+
+def q_d_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: ngram-jaccard pairs -> connected components ->
+    (doc_id, component=min reachable doc id). The cluster-resolution step
+    every pair-emitting dedup needs before it can pick survivors."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (connected_components,
+                                             ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=_JACCARD_T)
+    return _finish(connected_components(pairs, docs))
+
+
+def q_d_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size rollup over the components: representative id, member
+    count, discarded-duplicate count."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (cluster_representatives,
+                                             connected_components,
+                                             ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = connected_components(
+        ngram_jaccard_pairs(docs, threshold=_JACCARD_T), docs)
+    return _finish(cluster_representatives(comps))
+
+
+# Recursive-CTE transitive closure gives the oracle the same min-reachable
+# label the iterative Spark propagation converges to.
+_SQL_CC_CTES = f"""
+WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS words
+                     FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END) AS shingles
+  FROM d),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= {_JACCARD_T}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+m AS (SELECT src AS node, MIN(dst) AS mn FROM reach GROUP BY src),
+comp AS (
+  SELECT doc.doc_id AS doc_id,
+         LEAST(doc.doc_id, COALESCE(m.mn, doc.doc_id)) AS component
+  FROM documents doc LEFT JOIN m ON doc.doc_id = m.node)
+"""
+
+SQL_D_COMPONENTS = _SQL_CC_CTES + "SELECT doc_id, component FROM comp"
+
+SQL_D_CLUSTER_STATS = _SQL_CC_CTES + """
+SELECT component, COUNT(*) AS cluster_size,
+       CAST(SUM(CASE WHEN doc_id <> component THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicates
+FROM comp GROUP BY component
 """
 
 
@@ -1836,6 +1906,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_insitu_subset": q_d8_insitu_subset,
     "d_curation_pipeline": q_d_curation_pipeline,
     "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -1917,6 +1989,8 @@ _ORACLES: dict[str, str] = {
     "etl_regrid": SQL_REGRID,
     "d_dedup_exact": SQL_D_EXACT,
     "d_dedup_ngram_jaccard": SQL_D_JACCARD,
+    "d_dedup_components": SQL_D_COMPONENTS,
+    "d_cluster_stats": SQL_D_CLUSTER_STATS,
     # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
     # m_multimodal_features: intentionally no oracle (xxhash64 /
     # approximate / Python-side decode) — rows-only check; recall and

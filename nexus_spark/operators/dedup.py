@@ -486,3 +486,73 @@ def embedding_near_dup_gemm(embeddings: DataFrame, id_col: str = "vec_id",
                                  "cosine": out_c})
 
     return embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         src_col: str = "id_a", dst_col: str = "id_b",
+                         max_rounds: int = 30) -> DataFrame:
+    """Resolve a near-dup pair graph into duplicate clusters.
+
+    Every node is labeled with the minimum node id reachable through the
+    pair graph (its component representative); singleton docs label
+    themselves. This is the step every production dedup pipeline needs
+    after MinHash/SimHash/Jaccard emit PAIRS: pairs are not clusters —
+    A~B and B~C must collapse to one surviving representative for {A,B,C}.
+
+    Algorithm: min-label propagation over the symmetric edge list
+    (comp(v) <- min(comp(v), min_{u~v} comp(u)) per round), which
+    converges in graph-diameter rounds. Near-dup clusters are shallow
+    (duplicates of a common source), so diameter is small; for
+    adversarial chain-shaped graphs switch to alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC '14) — the same equi-join primitive,
+    O(log n) rounds.
+
+    Scale design: each round is ONE shuffle (edge-label equi-join +
+    groupBy-min on the node id); `localCheckpoint` truncates the plan so
+    lineage doesn't grow with rounds (on a cluster with a checkpoint dir
+    configured, prefer `checkpoint()` for fault tolerance). Convergence
+    is detected by the monotone label-sum invariant: labels only ever
+    decrease, so an unchanged sum(comp) is a fixpoint — one scalar agg
+    per round instead of a full-frame anti-join.
+
+    Output: (id_col, component) — component = min doc id of the cluster.
+    """
+    edges = pairs.select(F.col(src_col).alias("e_src"),
+                         F.col(dst_col).alias("e_dst"))
+    edges = edges.union(
+        edges.select(F.col("e_dst").alias("e_src"),
+                     F.col("e_src").alias("e_dst"))).localCheckpoint()
+
+    labels = (nodes.select(F.col(id_col).alias("node")).distinct()
+              .withColumn("comp", F.col("node")).localCheckpoint())
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_rounds):
+        neigh = (edges.join(labels, edges.e_dst == labels.node)
+                 .groupBy("e_src").agg(F.min("comp").alias("nmin")))
+        labels = (labels.join(neigh, labels.node == neigh.e_src, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("comp"),
+                                  F.coalesce(F.col("nmin"), F.col("comp")))
+                          .alias("comp"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("comp").alias("component"))
+
+
+def cluster_representatives(components: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-cluster summary over connected_components() output: the surviving
+    representative (min id = the component label), cluster size, and the
+    discarded duplicate count. One shuffle on the component key."""
+    return (components.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.sum(F.when(F.col(id_col) != F.col("component"), 1)
+                       .otherwise(0)).alias("n_duplicates")))

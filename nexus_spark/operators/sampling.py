@@ -1,0 +1,117 @@
+"""Deterministic sampling and sequence-packing operators for training-data
+pipelines (not present in the reference; designed 100 TB-first).
+
+Everything here is seed-free and engine-portable: selection is driven by
+md5(id) — a content-addressed coin flip that is stable across runs, engines,
+partitionings, and cluster sizes, so a sample drawn at 100 TB is reproducible
+row-for-row. No randomness API, no driver-side state, no shuffle beyond what
+the semantics require:
+
+- fraction sampling: zero shuffle (pure filter, pushes down past the scan);
+- exact-n per stratum: one shuffle on the stratum key (window row_number);
+- sequence packing: one shuffle on the bucket key (window cumulative sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_spark.operators.text import token_count
+
+
+def _hash_key(id_col: Column) -> Column:
+    """Deterministic per-row sampling key: first 8 hex chars of
+    md5(cast(id as string)). Lexicographic compare on the hex prefix is a
+    uniform draw over [0, 16^8); both Spark and ANSI SQL render md5 as
+    lowercase hex, so the same rows are selected in any engine."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 8)
+
+
+def fraction_threshold(rate: float) -> str:
+    """Hex threshold t such that P[md5-prefix < t] == rate (to 1/16^8).
+
+    Thresholds are compared as 8-char strings, so rate=1.0 maps to "g"
+    (sorts after every hex digit) rather than a 9-char numeral that would
+    break the length-equal lexicographic==numeric equivalence."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample_fraction(df: DataFrame, strata_col: str,
+                               rates: dict[str, float],
+                               id_col: str = "doc_id",
+                               default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum fraction sampling as a pure filter — the scan-time
+    downsampling step of a data-mixing pipeline (e.g. keep 10% of 'en',
+    50% of low-resource languages).
+
+    No shuffle, no randomness: row kept iff md5(id) prefix < the stratum's
+    hex threshold. The filter is a plain column predicate, so Catalyst
+    pushes it into the scan and the discarded rows never leave the reader.
+    Deterministic at any scale and under any repartitioning.
+    """
+    key = _hash_key(F.col(id_col))
+    default_thr = F.lit(fraction_threshold(default_rate))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        thr = F.lit(fraction_threshold(rate))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = expr.otherwise(default_thr) if expr is not None else default_thr
+    return df.where(key < thr_col)
+
+
+def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum: rank rows inside each
+    stratum by md5(id) and keep the first n. The hash order is a uniform
+    random permutation fixed by content, so this is a reproducible
+    reservoir sample with one shuffle (the window partition) — the
+    standard 'n docs per language/source' curation step.
+
+    Adds a `sample_rank` column (1-based rank within the stratum).
+    """
+    w = Window.partitionBy(strata_col).orderBy(_hash_key(F.col(id_col)),
+                                               F.col(id_col))
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= n))
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a context
+    window (pack) of `budget` tokens, the way LLM pre-training shards a
+    corpus into fixed-length training sequences.
+
+    Documents are routed to `n_buckets` independent streams (bucket =
+    id % n_buckets — portable, no hash function disagreement across
+    engines), ordered by id within the bucket, and laid end-to-end; a
+    document starts at the running token offset and its pack is
+    floor(offset / budget). Documents may straddle a pack boundary —
+    exactly the concat-then-chunk semantics of training-data loaders
+    (the alternative, first-fit bin packing, is inherently sequential;
+    this formulation is ONE window cumulative sum, fully parallel across
+    buckets, and each bucket's windows are independent so skew is bounded
+    by corpus_size / n_buckets).
+
+    Output: id, bucket, n_tokens, pack_id (bucket-local), offset_in_pack.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = token_count(F.col(text_col))
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select(F.col(id_col),
+                    (F.col(id_col) % n_buckets).alias("bucket"),
+                    toks.alias("n_tokens"))
+            .withColumn("cum_excl",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .select(id_col, "bucket", "n_tokens",
+                    F.floor(F.col("cum_excl") / budget).alias("pack_id"),
+                    (F.col("cum_excl") % budget).alias("offset_in_pack")))
