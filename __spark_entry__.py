@@ -792,6 +792,118 @@ FROM comp GROUP BY component
 """
 
 
+# Per-language mixing rates for the stratified-sample query (down-weight the
+# dominant language, keep the low-resource tail — the standard data-mixing
+# shape). Thresholds are md5-prefix hex strings shared with the oracle.
+_SAMPLE_RATES = {"en": 0.1, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.25}
+_SAMPLE_EXACT_N = 20
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+def q_d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language fraction sampling: pure filter, no
+    shuffle, reproducible at any scale (md5(doc_id)-keyed)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import stratified_sample_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample_fraction(docs, "lang", _SAMPLE_RATES)
+    return _finish(kept.select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_d_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum reservoir sample (md5 rank order)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = stratified_sample_exact(docs, "lang", _SAMPLE_EXACT_N)
+    return _finish(picked.select("doc_id", "lang", "sample_rank"))
+
+
+def q_d_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token context windows."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(pack_sequences(docs, budget=_PACK_BUDGET,
+                                  n_buckets=_PACK_BUCKETS))
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(tfidf_top_terms(docs, k=3))
+
+
+def _sample_case_sql() -> str:
+    from nexus_spark.operators.sampling import fraction_threshold
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN '{fraction_threshold(rate)}'"
+        for lang, rate in sorted(_SAMPLE_RATES.items()))
+    return f"CASE lang {arms} ELSE '{fraction_threshold(0.0)}' END"
+
+
+SQL_D_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_sample_case_sql()}
+"""
+
+SQL_D_SAMPLE_EXACT_N = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+           AS sample_rank
+  FROM documents)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= {_SAMPLE_EXACT_N}
+"""
+
+SQL_D_TOKEN_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS cum_excl
+  FROM t)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+         AS pack_id,
+       CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+SQL_TEXT_TFIDF = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.word,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS tfidf
+      FROM tf JOIN dfq USING (word) CROSS JOIN n),
+r AS (SELECT doc_id, word, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word ASC) AS term_rank
+      FROM s)
+SELECT doc_id, word, CAST(term_rank AS INT) AS term_rank,
+       ROUND(tfidf, {ND}) AS tfidf
+FROM r WHERE term_rank <= 3
+"""
+
+
 def q_d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (no SQL oracle: xxhash64 signatures are not
     reproducible in DuckDB; recall vs exact jaccard is covered by unit
@@ -1908,6 +2020,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_simhash_md5": q_d_simhash_md5,
     "d_dedup_components": q_d_dedup_components,
     "d_cluster_stats": q_d_cluster_stats,
+    "d_stratified_sample": q_d_stratified_sample,
+    "d_sample_exact_n": q_d_sample_exact_n,
+    "d_token_packing": q_d_token_packing,
+    "text_tfidf_top_terms": q_text_tfidf,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -1991,6 +2107,10 @@ _ORACLES: dict[str, str] = {
     "d_dedup_ngram_jaccard": SQL_D_JACCARD,
     "d_dedup_components": SQL_D_COMPONENTS,
     "d_cluster_stats": SQL_D_CLUSTER_STATS,
+    "d_stratified_sample": SQL_D_STRATIFIED_SAMPLE,
+    "d_sample_exact_n": SQL_D_SAMPLE_EXACT_N,
+    "d_token_packing": SQL_D_TOKEN_PACKING,
+    "text_tfidf_top_terms": SQL_TEXT_TFIDF,
     # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
     # m_multimodal_features: intentionally no oracle (xxhash64 /
     # approximate / Python-side decode) — rows-only check; recall and

@@ -146,3 +146,41 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
     return (gated.join(kept, ["fingerprint", id_col])
             .select(id_col, "n_tokens", "quality", "lang_pred",
                     "fingerprint", "dup_cnt"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Classic two-aggregate plan: explode words -> tf per (doc, word) (one
+    shuffle on the pair key, partial-agg combined map-side), document
+    frequency per word derived FROM the tf table (second agg over the
+    already-reduced frame, not the raw explode), corpus size via a
+    broadcast scalar join (no driver-side count action), then a top-k
+    window per doc. Ranking ties break deterministically on the word.
+
+    At corpus scale the df table is vocabulary-sized (≪ corpus), so
+    Catalyst broadcast-joins it against tf automatically; the only big
+    shuffles are the two aggregations, both combine map-side.
+
+    Output: doc_id, word, term_rank, tfidf.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_tbl, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "word",
+                      (F.col("tf")
+                       * F.log(F.col("n_docs").cast("double")
+                               / F.col("df"))).alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("word").asc())
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .where(F.col("term_rank") <= k)
+            .select(id_col, "word", "term_rank", "tfidf"))
