@@ -33,6 +33,10 @@ def _finish(df: DataFrame, nd: int = ND) -> DataFrame:
     returns NaN where DuckDB returns NULL for undefined corr/stddev), and
     render date/timestamp columns as canonical strings (engines disagree on
     date object rendering, strings are unambiguous)."""
+    # ONE select projection (not a withColumn chain: each withColumn is a
+    # separate analysis pass + Py4J round trip — at ~10 float columns that
+    # was ~0.2s of driver-side plan-build latency per query).
+    cols = []
     for f in df.schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, (DoubleType, FloatType)):
@@ -42,15 +46,16 @@ def _finish(df: DataFrame, nd: int = ND) -> DataFrame:
             # half-away-from-zero in both. The oracle side gets the same
             # treatment via _stable_round_sql.
             rounded = F.round(c.cast("decimal(38,7)"), nd).cast("double")
-            df = df.withColumn(
-                f.name,
-                F.when(F.isnan(c), F.lit(None)).otherwise(rounded),
-            )
+            cols.append(F.when(F.isnan(c), F.lit(None)).otherwise(rounded)
+                        .alias(f.name))
         elif isinstance(f.dataType, DateType):
-            df = df.withColumn(f.name, F.date_format(c, "yyyy-MM-dd"))
+            cols.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
         elif isinstance(f.dataType, (TimestampType, TimestampNTZType)):
-            df = df.withColumn(f.name, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
-    return df
+            cols.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+                        .alias(f.name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
 
 
 def _with(*ctes: str) -> str:
@@ -901,6 +906,44 @@ r AS (SELECT doc_id, word, tfidf,
 SELECT doc_id, word, CAST(term_rank AS INT) AS term_rank,
        ROUND(tfidf, {ND}) AS tfidf
 FROM r WHERE term_rank <= 3
+"""
+
+
+_WINNOW_T = 0.3
+
+
+def q_d_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (SIGMOD'03 fingerprinting):
+    sparser postings than full shingling at the same match guarantee."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(winnow_pairs(docs, threshold=_WINNOW_T))
+
+
+SQL_D_WINNOW = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) >= 4 THEN
+          [md5(array_to_string(words[i:i+3], ' '))
+           FOR i IN generate_series(1, len(words) - 3)]
+        ELSE [md5(array_to_string(words, ' '))] END AS grams
+      FROM d),
+s AS (SELECT doc_id,
+        CASE WHEN len(grams) >= 4 THEN
+          list_distinct([list_min(grams[j:j+3])
+           FOR j IN generate_series(1, len(grams) - 3)])
+        ELSE [list_min(grams)] END AS fps
+      FROM g),
+e AS (SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)), {ND}) AS overlap
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE)
+       / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)) >= {_WINNOW_T}
 """
 
 
@@ -1760,6 +1803,21 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch profile (HLL++ distinct + GK quantiles). No SQL
+    oracle by design: sketch internals are engine-specific; accuracy vs
+    exact answers is asserted in tests within the published bounds."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import approx_profile
+
+    prof = approx_profile(load_table(spark, sf_dir, "events"))
+    return _finish(prof.withColumn(
+        "value_quantiles",
+        F.transform("value_quantiles",
+                    lambda x: F.round(x.cast("decimal(38,7)"), ND)
+                    .cast("double"))))
+
+
 # --------------------------------------------------------------------------
 # Polygon masking (non-rectangular) + low-pass filter
 # --------------------------------------------------------------------------
@@ -2024,6 +2082,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_sample_exact_n": q_d_sample_exact_n,
     "d_token_packing": q_d_token_packing,
     "text_tfidf_top_terms": q_text_tfidf,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "sketch_profile": q_sketch_profile,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -2111,6 +2171,7 @@ _ORACLES: dict[str, str] = {
     "d_sample_exact_n": SQL_D_SAMPLE_EXACT_N,
     "d_token_packing": SQL_D_TOKEN_PACKING,
     "text_tfidf_top_terms": SQL_TEXT_TFIDF,
+    "d_dedup_winnow": SQL_D_WINNOW,
     # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
     # m_multimodal_features: intentionally no oracle (xxhash64 /
     # approximate / Python-side decode) — rows-only check; recall and

@@ -556,3 +556,72 @@ def cluster_representatives(components: DataFrame,
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.sum(F.when(F.col(id_col) != F.col("component"), 1)
                        .otherwise(0)).alias("n_duplicates")))
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — public algorithm).
+
+    Hash every word k-gram (md5 hex — portable, content-addressed), slide
+    a window of w consecutive k-gram hashes, keep the minimum hash of each
+    window, and dedupe: the selected minima are the document's fingerprint
+    set. Winnowing guarantees any shared run of >= k+w-1 tokens produces
+    at least one shared fingerprint, at ~2/(w+1) the density of full
+    k-gram shingling — the fingerprint table this builds is w/2 times
+    smaller than the Jaccard postings index for the same guarantee.
+
+    Everything is one projection of array expressions (whole-stage
+    codegen); the explode output is (id, fp, n_fp) — the postings shape
+    the pair-join consumes. Short docs (< k words) fall back to one gram
+    of the whole text so they still participate.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int"))
+                       for j in range(k)])))
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
+    sel = F.when(
+        F.size(grams) >= w,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w))))
+    ).otherwise(F.array(F.array_min(grams)))
+    return (docs
+            .select(F.col(id_col).alias("id"), sel.alias("fps"))
+            .select("id", F.size("fps").alias("n_fp"),
+                    F.explode("fps").alias("fp")))
+
+
+def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 4, w: int = 4,
+                 threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap coefficient
+    |A∩B| / min(|A|, |B|) >= threshold.
+
+    Same inverted-index plan as ngram_jaccard_pairs — pairs materialize
+    only where a fingerprint co-occurs, and the fingerprint table is the
+    winnowed (sparser) one, so the self-join fan-out is ~2/(w+1) of the
+    full-shingle join at the same recall guarantee. One equi-join on the
+    fingerprint + one pair-key aggregation.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"),
+                   F.col("n_fp").alias("n_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"),
+                   F.col("n_fp").alias("n_b"))
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .withColumn("overlap",
+                        F.col("common")
+                        / F.least(F.col("n_a"), F.col("n_b")))
+            .where(F.col("overlap") >= threshold)
+            .select("id_a", "id_b", "common", "overlap"))

@@ -118,12 +118,15 @@ def lonlat_map(obs: DataFrame, dataset: str | None = None,
         F.col("_avgy").alias("ll_mean"),
         F.sqrt(F.try_divide(F.col("_syy"), F.col("ll_cnt"))).alias("ll_std"),
     )
-    # Staged projections keep each engine evaluating the same named
-    # intermediate exactly once (the SQL text is shared with the oracle).
-    se = base.withColumn("ll_stderr", F.expr(
-        stderr_sql("ll_slope", "_sxx", "_syy", "_sxy", "ll_cnt")))
-    ts = se.withColumn("_t", F.expr(tstat_sql("ll_slope", "ll_stderr")))
-    zs = ts.withColumn("_z", F.expr(zstat_sql("_t", "ll_cnt")))
-    return (zs.withColumn("ll_pvalue",
-                          F.expr(pvalue_from_z_sql("_z", "ll_stderr")))
-            .drop("_sxx", "_syy", "_sxy", "_t", "_z"))
+    # Staged projections keep the expensive intermediates named (the
+    # p-value text references _z seven times — naming it bounds the tree),
+    # while the cheap t-stat nests textually into the z-stage so the whole
+    # chain is three select passes, not five withColumn analysis passes.
+    se = base.select("*", F.expr(
+        stderr_sql("ll_slope", "_sxx", "_syy", "_sxy", "ll_cnt"))
+        .alias("ll_stderr"))
+    z_txt = zstat_sql(f"({tstat_sql('ll_slope', 'll_stderr')})", "ll_cnt")
+    zs = se.select("*", F.expr(z_txt).alias("_z"))
+    return (zs.select("*", F.expr(pvalue_from_z_sql("_z", "ll_stderr"))
+                      .alias("ll_pvalue"))
+            .drop("_sxx", "_syy", "_sxy", "_z"))

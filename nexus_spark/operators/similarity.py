@@ -71,6 +71,16 @@ def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
     return got
 
 
+def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int = DIM) -> int:
+    """Materialize the session's normalized flat-vector frame — the
+    in-session analog of the write-time IVF index (similarity.ivf_write).
+    A deployment maintains this state at ingest; calling warm_index once
+    after load means subsequent knn/ANN calls measure SEARCH, not index
+    build. Returns the corpus size."""
+    return _flat_cached(embeddings, id_col, vec_col, dim, "c").count()
+
+
 def clear_cache() -> None:
     """Unpersist and drop every memoized flat-vector frame."""
     for frame in _FLAT_CACHE.values():

@@ -214,3 +214,26 @@ def hourly_events(events: DataFrame) -> DataFrame:
              F.min("value").alias("ev_min"),
              F.max("value").alias("ev_max"))
     )
+
+
+def approx_profile(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based data profile per event_type: HyperLogLog++ distinct
+    users (approx_count_distinct, relative sd `rsd`) and quantile sketches
+    of the value column (percentile_approx / Greenwald-Khanna).
+
+    This is the 100 TB profiling shape: both sketches are bounded-memory,
+    single-pass, and MERGEABLE — partial sketches combine associatively
+    across partitions, so the plan is one map-side-combined aggregation
+    with O(types * sketch_size) state, no matter the row count. An exact
+    count-distinct would shuffle every (type, user) pair; the sketch
+    shuffles kilobytes.
+
+    No cross-engine oracle by design (sketch internals are
+    engine-specific); accuracy is asserted against exact answers in
+    tests/test_sampling.py within the published error bounds.
+    """
+    return (events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.percentile_approx(
+            "value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events")))

@@ -125,3 +125,28 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
         )
         .where(F.col("ts_cnt") > 0)
     )
+
+
+def merge_summaries(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two summary tables into one — the incremental-maintenance
+    step: summary(full) == merge(summary(old), summary(delta)).
+
+    Every summary column is a mergeable sufficient statistic (sums add,
+    counts add, mins/maxes combine), so an ingest appending one day of
+    data updates the zone map by summarizing ONLY the delta and merging —
+    never rescanning history. One union + one groupBy on the tile key
+    (the same key the summary is already distributed by).
+    """
+    keys = ["dataset", "tile_date", "lat_tile", "lon_tile"]
+    return (a.unionByName(b)
+            .groupBy(*keys)
+            .agg(F.min("t_min_lat").alias("t_min_lat"),
+                 F.max("t_max_lat").alias("t_max_lat"),
+                 F.min("t_min_lon").alias("t_min_lon"),
+                 F.max("t_max_lon").alias("t_max_lon"),
+                 F.sum("t_sum_wv").alias("t_sum_wv"),
+                 F.sum("t_sum_w").alias("t_sum_w"),
+                 F.sum("t_sum_v").alias("t_sum_v"),
+                 F.sum("t_cnt").alias("t_cnt"),
+                 F.min("t_min").alias("t_min"),
+                 F.max("t_max").alias("t_max")))

@@ -116,3 +116,29 @@ def _invalidate_views(path: str) -> None:
     from nexus_spark import domain
 
     domain.invalidate(sf_dir=path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 16, sort: bool = True) -> None:
+    """Write a hash-bucketed (optionally bucket-sorted) managed table —
+    the co-located-join layout for fact-fact joins at scale.
+
+    Bucketing pre-shuffles ONCE at write time: every subsequent equi-join
+    or aggregation on `key` between tables bucketed the same way runs with
+    ZERO Exchange (Spark's bucket spec matches the join's required
+    distribution), turning the recurring 100 TB shuffle of a fact-fact
+    join into a write-time cost paid once at ingest. sortBy additionally
+    enables sort-merge joins without a per-query sort.
+
+    Uses saveAsTable (bucket metadata lives in the session catalog —
+    plain parquet paths cannot carry a bucket spec).
+    """
+    w = df.write.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed (possibly bucketed) table back from the catalog."""
+    return spark.table(table)

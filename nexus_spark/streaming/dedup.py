@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nexus_spark.streaming import ensure_event_time
 from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 FIRST_SEEN_SCHEMA = StructType([
@@ -51,7 +53,8 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text",
     hashed = with_content_hash(docs, text_col)
     if not hashed.isStreaming:
         return hashed.dropDuplicates(["content_hash"])
-    return (hashed.withWatermark(time_col, watermark)
+    return (ensure_event_time(hashed, time_col)
+            .withWatermark(time_col, watermark)
                   .dropDuplicatesWithinWatermark(["content_hash"]))
 
 

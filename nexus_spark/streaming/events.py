@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nexus_spark.streaming import ensure_event_time
+
 
 def read_events_stream(spark: SparkSession, path_dir: str,
                        schema=None) -> DataFrame:
@@ -52,7 +54,7 @@ def windowed_stats(events: DataFrame, window: str = "1 hour",
     (same code path — the batch run is the correctness oracle)."""
     ev = _normalize_ts(events)
     if ev.isStreaming:
-        ev = ev.withWatermark("ts", watermark)
+        ev = ensure_event_time(ev, "ts").withWatermark("ts", watermark)
     win = (F.window("ts", window, slide) if slide
            else F.window("ts", window))
     return (

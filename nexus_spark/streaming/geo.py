@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nexus_spark.streaming import ensure_event_time
+
 from nexus_spark.functions.geo import cos_lat_weight
 
 
@@ -29,7 +31,7 @@ def streaming_time_series(obs: DataFrame, watermark: str = "3 days") -> DataFram
     # reject — normalize the event-time column first.
     df = obs.withColumn("time", F.col("time").cast("timestamp"))
     if df.isStreaming:
-        df = df.withWatermark("time", watermark)
+        df = ensure_event_time(df, "time").withWatermark("time", watermark)
     w = F.when(F.col("value").isNotNull(), cos_lat_weight("lat"))
     return (
         df.groupBy(F.window("time", "1 day").alias("w"), F.col("dataset"))

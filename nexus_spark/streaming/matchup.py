@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nexus_spark.streaming import ensure_event_time
+
 from nexus_spark.functions.geo import haversine_km
 from nexus_spark.operators.matchup import KM_PER_DEG_LAT
 
@@ -83,9 +85,9 @@ def streaming_matchup(
         .withColumnRenamed("lon_cell", "s_lon_cell")
 
     if p.isStreaming:
-        p = p.withWatermark("p_time", watermark)
+        p = ensure_event_time(p, "p_time").withWatermark("p_time", watermark)
     if s.isStreaming:
-        s = s.withWatermark("s_time", watermark)
+        s = ensure_event_time(s, "s_time").withWatermark("s_time", watermark)
 
     # Same neighbor-cell explosion as the batch operator (pole-cap span
     # included); the explode multiplies only the primary stream, state for

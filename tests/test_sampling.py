@@ -106,3 +106,93 @@ def test_cluster_representatives_rollup(spark):
     stats = {r.component: (r.cluster_size, r.n_duplicates)
              for r in cluster_representatives(comps).collect()}
     assert stats == {1: (3, 2), 7: (1, 0)}
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # Winnowing guarantee: a shared token run of length >= k+w-1 (= 7 with
+    # k=4, w=4) always yields at least one shared fingerprint.
+    from nexus_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [(1, f"unrelated prefix words here {shared} and a tail"),
+         (2, f"{shared} totally different suffix content follows now"),
+         (3, "no overlap with anything else at all whatsoever")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    # density: winnowed set is strictly sparser than the full k-gram set
+    n_words = len(docs.collect()[0].text.split(" "))
+    assert len(by_doc[1]) < n_words - 3
+    pairs = winnow_pairs(docs, threshold=0.01).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_approx_profile_within_bounds(spark):
+    # Sketch accuracy vs exact: HLL++ at rsd=0.02 and GK quantiles at
+    # accuracy 10000 on ~2000-row groups must land near the exact answers.
+    from nexus_spark.operators.sql_surface import approx_profile
+
+    rows = [(i, i % 500, f"t{i % 3}", float(i % 100)) for i in range(6000)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value"])
+    prof = {r.event_type: r for r in approx_profile(ev).collect()}
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("d"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("q"),
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(prof) == set(exact)
+    for t, ex in exact.items():
+        assert abs(prof[t].approx_users - ex.d) <= max(3, 0.1 * ex.d)
+        for approx_q, exact_q in zip(prof[t].value_quantiles, ex.q):
+            assert abs(approx_q - exact_q) <= 2.0
+        assert prof[t].n_events == ex.n
+
+
+def test_merge_summaries_incremental_equals_full(spark):
+    from nexus_spark import domain
+    from nexus_spark.plans.summary import build_summary, merge_summaries
+    from tests.conftest import SF_DIR
+
+    obs = domain.observations(spark, SF_DIR)
+    full = build_summary(obs)
+    old = build_summary(obs.where("lat < 0"))
+    delta = build_summary(obs.where("lat >= 0"))
+    merged = merge_summaries(old, delta)
+
+    def canon(df):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect())
+
+    assert canon(merged) == canon(full)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from nexus_spark.sources.lake import read_table, write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the non-broadcast path: at 100 TB neither fact side fits a
+        # broadcast, which is exactly the regime bucketing exists for (on
+        # this toy frame the planner would otherwise just broadcast).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "bkt_a", "k", n_buckets=4)
+        write_bucketed(b, "bkt_b", "k", n_buckets=4)
+        joined = read_table(spark, "bkt_a").join(read_table(spark, "bkt_b"),
+                                                 "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located layout: the write-time shuffle is the ONLY shuffle
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
