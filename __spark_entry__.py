@@ -997,6 +997,47 @@ def q_d_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(embedding_near_dup_gemm(emb, threshold=_COS_T))
 
 
+def q_d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup: embedding cosine near-dup pairs →
+    connected components → per-cluster survivor stats. The full pipeline a
+    pretraining corpus runs (pairs alone are not dedup decisions); at
+    scale the pair stage swaps to the IVF-bucketed path
+    (dedup.embedding_near_dup_ivf) with identical downstream semantics."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (cluster_representatives,
+                                             connected_components,
+                                             embedding_near_dup)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = connected_components(
+        embedding_near_dup(emb, threshold=_COS_T), emb, id_col="vec_id")
+    return _finish(cluster_representatives(comps, id_col="vec_id"))
+
+
+SQL_D_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE {_VECS},
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {_COS_T}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+m AS (SELECT src AS node, MIN(dst) AS mn FROM reach GROUP BY src),
+comp AS (
+  SELECT e.vec_id AS vec_id,
+         LEAST(e.vec_id, COALESCE(m.mn, e.vec_id)) AS component
+  FROM embeddings e LEFT JOIN m ON e.vec_id = m.node)
+SELECT component, COUNT(*) AS cluster_size,
+       CAST(SUM(CASE WHEN vec_id <> component THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicates
+FROM comp GROUP BY component
+"""
+
+
 SQL_D_EMB = f"""
 WITH {_VECS}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2084,6 +2125,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_terms": q_text_tfidf,
     "d_dedup_winnow": q_d_dedup_winnow,
     "sketch_profile": q_sketch_profile,
+    "d_semantic_dedup": q_d_semantic_dedup,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -2172,6 +2214,7 @@ _ORACLES: dict[str, str] = {
     "d_token_packing": SQL_D_TOKEN_PACKING,
     "text_tfidf_top_terms": SQL_TEXT_TFIDF,
     "d_dedup_winnow": SQL_D_WINNOW,
+    "d_semantic_dedup": SQL_D_SEMANTIC_DEDUP,
     # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
     # m_multimodal_features: intentionally no oracle (xxhash64 /
     # approximate / Python-side decode) — rows-only check; recall and

