@@ -1171,6 +1171,55 @@ FROM gated g JOIN kept k USING (fingerprint, doc_id)
 """
 
 
+def q_d_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-construction pipeline in ONE declarative plan:
+    quality-gated curation (text.curate) → deterministic per-language
+    mixing sample (md5-threshold filter on the PREDICTED language) →
+    concat-and-chunk packing into 512-token context windows using the
+    token counts the curation pass already computed. Catalyst fuses the
+    gate+sample filters into the curation scan; the only shuffles are the
+    curation fingerprint aggregate and the packing bucket window."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import (pack_sequences,
+                                                stratified_sample_fraction)
+    from nexus_spark.operators.text import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate(docs, min_quality=0.6)
+    sampled = stratified_sample_fraction(curated, "lang_pred",
+                                         _SAMPLE_RATES)
+    return _finish(pack_sequences(sampled, budget=_PACK_BUDGET,
+                                  n_buckets=_PACK_BUCKETS,
+                                  tokens_col="n_tokens"))
+
+
+def _sql_corpus_mix() -> str:
+    from nexus_spark.operators.sampling import fraction_threshold
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN '{fraction_threshold(rate)}'"
+        for lang, rate in sorted(_SAMPLE_RATES.items()))
+    case = f"CASE lang_pred {arms} ELSE '{fraction_threshold(0.0)}' END"
+    return f"""
+WITH cur AS ({_sql_curation()}),
+samp AS (SELECT * FROM cur
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {case}),
+t AS (SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             CAST(n_tokens AS INT) AS n_tokens
+      FROM samp),
+c AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_excl
+      FROM t)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+         AS pack_id,
+       CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+
 def q_d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5 60-bit word hash — the fully
     oracle-checkable variant (mirror of d_dedup_minhash_md5): every bit of
@@ -2126,6 +2175,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
+    "d_corpus_mix": q_d_corpus_mix,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -2242,6 +2292,7 @@ _ORACLES: dict[str, str] = {
     "g_gaussian_interp_offgrid": SQL_GAUSS_OFFGRID,
     "d8_insitu_subset": SQL_D8_INSITU,
     "d_curation_pipeline": _sql_curation(),
+    "d_corpus_mix": _sql_corpus_mix(),
     "d_dedup_simhash_md5": SQL_D_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_lsh(),
     "f_hof_deseason": SQL_HOF_DESEASON,

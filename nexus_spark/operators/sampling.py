@@ -83,7 +83,8 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
 
 def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 64,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   tokens_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document a context
     window (pack) of `budget` tokens, the way LLM pre-training shards a
     corpus into fixed-length training sequences.
@@ -99,11 +100,16 @@ def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 64,
     buckets, and each bucket's windows are independent so skew is bounded
     by corpus_size / n_buckets).
 
+    If `tokens_col` is given it is used as the per-doc token count
+    (e.g. the n_tokens a curation pass already computed); otherwise the
+    count is derived from `text_col`.
+
     Output: id, bucket, n_tokens, pack_id (bucket-local), offset_in_pack.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    toks = token_count(F.col(text_col))
+    toks = (F.col(tokens_col) if tokens_col
+            else token_count(F.col(text_col)))
     w = (Window.partitionBy("bucket").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (docs
