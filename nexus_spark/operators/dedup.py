@@ -97,6 +97,7 @@ def clear_cache() -> None:
         except Exception:
             pass
     _POSTINGS_CACHE.clear()
+    _CC_CACHE.clear()  # localCheckpointed frames; no unpersist handle
 
 
 def jaccard_verify(candidates: DataFrame, postings: DataFrame,
@@ -488,10 +489,33 @@ def embedding_near_dup_gemm(embeddings: DataFrame, id_col: str = "vec_id",
     return embeddings.select(id_col, vec_col).mapInPandas(score, schema)
 
 
+# Memo of converged component labels per (session, pairs plan, nodes plan):
+# the propagation runs driver-coordinated rounds, so repeated consumers in
+# one session (components query, cluster rollup, dedup executor) must share
+# ONE convergence. Dropped by clear_cache() / domain.invalidate().
+_CC_CACHE: dict[tuple, DataFrame] = {}
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
                          src_col: str = "id_a", dst_col: str = "id_b",
                          max_rounds: int = 30) -> DataFrame:
+    """Memoizing wrapper over the label propagation (result is a
+    localCheckpointed frame, safe to share across consumers)."""
+    key = (id(pairs.sparkSession), pairs.semanticHash(),
+           nodes.semanticHash(), id_col, src_col, dst_col)
+    got = _CC_CACHE.get(key)
+    if got is None:
+        got = _connected_components(pairs, nodes, id_col, src_col,
+                                    dst_col, max_rounds)
+        _CC_CACHE[key] = got
+    return got
+
+
+def _connected_components(pairs: DataFrame, nodes: DataFrame,
+                          id_col: str = "doc_id",
+                          src_col: str = "id_a", dst_col: str = "id_b",
+                          max_rounds: int = 30) -> DataFrame:
     """Resolve a near-dup pair graph into duplicate clusters.
 
     Every node is labeled with the minimum node id reachable through the

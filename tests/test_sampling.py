@@ -196,3 +196,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_connected_components_memoized(spark):
+    from nexus_spark.operators import dedup
+
+    dedup._CC_CACHE.clear()
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
+    a = dedup.connected_components(pairs, nodes)
+    b = dedup.connected_components(pairs, nodes)
+    assert a is b  # one convergence shared by every consumer
+    assert len(dedup._CC_CACHE) == 1
+    dedup.clear_cache()
+    assert not dedup._CC_CACHE
+
+
+def test_corpus_mix_plan_is_fused(spark):
+    import __spark_entry__ as mod
+    from tests.conftest import SF_DIR_T2
+
+    df = mod.queries()["d_corpus_mix"](spark, SF_DIR_T2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # curation fingerprint aggregate + packing bucket window: the mixing
+    # sample must fuse as a filter, adding NO shuffle of its own
+    assert plan.count("Exchange hashpartitioning") <= 3
