@@ -665,3 +665,15 @@ def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / F.least(F.col("n_a"), F.col("n_b")))
             .where(F.col("overlap") >= threshold)
             .select("id_a", "id_b", "common", "overlap"))
+
+
+def apply_dedup(docs: DataFrame, components: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """The final dedup decision: keep exactly one survivor per cluster
+    (the component representative, = min id). Completes the pipeline
+    pairs -> connected_components -> apply_dedup; duplicates are dropped,
+    singletons pass through. One equi-join on the id (broadcastable when
+    the component table is small; co-partitioned otherwise)."""
+    keep = (components.where(F.col(id_col) == F.col("component"))
+            .select(id_col))
+    return docs.join(keep, id_col)

@@ -221,3 +221,14 @@ def test_corpus_mix_plan_is_fused(spark):
     # curation fingerprint aggregate + packing bucket window: the mixing
     # sample must fuse as a filter, adding NO shuffle of its own
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_apply_dedup_keeps_one_survivor_per_cluster(spark):
+    from nexus_spark.operators.dedup import apply_dedup, connected_components
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 9)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    comps = connected_components(pairs, docs)
+    kept = sorted(r.doc_id for r in apply_dedup(docs, comps).collect())
+    assert kept == [1, 7, 9]  # cluster {1,2,3} -> 1; singletons pass
