@@ -909,6 +909,48 @@ FROM r WHERE term_rank <= 3
 """
 
 
+def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: docs overlapping a benchmark slice (every
+    20th doc stands in for the eval corpus) by distinct 3-gram shingles.
+    The benchmark set reduces to a broadcast distinct-hash set."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return _finish(contamination_check(train, bench))
+
+
+SQL_D_CONTAMINATION = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE doc_id % 20 <> 0),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END) AS shingles
+  FROM d),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+      FROM sh),
+bd AS (SELECT string_split(text, ' ') AS words
+       FROM documents WHERE doc_id % 20 = 0),
+bsh AS (
+  SELECT DISTINCT unnest(
+           CASE WHEN len(words) >= 3 THEN
+             [array_to_string(words[i:i+2], ' ')
+              FOR i IN generate_series(1, len(words) - 2)]
+           ELSE [array_to_string(words, ' ')] END) AS shingle
+  FROM bd)
+SELECT e.doc_id, COUNT(*) AS n_hits, ANY_VALUE(e.n) AS n_shingles,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(e.n), {ND})
+         AS contamination
+FROM e JOIN bsh ON e.shingle = bsh.shingle
+GROUP BY e.doc_id
+"""
+
+
 _WINNOW_T = 0.3
 
 
@@ -2176,6 +2218,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -2293,6 +2336,7 @@ _ORACLES: dict[str, str] = {
     "d8_insitu_subset": SQL_D8_INSITU,
     "d_curation_pipeline": _sql_curation(),
     "d_corpus_mix": _sql_corpus_mix(),
+    "d_contamination": SQL_D_CONTAMINATION,
     "d_dedup_simhash_md5": SQL_D_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_lsh(),
     "f_hof_deseason": SQL_HOF_DESEASON,

@@ -677,3 +677,30 @@ def apply_dedup(docs: DataFrame, components: DataFrame,
     keep = (components.where(F.col(id_col) == F.col("component"))
             .select(id_col))
     return docs.join(keep, id_col)
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark contamination (decontamination) check: for every training
+    document, how many of its distinct word n-gram shingles also occur in
+    an evaluation/benchmark corpus — the train/test-overlap audit every
+    serious pretraining pipeline runs before training.
+
+    Plan: the training side reuses the memoized distinct-postings index;
+    the benchmark side reduces to a DISTINCT shingle-hash set (benchmark
+    corpora are tiny next to training corpora, so Catalyst broadcasts it
+    and the check is a broadcast semi-join against the scan — no big
+    shuffle). Output per contaminated doc: n_hits, n_shingles, and the
+    contaminated fraction; docs with zero overlap are absent (anti-join
+    them to get the clean set).
+    """
+    d = distinct_postings(docs, id_col, text_col)
+    b = (shingle_postings(benchmark, id_col, text_col)
+         .select("h").distinct())
+    return (d.join(b, "h")
+            .groupBy(F.col("id").alias(id_col), "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(id_col, "n_hits", "n_shingles",
+                    (F.col("n_hits") / F.col("n_shingles"))
+                    .alias("contamination")))
