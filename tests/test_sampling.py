@@ -232,3 +232,19 @@ def test_apply_dedup_keeps_one_survivor_per_cluster(spark):
     comps = connected_components(pairs, docs)
     kept = sorted(r.doc_id for r in apply_dedup(docs, comps).collect())
     assert kept == [1, 7, 9]  # cluster {1,2,3} -> 1; singletons pass
+
+
+def test_connected_components_log_rounds_on_chain(spark):
+    # pointer jumping: a 65-node chain (diameter 64) must converge in
+    # O(log d) rounds, not 64 propagation rounds
+    from nexus_spark.operators import dedup
+
+    dedup._CC_CACHE.clear()
+    n = 65
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    got = {r.doc_id: r.component
+           for r in dedup.connected_components(pairs, nodes).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert dedup._LAST_CC_ROUNDS <= 10, dedup._LAST_CC_ROUNDS
