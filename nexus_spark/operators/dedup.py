@@ -556,8 +556,23 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
         edges.select(F.col("e_dst").alias("e_src"),
                      F.col("e_src").alias("e_dst"))).localCheckpoint()
 
+    # Adaptive loop parallelism: the rounds run O(|edges|)-sized frames,
+    # so size the loop's partition count to the materialized edge count
+    # (~200k edges/partition) instead of the session shuffle default —
+    # at toy scale every round otherwise pays 32 near-empty tasks per
+    # job (measured: ~40% of loop wall time); at corpus scale this keeps
+    # the full configured parallelism. The count is cheap: the edge
+    # frame is already checkpointed.
+    n_edges = edges.count()
+    sp = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "200"))
+    parts = max(1, min(sp, n_edges // 200_000 + 1))
+    if parts < sp:
+        edges = edges.repartition(parts, "e_dst").localCheckpoint()
+
     labels = (nodes.select(F.col(id_col).alias("node")).distinct()
-              .withColumn("comp", F.col("node")).localCheckpoint())
+              .withColumn("comp", F.col("node"))
+              .repartition(parts, "node").localCheckpoint())
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     global _LAST_CC_ROUNDS
@@ -581,7 +596,7 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
                           F.least(F.col("comp"),
                                   F.coalesce(F.col("p_comp"),
                                              F.col("comp"))).alias("comp"))
-                  .localCheckpoint())
+                  .repartition(parts, "node").localCheckpoint())
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break
