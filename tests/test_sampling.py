@@ -248,3 +248,25 @@ def test_connected_components_log_rounds_on_chain(spark):
            for r in dedup.connected_components(pairs, nodes).collect()}
     assert got == {i: 0 for i in range(n)}
     assert dedup._LAST_CC_ROUNDS <= 10, dedup._LAST_CC_ROUNDS
+
+
+def test_contamination_check_planted_overlap(spark):
+    from nexus_spark.operators.dedup import clear_cache, contamination_check
+
+    clear_cache()  # postings memo is keyed per plan; keep the test hermetic
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "prefix words then the quick brown fox appears here"),
+         (2, "completely unrelated training content with no overlap"),
+         (3, "the quick brown fox jumps over the lazy dog verbatim copy")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in contamination_check(train, bench).collect()}
+    assert set(got) == {1, 3}  # doc 2 is clean -> absent
+    # doc 3 contains the whole benchmark text: every benchmark shingle hits
+    assert got[3].n_hits >= 6
+    assert got[3].contamination > got[1].contamination
+    for r in got.values():
+        assert 0 < r.contamination <= 1.0
+        assert r.n_hits <= r.n_shingles
