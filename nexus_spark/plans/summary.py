@@ -96,26 +96,31 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
         & (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat)
         & (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
     )
-    # Ring pre-filter: an observation inside the grid-interior rectangle
-    # (tiles whose whole grid cell fits in the bbox) can only belong to an
-    # interior tile, which the semi-join below would drop anyway — so skip
-    # it at the scan. Exact: a cell inside the rectangle implies data
-    # extents inside the bbox implies the interior classification above.
-    # The boundary branch then reads only the thin ring, not the bbox
-    # interior — the part of the zone-map win the semi-join alone can't
-    # deliver (it prunes after the scan, not at it).
+    # Native tile columns (a tile-partitioned lake carries them as
+    # partition columns) are used as-is; otherwise derive from lat/lon.
+    if "lat_tile" not in o.columns:
+        o = o.withColumn("lat_tile", F.floor(F.col("lat") / lat_tile_deg))
+    if "lon_tile" not in o.columns:
+        o = o.withColumn("lon_tile", F.floor(F.col("lon") / lon_tile_deg))
+    # Ring pre-filter, in TILE space: an observation whose grid cell fits
+    # wholly inside the bbox can only belong to an interior tile, which
+    # the semi-join below would drop anyway — so exclude the interior
+    # cell rectangle at the scan. Exact (cell inside bbox ⇒ data extents
+    # inside bbox ⇒ the interior classification above), and because the
+    # predicate is on the tile columns it becomes PARTITION PRUNING on a
+    # lake partitioned by (lat_tile, lon_tile): the boundary recompute
+    # never opens interior files — the part of the zone-map win the
+    # semi-join alone can't deliver (asserted in test_plans).
     import math
-    ilat_lo = math.ceil(min_lat / lat_tile_deg) * lat_tile_deg
-    ilat_hi = math.floor(max_lat / lat_tile_deg) * lat_tile_deg
-    ilon_lo = math.ceil(min_lon / lon_tile_deg) * lon_tile_deg
-    ilon_hi = math.floor(max_lon / lon_tile_deg) * lon_tile_deg
-    if ilat_lo < ilat_hi and ilon_lo < ilon_hi:
-        o = o.where(~((F.col("lat") >= ilat_lo) & (F.col("lat") < ilat_hi)
-                      & (F.col("lon") >= ilon_lo)
-                      & (F.col("lon") < ilon_hi)))
-    o = o.withColumn("lat_tile", F.floor(F.col("lat") / lat_tile_deg)) \
-         .withColumn("lon_tile", F.floor(F.col("lon") / lon_tile_deg)) \
-         .withColumn("tile_date", F.to_date("time"))
+    la0 = math.ceil(min_lat / lat_tile_deg)
+    la1 = math.floor(max_lat / lat_tile_deg) - 1
+    lo0 = math.ceil(min_lon / lon_tile_deg)
+    lo1 = math.floor(max_lon / lon_tile_deg) - 1
+    if la0 <= la1 and lo0 <= lo1:
+        o = o.where(~((F.col("lat_tile") >= la0) & (F.col("lat_tile") <= la1)
+                      & (F.col("lon_tile") >= lo0)
+                      & (F.col("lon_tile") <= lo1)))
+    o = o.withColumn("tile_date", F.to_date("time"))
     o = o.join(F.broadcast(bkeys), ["dataset", "tile_date", "lat_tile", "lon_tile"],
                "left_semi")
     # Shape each boundary observation as a singleton summary row and fold

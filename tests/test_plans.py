@@ -171,3 +171,45 @@ def test_streaming_matchup_batch_plan_no_cartesian(spark):
     tree = _final_tree(plan)
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_a2_boundary_prunes_tile_partitions(spark, tmp_path):
+    """On a lake partitioned by (lat_tile, lon_tile), the A2 boundary
+    recompute's tile-space ring predicate must reach the scan as
+    PartitionFilters — interior files are never opened — and the result
+    must equal the unpartitioned path exactly."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark import domain
+    from nexus_spark.plans.summary import build_summary, stats_from_summary
+    from tests.conftest import SF_DIR
+
+    obs = domain.observations(spark, SF_DIR)
+    lake = str(tmp_path / "tiled_obs")
+    (obs.withColumn("lat_tile", F.floor(F.col("lat") / 10.0))
+        .withColumn("lon_tile", F.floor(F.col("lon") / 60.0))
+        .write.partitionBy("lat_tile", "lon_tile").parquet(lake))
+    pobs = spark.read.parquet(lake)
+
+    summary = build_summary(obs, lat_tile_deg=10.0, lon_tile_deg=60.0)
+    kwargs = dict(dataset="sst_a", min_lat=-25, max_lat=25,
+                  min_lon=-160, max_lon=160,
+                  lat_tile_deg=10.0, lon_tile_deg=60.0)
+    part = stats_from_summary(pobs, summary, **kwargs)
+    flat = stats_from_summary(obs, summary, **kwargs)
+
+    def canon(df):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect())
+
+    assert canon(part) == canon(flat)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    # toString truncates long lines (including the Location path), so
+    # identify our scan by a NON-EMPTY PartitionFilters bracket that names
+    # the tile partition columns — every other scan in this plan has
+    # PartitionFilters: []. That proves the ring predicate reached the
+    # file index and interior files are pruned at planning time.
+    pruned = [l.split("PartitionFilters: [", 1)[1]
+              for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert any(not f.startswith("]") and "lat_tile" in f for f in pruned)
