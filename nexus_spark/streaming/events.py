@@ -71,13 +71,15 @@ def windowed_stats(events: DataFrame, window: str = "1 hour",
 
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
                          name: str = "stream_out",
-                         timeout_s: int = 120) -> DataFrame:
+                         timeout_s: int = 120,
+                         mode: str = "complete") -> DataFrame:
     """Execute a streaming query into an in-memory sink until the source is
-    exhausted; returns the result as a static DataFrame."""
+    exhausted; returns the result as a static DataFrame. mode="complete"
+    for aggregations, "append" for stateless projections."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

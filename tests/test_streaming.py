@@ -99,3 +99,29 @@ def test_multimodal_real_decode_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", fake=False)
+
+
+def test_streaming_text_curation_projection(spark, tmp_path):
+    """The text-analysis surface is a stateless projection, so it applies
+    unchanged to a document STREAM — continuous corpus curation. The
+    streamed per-doc stats must equal the batch operator exactly."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import text_stats
+    from nexus_spark.streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = run_stream_to_memory(spark, text_stats(stream),
+                               name="doc_curation", mode="append")
+    want = {r.doc_id: r for r in text_stats(docs).collect()}
+    got_map = {r.doc_id: r for r in got.collect()}
+    assert len(got_map) == len(want) > 0
+    sample = list(want)[:50]
+    for d in sample:
+        assert got_map[d].fingerprint == want[d].fingerprint
+        assert got_map[d].quality == want[d].quality
+        assert got_map[d].lang_pred == want[d].lang_pred
