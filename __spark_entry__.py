@@ -909,6 +909,30 @@ FROM r WHERE term_rank <= 3
 """
 
 
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: corpus-fit unigram LM, per-doc
+    mean negative log-likelihood."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import unigram_nll
+
+    return _finish(unigram_nll(load_table(spark, sf_dir, "documents")))
+
+
+SQL_TEXT_UNIGRAM_NLL = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+s AS (SELECT w.doc_id,
+             -ln(CAST(freq.cnt AS DOUBLE) / tot.total) AS nl
+      FROM w JOIN freq USING (word) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens_m,
+       ROUND(AVG(nl), {ND}) AS nll,
+       ROUND(EXP(AVG(nl)), {ND}) AS ppl
+FROM s GROUP BY doc_id
+"""
+
+
 def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: docs overlapping a benchmark slice (every
     20th doc stands in for the eval corpus) by distinct 3-gram shingles.
@@ -2219,6 +2243,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
+    "text_unigram_nll": q_text_unigram_nll,
     # --- driver-green in r02, kept in the checked window ---
     "s1_time_series": q_s1_time_series,
     "s1_time_series_compare": q_s1_compare,
@@ -2337,6 +2362,7 @@ _ORACLES: dict[str, str] = {
     "d_curation_pipeline": _sql_curation(),
     "d_corpus_mix": _sql_corpus_mix(),
     "d_contamination": SQL_D_CONTAMINATION,
+    "text_unigram_nll": SQL_TEXT_UNIGRAM_NLL,
     "d_dedup_simhash_md5": SQL_D_SIMHASH_MD5,
     "sim_ann_lsh": _sql_sim_lsh(),
     "f_hof_deseason": SQL_HOF_DESEASON,

@@ -184,3 +184,36 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     return (scored.withColumn("term_rank", F.row_number().over(w))
             .where(F.col("term_rank") <= k)
             .select(id_col, "word", "term_rank", "tfidf"))
+
+
+def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document unigram language-model negative log-likelihood — the
+    perplexity-style quality signal (the same role KenLM perplexity plays
+    in CCNet-style corpus filtering, reduced to the unigram case so it is
+    exactly computable in one engine-portable plan).
+
+    The LM is fit on the corpus itself: p(w) = count(w) / total_tokens;
+    a document's score is the mean of -ln p(w) over its tokens. Gibberish
+    and off-distribution documents score high, formulaic ones score low.
+
+    Plan: one explode + one vocabulary aggregate (vocab ≪ corpus, so the
+    p(w) table broadcasts back onto the token stream) + one per-doc mean —
+    two map-side-combined shuffles total, no Python anywhere.
+
+    Output: doc_id, n_tokens_m, nll (mean -ln p), ppl (= exp(nll)).
+    """
+    w = docs.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = (w.join(freq, "word")
+              .crossJoin(F.broadcast(total))
+              .select(id_col,
+                      (-F.log(F.col("cnt").cast("double")
+                              / F.col("total"))).alias("nl")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens_m"),
+                 F.avg("nl").alias("nll"))
+            .select(id_col, "n_tokens_m", "nll",
+                    F.exp(F.col("nll")).alias("ppl")))
