@@ -1960,18 +1960,28 @@ FROM events GROUP BY event_type
 
 
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch profile (HLL++ distinct + GK quantiles). No SQL
-    oracle by design: sketch internals are engine-specific; accuracy vs
-    exact answers is asserted in tests within the published bounds."""
+    """Mergeable-sketch profile (HLL++ distinct + GK quantiles), surfaced
+    as deterministic accuracy flags so it IS oracle-checkable: the oracle
+    recomputes the exact columns and asserts every flag TRUE.  Sketch
+    internals stay engine-specific; what both engines agree on is the
+    exact ground truth and the published error contract."""
     from nexus_spark.catalog import load_table
-    from nexus_spark.operators.sql_surface import approx_profile
+    from nexus_spark.operators.sql_surface import approx_profile_checked
 
-    prof = approx_profile(load_table(spark, sf_dir, "events"))
-    return _finish(prof.withColumn(
-        "value_quantiles",
-        F.transform("value_quantiles",
-                    lambda x: F.round(x.cast("decimal(38,7)"), ND)
-                    .cast("double"))))
+    return _finish(approx_profile_checked(load_table(spark, sf_dir,
+                                                     "events")))
+
+
+SQL_SKETCH_PROFILE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS users_exact,
+       TRUE AS users_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS p99_ok
+FROM events GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2372,6 +2382,7 @@ _ORACLES: dict[str, str] = {
     "sql_json_extract": SQL_JSON,
     "sql_distinct_counts": SQL_DISTINCT,
     "s1_polygon_time_series": _sql_s1_polygon(),
+    "sketch_profile": SQL_SKETCH_PROFILE,
     # f_lowpass: no oracle (sequential numpy filtfilt; golden-tested)
     "d_dedup_minhash_md5": _sql_minhash_md5(),
     "sim_ann_ivf": SQL_SIM_IVF,

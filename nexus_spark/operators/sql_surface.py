@@ -237,3 +237,46 @@ def approx_profile(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         F.percentile_approx(
             "value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events")))
+
+
+def approx_profile_checked(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """`approx_profile` with its accuracy contract made cross-engine
+    checkable: the sketch estimates are compared in-plan against exact
+    references and reduced to deterministic boolean flags, so an ANSI-SQL
+    oracle can assert the exact columns plus literal TRUE flags.
+
+    Bounds (both are loose by design — the check must be deterministic,
+    not tight):
+      * HLL++ distinct users at rsd=0.02 -> |approx-exact|/exact <= 0.10
+        (5 standard errors; P(violation) ~ 1e-6 per group).
+      * GK quantiles at accuracy 10000 (rank error eps = 1e-4): the
+        returned value is an actual sample whose rank is within eps*n of
+        the target, hence it lies between the exact interpolated
+        quantiles at p -/+ 0.01 (a 100x margin; the p99 upper bound
+        clamps to 1.0 = max).
+
+    The exact countDistinct / percentile branch is the VERIFICATION
+    harness, not the production profile — at 100 TB you run
+    `approx_profile` alone (mergeable kilobyte sketches); this query
+    exists so the driver can check the sketches against ground truth.
+    The join on event_type broadcasts (few groups).
+    """
+    prof = approx_profile(events, rsd)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users_exact"),
+        F.expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D, "
+               "0.98D, 1.0D))").alias("qb"),
+    )
+    j = prof.join(F.broadcast(exact), "event_type")
+    q = F.col("value_quantiles")
+    b = F.col("qb")
+    return j.select(
+        "event_type",
+        "n_events",
+        "users_exact",
+        (F.abs(F.col("approx_users") - F.col("users_exact"))
+         <= 0.10 * F.col("users_exact")).alias("users_ok"),
+        q[0].between(b[0], b[1]).alias("p50_ok"),
+        q[1].between(b[2], b[3]).alias("p95_ok"),
+        q[2].between(b[4], b[5]).alias("p99_ok"),
+    )
