@@ -1063,28 +1063,76 @@ def q_d_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(embedding_near_dup_gemm(emb, threshold=_COS_T))
 
 
+def q_d_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup — the 100 TB route (pair volume
+    sum(|cell|^2), not n^2). Oracle-checkable because every stage is
+    deterministic: md5-seeded centroid pick, ROUND(cos,6)+cent_id
+    tie-broken multi-probe assignment, exact cosine on surviving pairs —
+    the same technique that oracles SQL_SIM_IVF."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import embedding_near_dup_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _finish(embedding_near_dup_ivf(emb, threshold=_COS_T))
+
+
+# Deterministic IVF candidate CTEs shared by the IVF near-dup oracle and
+# the semantic-dedup oracle (mirrors dedup.embedding_near_dup_ivf:
+# n_centroids=32, nprobe=2).
+_IVF_CAND = """
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+cells AS (
+  SELECT vec_id AS id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 2),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM cells x JOIN cells y USING (cent_id)
+  WHERE x.id < y.id)
+"""
+
+
+SQL_D_EMB_IVF = f"""
+WITH {_VECS},
+{_IVF_CAND},
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+SELECT id_a, id_b, ROUND(cosine, {ND}) AS cosine
+FROM scored WHERE cosine >= {_COS_T}
+"""
+
+
 def q_d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup: embedding cosine near-dup pairs →
     connected components → per-cluster survivor stats. The full pipeline a
-    pretraining corpus runs (pairs alone are not dedup decisions); at
-    scale the pair stage swaps to the IVF-bucketed path
-    (dedup.embedding_near_dup_ivf) with identical downstream semantics."""
+    pretraining corpus runs (pairs alone are not dedup decisions). The
+    pair stage is the IVF-bucketed scale path (sum(|cell|^2) pair volume);
+    the oracle rebuilds the same deterministic cells, so the driver checks
+    the IVF route end-to-end — d_near_dup_embedding keeps the brute
+    baseline oracled separately."""
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.dedup import (cluster_representatives,
                                              connected_components,
-                                             embedding_near_dup)
+                                             embedding_near_dup_ivf)
 
     emb = load_table(spark, sf_dir, "embeddings")
     comps = connected_components(
-        embedding_near_dup(emb, threshold=_COS_T), emb, id_col="vec_id")
+        embedding_near_dup_ivf(emb, threshold=_COS_T), emb, id_col="vec_id")
     return _finish(cluster_representatives(comps, id_col="vec_id"))
 
 
 SQL_D_SEMANTIC_DEDUP = f"""
 WITH RECURSIVE {_VECS},
+{_IVF_CAND},
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  SELECT id_a, id_b
+  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b
   WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {_COS_T}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM p
           UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
@@ -2250,6 +2298,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_terms": q_text_tfidf,
     "d_dedup_winnow": q_d_dedup_winnow,
     "sketch_profile": q_sketch_profile,
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
@@ -2348,6 +2397,7 @@ _ORACLES: dict[str, str] = {
     # approximate / Python-side decode) — rows-only check; recall and
     # semantics covered by unit tests.
     "d_near_dup_embedding": SQL_D_EMB,
+    "d_near_dup_embedding_ivf": SQL_D_EMB_IVF,
     "sim_knn_bruteforce": SQL_SIM_KNN,
     "text_stats": _sql_text_stats(),
     "m_multimodal_metadata": SQL_M_META,

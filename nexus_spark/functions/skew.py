@@ -15,13 +15,28 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salts: int = 16,
-              salt_col: str = "_salt") -> DataFrame:
-    """Deterministic row-level salt (hash of the whole row would be
-    content-biased for duplicate-heavy data; a round-robin on a
-    monotonically increasing id is uniform by construction)."""
+              salt_col: str = "_salt",
+              content_cols: list[str] | None = None) -> DataFrame:
+    """Row-level salt, stable under task retry and repartitioning.
+
+    The salt is `pmod(xxhash64(content_cols...), salts)` — a pure
+    function of row CONTENT, so a task re-attempt or a different input
+    partitioning assigns every row the same salt (a
+    monotonically_increasing_id round-robin would not: the id depends on
+    partition layout, so a salted JOIN built on it could mis-route rows
+    re-attempted after failure). With no `content_cols`, all columns are
+    hashed.
+
+    Caveat the determinism buys: exact-duplicate rows share a salt, so
+    duplicate-heavy data biases the spread. For pure aggregations over a
+    hot key, pass the columns that VARY within the hot key (e.g. a
+    doc/event id) as `content_cols`; if every column is identical across
+    the hot key's rows, salting cannot spread them deterministically —
+    pre-aggregate a count instead.
+    """
+    cols = [F.col(c) for c in (content_cols or df.columns)]
     return df.withColumn(
-        salt_col,
-        F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int"))
+        salt_col, F.pmod(F.xxhash64(*cols), F.lit(salts)).cast("int"))
 
 
 def salted_count(df: DataFrame, key_cols: list[str], salts: int = 16,

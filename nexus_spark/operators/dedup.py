@@ -493,11 +493,21 @@ def embedding_near_dup_gemm(embeddings: DataFrame, id_col: str = "vec_id",
 # the propagation runs driver-coordinated rounds, so repeated consumers in
 # one session (components query, cluster rollup, dedup executor) must share
 # ONE convergence. Dropped by clear_cache() / domain.invalidate().
-_CC_CACHE: dict[tuple, DataFrame] = {}
+_CC_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 # Diagnostics: rounds the last (non-memoized) convergence took — read by
 # tests asserting the log-diameter behavior of pointer jumping.
 _LAST_CC_ROUNDS = 0
+
+
+def _session_key(spark) -> str:
+    """Stable per-session cache key: the JVM session UUID (survives
+    nothing it shouldn't — a new session gets a new UUID, unlike
+    id(session), which CPython can reuse after GC)."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - connect/other backends
+        return f"pyid:{id(spark)}"
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame,
@@ -505,14 +515,21 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                          src_col: str = "id_a", dst_col: str = "id_b",
                          max_rounds: int = 30) -> DataFrame:
     """Memoizing wrapper over the label propagation (result is a
-    localCheckpointed frame, safe to share across consumers)."""
-    key = (id(pairs.sparkSession), pairs.semanticHash(),
+    localCheckpointed frame, safe to share across consumers).
+
+    semanticHash() is a hash, not plan equality — so the memo stores the
+    source frames alongside the result and confirms a hit with
+    sameSemantics() before returning (a collision then recomputes
+    instead of returning another query's clustering)."""
+    key = (_session_key(pairs.sparkSession), pairs.semanticHash(),
            nodes.semanticHash(), id_col, src_col, dst_col)
-    got = _CC_CACHE.get(key)
-    if got is None:
-        got = _connected_components(pairs, nodes, id_col, src_col,
-                                    dst_col, max_rounds)
-        _CC_CACHE[key] = got
+    hit = _CC_CACHE.get(key)
+    if (hit is not None and hit[0].sameSemantics(pairs)
+            and hit[1].sameSemantics(nodes)):
+        return hit[2]
+    got = _connected_components(pairs, nodes, id_col, src_col,
+                                dst_col, max_rounds)
+    _CC_CACHE[key] = (pairs, nodes, got)
     return got
 
 
@@ -546,7 +563,9 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
     `checkpoint()` for fault tolerance). Convergence is detected by the
     monotone label-sum invariant: labels only ever decrease, so an
     unchanged sum(comp) is a fixpoint — one scalar agg per round instead
-    of a full-frame anti-join.
+    of a full-frame anti-join (numeric ids; non-numeric ids use an exact
+    changed-label count, since SUM over strings is NULL and would fake
+    convergence).
 
     Output: (id_col, component) — component = min doc id of the cluster.
     """
@@ -573,12 +592,39 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
     labels = (nodes.select(F.col(id_col).alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .repartition(parts, "node").localCheckpoint())
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    # Convergence detection. Labels only ever decrease (numeric min /
+    # lexicographic least), so for numeric ids an unchanged sum(comp) is
+    # a fixpoint — one scalar agg per round. Summing a non-numeric label
+    # column would yield NULL==NULL (false convergence after round 1),
+    # so non-numeric ids fall back to an exact changed-label count: both
+    # frames are hash-partitioned on node, so the join needs no extra
+    # shuffle, and limit(1) short-circuits the scan on the common
+    # (still-changing) case.
+    from pyspark.sql.types import NumericType
+    numeric_ids = isinstance(labels.schema["comp"].dataType, NumericType)
+
+    def _converged(prev_labels, new_labels, state):
+        if numeric_ids:
+            cur = new_labels.agg(F.sum("comp")).collect()[0][0]
+            done = state and cur == state[0]
+            state[:] = [cur]
+            return done
+        changed = (new_labels.alias("n")
+                   .join(prev_labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        return changed == 0
+
+    state: list = []
+    if numeric_ids:
+        state = [labels.agg(F.sum("comp")).collect()[0][0]]
 
     global _LAST_CC_ROUNDS
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
+        prev_labels = labels
         # 1) neighbor-min propagation
         neigh = (edges.join(labels, edges.e_dst == labels.node)
                  .groupBy("e_src").agg(F.min("comp").alias("nmin")))
@@ -597,10 +643,8 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
                                   F.coalesce(F.col("p_comp"),
                                              F.col("comp"))).alias("comp"))
                   .repartition(parts, "node").localCheckpoint())
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if _converged(prev_labels, labels, state):
             break
-        prev_sum = cur_sum
     _LAST_CC_ROUNDS = rounds
 
     return labels.select(F.col("node").alias(id_col),

@@ -57,10 +57,26 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
                        min_lat: float, max_lat: float,
                        min_lon: float, max_lon: float,
                        lat_tile_deg: float = 5.0,
-                       lon_tile_deg: float = 30.0) -> DataFrame:
+                       lon_tile_deg: float = 30.0,
+                       use_native_tiles: bool | None = None) -> DataFrame:
     """Per-day (min, max, weighted mean, count) over a bbox using interior
     tile summaries + boundary recompute. Exact equivalent of running the
     aggregate over the raw observations (the oracle asserts this).
+
+    INVARIANT: any native lat_tile/lon_tile columns on `obs` (a
+    tile-partitioned lake carries them as partition columns) must equal
+    floor(lat/lat_tile_deg) / floor(lon/lon_tile_deg) for THESE tile-size
+    arguments — a lake tiled with a different size would silently drop
+    valid observations from both the ring exclusion and the boundary
+    semi-join. `use_native_tiles`:
+      * None (default): use native columns if present, after validating
+        the invariant on a bounded sample (one tiny job; raises on
+        mismatch).
+      * True: trust native columns with no check (caller owns the
+        invariant — the fast path for a lake whose writer is ours,
+        sources.lake).
+      * False: always derive the tile columns from lat/lon (correct for
+        any lake, but the ring predicate no longer partition-prunes).
 
     Output: dataset, ts_date, ts_min, ts_max, ts_mean, ts_cnt.
     """
@@ -96,12 +112,31 @@ def stats_from_summary(obs: DataFrame, summary: DataFrame, dataset: str,
         & (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat)
         & (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
     )
-    # Native tile columns (a tile-partitioned lake carries them as
-    # partition columns) are used as-is; otherwise derive from lat/lon.
-    if "lat_tile" not in o.columns:
-        o = o.withColumn("lat_tile", F.floor(F.col("lat") / lat_tile_deg))
-    if "lon_tile" not in o.columns:
-        o = o.withColumn("lon_tile", F.floor(F.col("lon") / lon_tile_deg))
+    # Native tile columns: see the use_native_tiles contract above.
+    has_native = "lat_tile" in o.columns and "lon_tile" in o.columns
+    if use_native_tiles and not has_native:
+        raise ValueError("use_native_tiles=True but obs has no "
+                         "lat_tile/lon_tile columns")
+    native = has_native if use_native_tiles is None else use_native_tiles
+    if native and use_native_tiles is None:
+        # Validate the tiling invariant on a bounded sample: a lake tiled
+        # with a different size/formula mismatches on essentially every
+        # row, so 1000 rows catch it; cost is one single-partition job.
+        mism = (o.limit(1000).where(
+            (F.col("lat_tile") != F.floor(F.col("lat") / lat_tile_deg))
+            | (F.col("lon_tile") != F.floor(F.col("lon") / lon_tile_deg)))
+            .count())
+        if mism:
+            raise ValueError(
+                f"native lat_tile/lon_tile columns disagree with "
+                f"lat_tile_deg={lat_tile_deg}/lon_tile_deg={lon_tile_deg} "
+                f"on {mism} sampled rows; pass use_native_tiles=False to "
+                f"derive tiles from lat/lon, or the tile sizes the lake "
+                f"was written with")
+    if not native:
+        o = (o.drop("lat_tile", "lon_tile")
+             .withColumn("lat_tile", F.floor(F.col("lat") / lat_tile_deg))
+             .withColumn("lon_tile", F.floor(F.col("lon") / lon_tile_deg)))
     # Ring pre-filter, in TILE space: an observation whose grid cell fits
     # wholly inside the bbox can only belong to an interior tile, which
     # the semi-join below would drop anyway — so exclude the interior

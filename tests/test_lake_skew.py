@@ -121,6 +121,24 @@ def test_salted_count_equals_plain(spark):
     assert salted == plain
 
 
+def test_with_salt_stable_across_repartition(spark):
+    """The salt must be a pure function of row content: re-laying-out the
+    input (as a task retry or a different upstream partitioning would)
+    must assign every row the identical salt — the property a salted
+    JOIN needs to not mis-route rows after recomputation."""
+    from nexus_spark.functions.skew import with_salt
+
+    ev = (spark.range(5000)
+          .select(F.col("id"), (F.col("id") % 7).alias("k")))
+    a = {r["id"]: r["_salt"] for r in with_salt(ev, salts=8).collect()}
+    b = {r["id"]: r["_salt"]
+         for r in with_salt(ev.repartition(13, "k"), salts=8).collect()}
+    c = {r["id"]: r["_salt"]
+         for r in with_salt(ev.coalesce(1), salts=8).collect()}
+    assert a == b == c
+    assert len(set(a.values())) == 8  # spread actually uses all salts
+
+
 def test_zorder_write_tightens_rowgroup_zone_maps(spark, tmp_path):
     """The zorder=True pass must shrink per-row-group lat/lon min-max
     spans (the zone maps bbox scans prune on) vs insertion order.

@@ -213,3 +213,39 @@ def test_a2_boundary_prunes_tile_partitions(spark, tmp_path):
     pruned = [l.split("PartitionFilters: [", 1)[1]
               for l in plan.splitlines() if "PartitionFilters: [" in l]
     assert any(not f.startswith("]") and "lat_tile" in f for f in pruned)
+
+
+def test_a2_rejects_mismatched_native_tiling(spark, tmp_path):
+    """A lake tiled with a DIFFERENT size than the summary/arguments must
+    be rejected (validated sample), not silently mis-aggregated; and
+    use_native_tiles=False must recover the exact answer on that lake."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nexus_spark import domain
+    from nexus_spark.plans.summary import build_summary, stats_from_summary
+    from tests.conftest import SF_DIR
+
+    obs = domain.observations(spark, SF_DIR)
+    lake = str(tmp_path / "wrong_tiles")
+    (obs.withColumn("lat_tile", F.floor(F.col("lat") / 5.0))   # 5 deg...
+        .withColumn("lon_tile", F.floor(F.col("lon") / 30.0))
+        .write.partitionBy("lat_tile", "lon_tile").parquet(lake))
+    pobs = spark.read.parquet(lake)
+
+    summary = build_summary(obs, lat_tile_deg=10.0, lon_tile_deg=60.0)
+    kwargs = dict(dataset="sst_a", min_lat=-25, max_lat=25,
+                  min_lon=-160, max_lon=160,
+                  lat_tile_deg=10.0, lon_tile_deg=60.0)  # ...queried as 10
+    with pytest.raises(ValueError, match="disagree"):
+        stats_from_summary(pobs, summary, **kwargs).collect()
+
+    def canon(df):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect())
+
+    safe = stats_from_summary(pobs, summary, use_native_tiles=False,
+                              **kwargs)
+    flat = stats_from_summary(obs, summary, **kwargs)
+    assert canon(safe) == canon(flat)

@@ -98,6 +98,21 @@ def test_connected_components_chain_and_singletons(spark):
                    10: 10, 11: 10, 20: 20, 21: 21}
 
 
+def test_connected_components_string_ids(spark):
+    # Non-numeric ids: SUM(comp) is NULL, so the label-sum convergence
+    # check would fake a fixpoint after round 1 and under-merge the
+    # d1..d5 chain (regression test for the changed-count fallback).
+    nodes = spark.createDataFrame(
+        [(f"d{i}",) for i in (1, 2, 3, 4, 5, 8, 9)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5")],
+        ["id_a", "id_b"])
+    got = {r.doc_id: r.component
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+                   "d5": "d1", "d8": "d8", "d9": "d9"}
+
+
 def test_cluster_representatives_rollup(spark):
     nodes = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 7)], ["doc_id"])
