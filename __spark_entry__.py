@@ -2116,6 +2116,86 @@ def q_d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      threshold=_JACCARD_T, hash_fn="md5"))
 
 
+def q_d_lsh_xx_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect oracle for the xxhash64 MinHash+LSH fast path: both hash
+    families band differently but VERIFY candidates with the same exact
+    jaccard, so at full banding recall their verified pair sets are
+    identical. The surface is the full-outer union of the two sets with
+    per-variant membership flags; the oracle rebuilds the md5 set exactly
+    (DuckDB-reproducible hashes) and asserts both flags TRUE — a recall
+    miss in EITHER family surfaces as a flag flip / extra row, turning
+    the previously-unverifiable xx variant into a driver-checked one."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(k=_MH_K, bands=_MH_BANDS, threshold=_JACCARD_T)
+    xx = (minhash_lsh_pairs(docs, hash_fn="xxhash64", **kw)
+          .select("id_a", "id_b", F.col("jaccard").alias("j_xx")))
+    md = (minhash_lsh_pairs(docs, hash_fn="md5", **kw)
+          .select("id_a", "id_b", F.col("jaccard").alias("j_md")))
+    out = (xx.join(md, ["id_a", "id_b"], "full_outer")
+           .select("id_a", "id_b",
+                   F.coalesce("j_xx", "j_md").alias("jaccard"),
+                   F.col("j_xx").isNotNull().alias("in_xx"),
+                   F.col("j_md").isNotNull().alias("in_md5")))
+    return _finish(out)
+
+
+def _sql_lsh_parity() -> str:
+    return (_sql_minhash_md5()
+            .replace(f"AS jaccard\nFROM ver",
+                     "AS jaccard,\n       TRUE AS in_xx, TRUE AS in_md5"
+                     "\nFROM ver"))
+
+
+def q_d_simhash_xx_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect oracle for the xxhash64 SimHash fingerprint: every TRUE
+    strong duplicate (exact word-3-gram jaccard >= 0.9 — an oracle-able
+    set) must land within hamming 20/64 under the xx projection and
+    20/60 under the md5 projection. No banding in the check — fingerprints
+    join directly onto the strong pairs, so there is no recall knob to
+    excuse a miss; observed strong-pair hamming tops out at ~12 across
+    rounds, so 20 asserts the estimator works while staying far from the
+    noise floor. (Set-parity of the banded pair sets would be WRONG here:
+    the two projections legitimately disagree near the hamming boundary,
+    unlike MinHash where exact-jaccard verification makes the sets
+    comparable.)"""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (ngram_jaccard_pairs,
+                                             simhash_fingerprints)
+
+    docs = load_table(spark, sf_dir, "documents")
+    strong = ngram_jaccard_pairs(docs, threshold=0.9)
+    fpx = simhash_fingerprints(docs, hash_fn="xxhash64")
+    fpm = simhash_fingerprints(docs, hash_fn="md5")
+
+    def ham(fp, suffix):
+        a = fp.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias(f"sa_{suffix}"))
+        b = fp.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias(f"sb_{suffix}"))
+        return a, b
+
+    ax, bx = ham(fpx, "x")
+    am, bm = ham(fpm, "m")
+    out = (strong.join(ax, "id_a").join(bx, "id_b")
+           .join(am, "id_a").join(bm, "id_b")
+           .select(
+               "id_a", "id_b", "jaccard",
+               (F.bit_count(F.col("sa_x").bitwiseXOR(F.col("sb_x"))) <= 20)
+               .alias("xx_close"),
+               (F.bit_count(F.col("sa_m").bitwiseXOR(F.col("sb_m"))) <= 20)
+               .alias("md5_close")))
+    return _finish(out)
+
+
+SQL_D_SIMHASH_RECALL = SQL_D_JACCARD.replace(
+    "AS jaccard\nFROM e a",
+    "AS jaccard,\n       TRUE AS xx_close, TRUE AS md5_close\nFROM e a"
+).replace(f">= {_JACCARD_T}", ">= 0.9")
+
+
 def _sql_minhash_md5() -> str:
     rows = _MH_K // _MH_BANDS
     mins = ",\n         ".join(
@@ -2282,6 +2362,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_polygon_time_series": q_s1_polygon,
     "f_lowpass": q_f_lowpass,
     "d_dedup_minhash_md5": q_d_minhash_md5,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "sim_ann_ivf": q_sim_ann_ivf,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     # --- driver-green in r02, kept in the checked window ---
@@ -2392,10 +2474,12 @@ _ORACLES: dict[str, str] = {
     "text_tfidf_top_terms": SQL_TEXT_TFIDF,
     "d_dedup_winnow": SQL_D_WINNOW,
     "d_semantic_dedup": SQL_D_SEMANTIC_DEDUP,
-    # d_dedup_minhash_lsh, d_dedup_simhash, sim_ann_lsh,
-    # m_multimodal_features: intentionally no oracle (xxhash64 /
-    # approximate / Python-side decode) — rows-only check; recall and
-    # semantics covered by unit tests.
+    # d_dedup_minhash_lsh, d_dedup_simhash: no direct oracle (xxhash64 is
+    # not reproducible in DuckDB), but each is now INDIRECTLY driver-
+    # checked by an oracled sibling: d_dedup_lsh_xx_parity (xx pair set ==
+    # md5 pair set, md5 side rebuilt exactly) and d_dedup_simhash_xx_recall
+    # (every exact-jaccard>=0.9 pair within hamming 20 under the xx
+    # projection). m_multimodal_features: Python-side decode — rows-only.
     "d_near_dup_embedding": SQL_D_EMB,
     "d_near_dup_embedding_ivf": SQL_D_EMB_IVF,
     "sim_knn_bruteforce": SQL_SIM_KNN,
@@ -2435,6 +2519,8 @@ _ORACLES: dict[str, str] = {
     "sketch_profile": SQL_SKETCH_PROFILE,
     # f_lowpass: no oracle (sequential numpy filtfilt; golden-tested)
     "d_dedup_minhash_md5": _sql_minhash_md5(),
+    "d_dedup_lsh_xx_parity": _sql_lsh_parity(),
+    "d_dedup_simhash_xx_recall": SQL_D_SIMHASH_RECALL,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 
