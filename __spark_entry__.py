@@ -1470,15 +1470,47 @@ FROM documents
 
 
 def q_m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (stubbed decode; no SQL
-    oracle — the deterministic fake decode is Python-side; payload_len and
-    schema are covered by q_m_metadata's oracle)."""
+    """REAL decode pipeline, fully oracle-checked: synthetic_media encodes
+    genuine PNG (from-scratch encoder) / WAV / raw-byte payloads whose
+    pixel/sample values are closed-form in doc_id; extract_features
+    decodes them back (from-scratch PNG decoder, stdlib wave) and the
+    oracle recomputes the feature stats from the closed forms — a decode
+    bug anywhere in the encode->decode->feature chain diverges from the
+    SQL. payload_len stays out of the surface (zlib-compressed size is
+    not SQL-expressible); it is covered by q_m_metadata."""
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.multimodal import (extract_features,
-                                                  media_from_documents)
+                                                  synthetic_media)
 
     docs = load_table(spark, sf_dir, "documents")
-    return _finish(extract_features(media_from_documents(docs)))
+    feats = extract_features(synthetic_media(docs))
+    return _finish(feats.select("media_id", "media_type", "feat_mean",
+                                "feat_std", "feat_dim"))
+
+
+SQL_M_FEATURES = f"""
+WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS m3, doc_id AS d
+           FROM documents),
+v AS (
+  SELECT media_id,
+         CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+         CASE m3
+           WHEN 0 THEN [CAST((d + 13*i) % 256 AS DOUBLE)/255.0
+                        FOR i IN generate_series(
+                          0, (4+(d//3)%5)*(4+(d//3)%4)*3 - 1)]
+           WHEN 1 THEN [CAST((31*d + 17*i) % 2001 - 1000 AS DOUBLE)/32768.0
+                        FOR i IN generate_series(0, 64 + d%32 - 1)]
+           ELSE [CAST((3*d + 7*i) % 256 AS DOUBLE)/255.0
+                 FOR i IN generate_series(0, 128 + d%64 - 1)]
+         END AS vals
+  FROM m)
+SELECT media_id, media_type,
+       ROUND(list_avg(vals), {ND}) AS feat_mean,
+       ROUND(list_aggregate(vals, 'stddev_pop'), {ND}) AS feat_std,
+       CAST(len(vals) AS INT) AS feat_dim
+FROM v
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2479,13 +2511,14 @@ _ORACLES: dict[str, str] = {
     # checked by an oracled sibling: d_dedup_lsh_xx_parity (xx pair set ==
     # md5 pair set, md5 side rebuilt exactly) and d_dedup_simhash_xx_recall
     # (every exact-jaccard>=0.9 pair within hamming 20 under the xx
-    # projection). m_multimodal_features: Python-side decode — rows-only.
+    # projection).
     "d_near_dup_embedding": SQL_D_EMB,
     "d_near_dup_embedding_ivf": SQL_D_EMB_IVF,
     "sim_knn_bruteforce": SQL_SIM_KNN,
     "text_stats": _sql_text_stats(),
     "m_multimodal_metadata": SQL_M_META,
     "m_frame_sample": SQL_M_FRAMES,
+    "m_multimodal_features": SQL_M_FEATURES,
     "sql_pricing_summary": SQL_Q1,
     "sql_shipping_priority": SQL_Q3,
     "sql_regional_revenue": SQL_Q5,
