@@ -1514,6 +1514,135 @@ FROM v
 
 
 # --------------------------------------------------------------------------
+# Corpus scrubbing: PII, repetition, exact-substring span dedup
+# --------------------------------------------------------------------------
+
+# The documents fixture contains no PII, so the PII query PLANTS a
+# deterministic synthetic tail per doc (same expression in both engines):
+# an email, an IPv4, and a phone number derived from doc_id — then
+# detection/redaction runs over real text + planted PII and the oracle
+# checks counts AND the md5 of the redacted text.
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" user"), F.col("doc_id"),
+                 F.lit("@mail.example.com from 10."),
+                 (F.col("doc_id") % 256), F.lit(".0.1 call +1415"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+
+
+_SQL_PII_TEXT = ("text || ' user' || CAST(doc_id AS VARCHAR)"
+                 " || '@mail.example.com from 10.'"
+                 " || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call +1415'"
+                 " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over documents with planted PII (see
+    _pii_augmented). Patterns are the RE2-compatible shared contract in
+    operators/scrub.py — Spark and DuckDB run the SAME regexes and must
+    agree on both match counts and the redacted-text fingerprint."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import pii_stats
+
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    return _finish(pii_stats(docs))
+
+
+def _sql_scrub_pii() -> str:
+    from nexus_spark.operators.scrub import PII_PATTERNS
+
+    em, ip, ph = (PII_PATTERNS[k][0] for k in ("email", "ipv4", "phone"))
+    red = "t"
+    for pat, tok in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{em}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS INT) AS n_phones,
+       md5({red}) AS redacted_fp
+FROM d
+"""
+
+
+def q_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition ratio (quality signal for boilerplate
+    / degenerate text); shingle formula shared with the dedup family."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import repetition_stats
+
+    return _finish(repetition_stats(load_table(spark, sf_dir,
+                                               "documents")))
+
+
+SQL_SCRUB_REPETITION = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END AS grams
+  FROM d)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       ROUND(1.0 - len(list_distinct(grams))
+             / CAST(len(grams) AS DOUBLE), {ND}) AS rep_ratio
+FROM g
+"""
+
+
+_SPAN_W = 8  # span-dedup window length (tokens); docs are 10-99 tokens
+
+
+def q_scrub_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring span marks (relational Lee-et-al-
+    style span dedup): maximal token spans whose 8-gram windows occur in
+    >= 2 distinct documents."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import span_dedup_marks
+
+    marks = span_dedup_marks(load_table(spark, sf_dir, "documents"),
+                             window=_SPAN_W)
+    return _finish(marks.withColumnRenamed("id", "doc_id"))
+
+
+SQL_SCRUB_SPAN = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM d, LATERAL unnest(generate_series(1, len(words) - {_SPAN_W} + 1))
+       AS t(i)
+  WHERE len(words) >= {_SPAN_W}),
+shared AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT doc_id, pos FROM wins JOIN shared USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_SPAN_W} - 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_W} - 1 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+
+# --------------------------------------------------------------------------
 # Generic SQL surface (star schema) — joins/windows/rollup/set-ops
 # --------------------------------------------------------------------------
 
@@ -2383,68 +2512,18 @@ WHERE event_type = 'error'
 # --------------------------------------------------------------------------
 
 # Dict order matters: the driver's correctness sweep checks the FIRST 50
-# entries.  Rounds 1-2 left the last 10 entries unchecked, so round 3
-# rotates them to the front; the 10 displaced to the tail are each a
-# sibling of a query that stays in the first 50 (same operator family,
-# already driver-green in CORRECTNESS_r01/r02).
+# entries. STANDING ROTATION INVARIANT (per-round, oldest-checked first):
+#   1. every entry whose latest driver row is >= 2 rounds old leads the
+#      window, so no query is ever more than 1 round stale;
+#   2. then queries that are NEW or whose implementation CHANGED this
+#      round (they need a fresh row against the regenerated testdata);
+#   3. the window is padded with last-round-checked entries; the
+#      displaced tail (all checked last round) is next round's group 1.
+# Round 4 layout: 26 entries last checked in r02 + 3 new + 4 changed +
+# 2 CC-affected + 15 r03-checked pads; the 29-entry tail is all
+# r03-checked and rotates in for round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-checked before round 3: first priority ---
-    "doms_list": q_doms_list,
-    "e_sliding_events": q_e_sliding_events,
-    "sql_quantiles": q_sql_quantiles,
-    "sql_json_extract": q_sql_json,
-    "sql_distinct_counts": q_sql_distinct,
-    "s1_polygon_time_series": q_s1_polygon,
-    "f_lowpass": q_f_lowpass,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
-    # --- driver-green in r02, kept in the checked window ---
-    # --- new in round 3: needs its first driver row ---
-    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "d_curation_pipeline": q_d_curation_pipeline,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "d_stratified_sample": q_d_stratified_sample,
-    "d_sample_exact_n": q_d_sample_exact_n,
-    "d_token_packing": q_d_token_packing,
-    "text_tfidf_top_terms": q_text_tfidf,
-    "d_dedup_winnow": q_d_dedup_winnow,
-    "sketch_profile": q_sketch_profile,
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "d_corpus_mix": q_d_corpus_mix,
-    "d_contamination": q_d_contamination,
-    "text_unigram_nll": q_text_unigram_nll,
-    # --- driver-green in r02, kept in the checked window ---
-    "s1_time_series": q_s1_time_series,
-    "s1_time_series_compare": q_s1_compare,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "a10_dataset_list": q_a10_dataset_list,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "s8_matchup": q_s8_matchup,
-    "s8_matchup_once": q_s8_matchup_once,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
-    "t_asof_doy": q_t_asof_doy,
-    "f_seasonal_filter": q_f_seasonal,
-    "etl_regrid": q_etl_regrid,
-    "d_dedup_exact": q_d_dedup_exact,
-    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    "d_dedup_simhash": q_d_simhash,
-    "d_near_dup_embedding": q_d_near_dup_embedding,
-    "sim_knn_bruteforce": q_sim_knn,
-    "sim_ann_lsh": q_sim_ann_lsh,
+    # --- group 1: last driver row is r02 (stale-first) ---
     "text_stats": q_text_stats,
     "m_multimodal_metadata": q_m_metadata,
     "m_frame_sample": q_m_frame_sample,
@@ -2457,8 +2536,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_sessionize": q_sql_sessionize,
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
-    # --- displaced siblings (each proven by a same-family query above;
-    #     every one has at least one driver-green row in r01/r02) ---
     "g_spatial_smooth": q_spatial_smooth,
     "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
@@ -2473,6 +2550,66 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_topk_per_group": q_sql_topk,
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
+    # --- group 2: new in round 4 ---
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    # --- group 2b: implementation changed in round 4 ---
+    "sketch_profile": q_sketch_profile,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    # --- group 3: r03-checked pads (headline/family-central picks) ---
+    "s1_time_series": q_s1_time_series,
+    "s8_matchup_once": q_s8_matchup_once,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
+    "d_dedup_simhash": q_d_simhash,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
+    "doms_list": q_doms_list,
+    "e_sliding_events": q_e_sliding_events,
+    "s1_polygon_time_series": q_s1_polygon,
+    "f_lowpass": q_f_lowpass,
+    # --- tail (entry 51+): all r03-checked; rotates in for round 5 ---
+    "sql_quantiles": q_sql_quantiles,
+    "sql_json_extract": q_sql_json,
+    "sql_distinct_counts": q_sql_distinct,
+    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
+    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
+    "d_curation_pipeline": q_d_curation_pipeline,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_stratified_sample": q_d_stratified_sample,
+    "d_sample_exact_n": q_d_sample_exact_n,
+    "d_token_packing": q_d_token_packing,
+    "text_tfidf_top_terms": q_text_tfidf,
+    "text_unigram_nll": q_text_unigram_nll,
+    "s1_time_series_compare": q_s1_compare,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "a10_dataset_list": q_a10_dataset_list,
+    "s4_corr_map": q_s4_corr_map,
+    "s7_daily_difference": q_s7_daily_difference,
+    "s8_matchup": q_s8_matchup,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "t_asof_doy": q_t_asof_doy,
+    "f_seasonal_filter": q_f_seasonal,
+    "etl_regrid": q_etl_regrid,
+    "d_dedup_exact": q_d_dedup_exact,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    "sim_knn_bruteforce": q_sim_knn,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2557,6 +2694,9 @@ _ORACLES: dict[str, str] = {
     "d_dedup_minhash_md5": _sql_minhash_md5(),
     "d_dedup_lsh_xx_parity": _sql_lsh_parity(),
     "d_dedup_simhash_xx_recall": SQL_D_SIMHASH_RECALL,
+    "scrub_pii": _sql_scrub_pii(),
+    "scrub_repetition": SQL_SCRUB_REPETITION,
+    "scrub_span_dedup": SQL_SCRUB_SPAN,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

@@ -1,0 +1,152 @@
+"""Corpus scrubbing operators for training-data pipelines: PII
+detection/redaction, within-document repetition scoring, and cross-document
+exact-substring span marking (the span-level counterpart of document-level
+dedup, after Lee et al., "Deduplicating Training Data Makes Language Models
+Better", ACL'22 — re-expressed relationally instead of via suffix arrays).
+
+All JVM-side column expressions / relational plans — no Python in the data
+path — and every operator is expressible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared regex contract with the SQL oracle: RE2-compatible (no lookaround,
+# no backreferences) so Spark (java.util.regex) and DuckDB (RE2) agree.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # kind -> (pattern, replacement token); applied in THIS dict order —
+    # email first so its digits are gone before the phone pass.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+             "<IP>"),
+    "phone": (r"\+[0-9]{7,15}", "<PHONE>"),
+}
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts + the fingerprint of the REDACTED
+    text. One projection over the scan (regexp_count / regexp_replace are
+    codegen'd JVM expressions) — zero shuffle, the shape that runs as a
+    side output of the ingest pass at 100 TB.
+
+    Redaction replaces matches with typed tokens in PII_PATTERNS order;
+    the md5 of the redacted text lets a downstream exact-dedup collapse
+    documents that differ only in their PII — and gives the oracle an
+    exact value to check the replacement semantics, not just the counts.
+
+    Output: id, n_emails, n_ipv4, n_phones, redacted_fp.
+    """
+    t = F.col(text_col)
+    red = t
+    for pat, tok in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, tok)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"][0]))
+        .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"][0])).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["phone"][0]))
+        .alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The write-path twin of pii_stats: same patterns, returns the frame
+    with `text` replaced by its redacted form (all other columns kept)."""
+    red = F.col(text_col)
+    for pat, tok in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, tok)
+    return docs.withColumn(text_col, red)
+
+
+def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition: the fraction of word n-gram slots
+    occupied by repeats of an earlier n-gram (1 - distinct/total). A
+    standard corpus-quality signal (boilerplate and degenerate generations
+    repeat themselves); complements the CROSS-document dedup family.
+
+    Shingle construction matches the dedup operators' word-n-gram formula
+    (docs shorter than n collapse to one whole-text gram), so thresholds
+    transfer. Pure projection — array expressions only, zero shuffle.
+
+    Output: id, n_grams, n_distinct, rep_ratio.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return docs.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        (F.lit(1.0) - F.size(F.array_distinct(grams))
+         / F.size(grams).cast("double")).alias("rep_ratio"),
+    )
+
+
+def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-document exact-substring span marks: every maximal token
+    span covered by `window`-gram windows that occur (anywhere) in at
+    least `min_docs` distinct documents. This is the decision surface of
+    span-level dedup — cut the marked spans, keep the rest of the doc —
+    i.e. the relational reformulation of Lee et al.'s suffix-array
+    exact-substring dedup at window granularity.
+
+    Plan (all shuffles partitioned on bounded keys):
+      1. posexplode the per-doc window-hash array (md5 of the joined
+         window slice — engine-portable) -> (doc, pos, h); row volume =
+         total tokens, same as any tokenize pass.
+      2. aggregate h -> distinct-doc count; windows are near-unique
+         outside true duplication, so this table is ~vocabulary-sized
+         and the subsequent join broadcasts/hash-joins on h.
+      3. keep positions whose h clears min_docs; merge overlapping
+         positions per doc into maximal spans with the classic islands
+         pass: a window starts a new island iff its start exceeds the
+         running max end of earlier windows (one per-doc sort window).
+
+    Output: id, span_start, span_end (inclusive token offsets, 0-based),
+    n_windows (windows merged into the span).
+    """
+    words = F.split(F.col(text_col), " ")
+    hashes = F.when(
+        F.size(words) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - window),
+            lambda i: F.md5(F.concat_ws(" ",
+                                        F.slice(words, i + 1, window)))),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(hashes).alias("pos", "h")))
+    shared = (wins.groupBy("h")
+              .agg(F.count_distinct("id").alias("ndocs"))
+              .where(F.col("ndocs") >= min_docs)
+              .select("h"))
+    marked = wins.join(shared, "h").select("id", "pos")
+
+    w_order = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + window - 1).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (marked
+               .withColumn("new_island",
+                           F.when(F.col("pos")
+                                  > F.coalesce(prev_end, F.lit(-1)), 1)
+                           .otherwise(0))
+               .withColumn("island",
+                           F.sum("new_island").over(
+                               w_order.rowsBetween(
+                                   Window.unboundedPreceding, 0))))
+    return (islands.groupBy(F.col("id"), F.col("island"))
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + window - 1).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select("id", "span_start", "span_end", "n_windows"))
