@@ -1611,8 +1611,8 @@ def q_scrub_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(marks.withColumnRenamed("id", "doc_id"))
 
 
-SQL_SCRUB_SPAN = f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+_SQL_SPAN_CTES = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 wins AS (
   SELECT doc_id, i - 1 AS pos,
          md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')) AS h
@@ -1633,12 +1633,54 @@ grp AS (
   SELECT doc_id, pos,
          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM isl)
+  FROM isl)"""
+
+SQL_SCRUB_SPAN = f"""
+WITH {_SQL_SPAN_CTES}
 SELECT doc_id,
        MIN(pos) AS span_start,
        MAX(pos) + {_SPAN_W} - 1 AS span_end,
        COUNT(*) AS n_windows
 FROM grp GROUP BY doc_id, island
+"""
+
+
+def q_scrub_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the span-dedup decisions: cut every marked span, return
+    the scrubbed text + kept/cut token counts per document."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import (apply_span_dedup,
+                                             span_dedup_marks)
+
+    docs = load_table(spark, sf_dir, "documents")
+    marks = span_dedup_marks(docs, window=_SPAN_W)
+    return _finish(apply_span_dedup(docs, marks))
+
+
+SQL_SCRUB_SPAN_APPLY = f"""
+WITH {_SQL_SPAN_CTES},
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_W} - 1 AS e
+  FROM grp GROUP BY doc_id, island),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS word
+  FROM d, LATERAL unnest(generate_series(1, len(words))) AS t(i)),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e),
+kept AS (SELECT * FROM toks ANTI JOIN cov USING (doc_id, pos)),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total
+        FROM documents)
+SELECT tot.doc_id,
+       COALESCE(agg.text, '') AS text,
+       COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept,
+       tot.n_total - COALESCE(agg.n_tokens_kept, 0) AS n_tokens_cut
+FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -2557,6 +2599,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_span_apply": q_scrub_span_apply,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2697,6 +2740,7 @@ _ORACLES: dict[str, str] = {
     "scrub_pii": _sql_scrub_pii(),
     "scrub_repetition": SQL_SCRUB_REPETITION,
     "scrub_span_dedup": SQL_SCRUB_SPAN,
+    "scrub_span_apply": SQL_SCRUB_SPAN_APPLY,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

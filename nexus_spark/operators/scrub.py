@@ -150,3 +150,49 @@ def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
                  (F.max("pos") + window - 1).alias("span_end"),
                  F.count(F.lit(1)).alias("n_windows"))
             .select("id", "span_start", "span_end", "n_windows"))
+
+
+def apply_span_dedup(docs: DataFrame, marks: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Execute span-dedup decisions: cut every marked token span out of
+    the text (the write-path twin of span_dedup_marks, as apply_dedup is
+    to the document-level family).
+
+    Plan: tokenize with positions, range-join tokens against the (few)
+    spans of their own document, drop covered tokens, reassemble in
+    order. The reassembly sorts each doc's surviving (pos, word) pairs
+    INSIDE an array expression (array_sort on structs) — no global sort,
+    one groupBy shuffle on the doc id. Spans per doc are bounded by
+    text length / window, so the per-doc range join is a broadcast-size
+    side input in practice.
+
+    Output: id_col, text (scrubbed), n_tokens_kept, n_tokens_cut.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(F.split(F.col(text_col), " "))
+                        .alias("pos", "word")))
+    m = marks.select(F.col("id"), F.col("span_start"), F.col("span_end"))
+    covered = (toks.join(m, ["id"])
+               .where(F.col("pos").between(F.col("span_start"),
+                                           F.col("span_end")))
+               .select("id", "pos").distinct())
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct(F.col("pos"), F.col("word"))))
+                   .alias("pw"),
+                   F.count(F.lit(1)).alias("n_tokens_kept")))
+    counts = (toks.groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_total")))
+    return (counts.join(rebuilt, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.concat_ws(" ", F.transform(
+                    F.coalesce(F.col("pw"), F.array()),
+                    lambda s: s.getField("word"))).alias(text_col),
+                F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+                .alias("n_tokens_kept"),
+                (F.col("n_total")
+                 - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+                .alias("n_tokens_cut")))

@@ -62,6 +62,26 @@ def test_span_marks_boundaries_and_merge(spark):
     assert got == {(1, 2, 11): 3, (2, 1, 10): 3}
 
 
+def test_apply_span_dedup_cuts_exact_spans(spark):
+    from nexus_spark.operators.scrub import (apply_span_dedup,
+                                             span_dedup_marks)
+
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7"
+    docs = spark.createDataFrame(
+        [(1, f"k1 k2 {shared} k3"),
+         (2, f"{shared} k4 k5"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9")],
+        ["doc_id", "text"])
+    marks = span_dedup_marks(docs, window=8)
+    got = {r["doc_id"]: r
+           for r in apply_span_dedup(docs, marks).collect()}
+    assert got[1]["text"] == "k1 k2 k3"
+    assert (got[1]["n_tokens_kept"], got[1]["n_tokens_cut"]) == (3, 8)
+    assert got[2]["text"] == "k4 k5"
+    assert got[3]["text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    assert got[3]["n_tokens_cut"] == 0
+
+
 def test_span_marks_distinct_islands(spark):
     from nexus_spark.operators.scrub import span_dedup_marks
 
