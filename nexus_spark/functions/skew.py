@@ -14,6 +14,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Repartition a NARROW input up to the cluster's default parallelism
+    before a compute-heavy projection (explode/hash/codec work).
+
+    Why: a small parquet table arrives as a single split, so an
+    explode-heavy stage runs on ONE core no matter how many the session
+    has (measured: the span-dedup window build serialized 2.5s of md5
+    work on one task at sf0.1). At real scale inputs have >= parallelism
+    splits and this is a NO-OP — the condition, not the shuffle, is what
+    ships to 100 TB.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * factor < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, salts: int = 16,
               salt_col: str = "_salt",
               content_cols: list[str] | None = None) -> DataFrame:

@@ -56,8 +56,11 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
                      with_string: bool = False) -> DataFrame:
     """Exploded shingle postings (id, h [, shingle]) — duplicates included
     (min-hash does not care; distinct consumers dedup relationally)."""
-    words = docs.select(F.col(id_col).alias("id"),
-                        F.split(F.col(text_col), " ").alias("words"))
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    words = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("words"))
     out = words.select("id",
                        F.explode(F.expr(_SHINGLE_ELEMENTS_EXPR)).alias("shingle"))
     out = out.select("id", F.xxhash64("shingle").alias("h"),
@@ -69,7 +72,9 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
 # dedup calls in a long-lived session reuse ONE materialization instead of
 # stacking a new storage block per invocation (mirror of
 # similarity._FLAT_CACHE; dropped by clear_cache() / domain.invalidate()).
-_POSTINGS_CACHE: dict[tuple, DataFrame] = {}
+# Entries store (source_df, result) so a semanticHash collision is caught
+# by sameSemantics instead of returning another corpus's index.
+_POSTINGS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
@@ -78,20 +83,22 @@ def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
     counts — the shared inverted index for jaccard computations. Cached and
     memoized per (session, plan): consumed by both sides of self-joins and
     by repeated minhash/ngram invocations."""
-    key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
-    got = _POSTINGS_CACHE.get(key)
-    if got is None:
-        got = (shingle_postings(docs, id_col, text_col).distinct()
-               .withColumn("n_shingles",
-                           F.count(F.lit(1)).over(Window.partitionBy("id"))))
-        got = got.cache()
-        _POSTINGS_CACHE[key] = got
+    key = (_session_key(docs.sparkSession), docs.semanticHash(), id_col,
+           text_col)
+    hit = _POSTINGS_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(docs):
+        return hit[1]
+    got = (shingle_postings(docs, id_col, text_col).distinct()
+           .withColumn("n_shingles",
+                       F.count(F.lit(1)).over(Window.partitionBy("id"))))
+    got = got.cache()
+    _POSTINGS_CACHE[key] = (docs, got)
     return got
 
 
 def clear_cache() -> None:
     """Unpersist and drop every memoized postings frame."""
-    for frame in _POSTINGS_CACHE.values():
+    for _, frame in _POSTINGS_CACHE.values():
         try:
             frame.unpersist()
         except Exception:

@@ -117,6 +117,8 @@ def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
     Output: id, span_start, span_end (inclusive token offsets, 0-based),
     n_windows (windows merged into the span).
     """
+    from nexus_spark.functions.skew import ensure_parallelism
+
     words = F.split(F.col(text_col), " ")
     hashes = F.when(
         F.size(words) >= window,
@@ -125,8 +127,9 @@ def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
             lambda i: F.md5(F.concat_ws(" ",
                                         F.slice(words, i + 1, window)))),
     ).otherwise(F.array().cast("array<string>"))
-    wins = (docs.select(F.col(id_col).alias("id"),
-                        F.posexplode(hashes).alias("pos", "h")))
+    wins = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(hashes).alias("pos", "h")))
     shared = (wins.groupBy("h")
               .agg(F.count_distinct("id").alias("ndocs"))
               .where(F.col("ndocs") >= min_docs)
