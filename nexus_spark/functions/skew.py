@@ -25,6 +25,8 @@ def ensure_parallelism(df: DataFrame, factor: int = 4) -> DataFrame:
     splits and this is a NO-OP — the condition, not the shuffle, is what
     ships to 100 TB.
     """
+    if df.isStreaming:
+        return df  # .rdd is illegal on a stream; micro-batches parallelize
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * factor < target:

@@ -106,9 +106,15 @@ def fingerprint(text: Column) -> Column:
 
 def text_stats(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """One projection computing the full per-doc text-analysis surface."""
+    """One projection computing the full per-doc text-analysis surface.
+
+    The projection is HOF-heavy (per-language marker scans over the word
+    array), so a single-split input is first spread to the session's
+    parallelism (no-op on any real multi-split corpus)."""
+    from nexus_spark.functions.skew import ensure_parallelism
+
     t = F.col(text_col)
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
         char_count(t).alias("n_chars_m"),
@@ -167,7 +173,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    words = docs.select(
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    words = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("word"))
     tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))

@@ -185,6 +185,36 @@ def test_png_decoder_all_filter_types():
     assert np.allclose(decode_wav(encode_wav(s)), s / 32768.0)
 
 
+def test_streaming_scrub_projection(spark, tmp_path):
+    """PII stats / repetition are stateless projections -> they run
+    unchanged on a document stream (continuous scrubbing at ingest); the
+    streamed rows must equal the batch operators exactly."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import pii_stats, repetition_stats
+    from nexus_spark.streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_scrub_stream")
+    docs.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    got = {r.doc_id: r for r in run_stream_to_memory(
+        spark, pii_stats(stream), name="scrub_stream",
+        mode="append").collect()}
+    want = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert len(got) == len(want) > 0
+    for d in list(want)[:50]:
+        assert got[d].redacted_fp == want[d].redacted_fp
+
+    got_r = {r.doc_id: r for r in run_stream_to_memory(
+        spark, repetition_stats(stream), name="rep_stream",
+        mode="append").collect()}
+    want_r = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    for d in list(want_r)[:50]:
+        assert got_r[d].rep_ratio == want_r[d].rep_ratio
+
+
 def test_streaming_text_curation_projection(spark, tmp_path):
     """The text-analysis surface is a stateless projection, so it applies
     unchanged to a document STREAM — continuous corpus curation. The
