@@ -1538,6 +1538,35 @@ _SQL_PII_TEXT = ("text || ' user' || CAST(doc_id AS VARCHAR)"
                  " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace count vs GPT-2-style pre-tokenizer
+    count (the BPE lower bound). Same regex string runs in both engines
+    (RE2-compatible subset, parity asserted across unicode/contraction/
+    digit cases in tests)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return _finish(docs.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens")))
+
+
+def _sql_bpe_tokens() -> str:
+    from nexus_spark.operators.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL string-literal quote
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over documents with planted PII (see
     _pii_augmented). Patterns are the RE2-compatible shared contract in
@@ -2600,6 +2629,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_span_apply": q_scrub_span_apply,
+    "text_bpe_tokens": q_text_bpe_tokens,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2741,6 +2771,7 @@ _ORACLES: dict[str, str] = {
     "scrub_repetition": SQL_SCRUB_REPETITION,
     "scrub_span_dedup": SQL_SCRUB_SPAN,
     "scrub_span_apply": SQL_SCRUB_SPAN_APPLY,
+    "text_bpe_tokens": _sql_bpe_tokens(),
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

@@ -366,18 +366,31 @@ def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
     # Flatten to scalar columns BEFORE the join: per-pair array getItem
     # calls fall out of efficient codegen (measured 37s vs 7s at 12.5M
     # pairs); flat doubles are direct row accesses.
+    from nexus_spark.functions.skew import ensure_parallelism
+
     flat = norm.select("id", "nrm",
                        *[F.col("vec").getItem(i).alias(f"v{i}")
                          for i in range(dim)])
-    a = flat.select(F.col("id").alias("id_a"), F.col("nrm").alias("nrm_a"),
-                    *[F.col(f"v{i}").alias(f"a{i}") for i in range(dim)])
+    # Spread ONLY the left side: crossJoin task count is left x right
+    # partitions, so a 1-split input would score the whole n^2 volume in
+    # one task, while spreading both sides quadratically fragments it
+    # (32x32 = 1024 micro-tasks). left=parallelism, right=as-read gives
+    # exactly one wave of full-size tasks.
+    a = ensure_parallelism(
+        flat.select(F.col("id").alias("id_a"), F.col("nrm").alias("nrm_a"),
+                    *[F.col(f"v{i}").alias(f"a{i}") for i in range(dim)]))
     b = flat.select(F.col("id").alias("id_b"), F.col("nrm").alias("nrm_b"),
                     *[F.col(f"v{i}").alias(f"b{i}") for i in range(dim)])
     dot = F.col("a0") * F.col("b0")
     for i in range(1, dim):
         dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    # Explicit broadcast of the RIGHT side: left otherwise risks being
+    # the broadcast side, which would serialize the scoring over the
+    # right's (possibly single) input split. Broadcasting the candidate
+    # set is the brute-force contract anyway (same as the GEMM variant);
+    # the IVF/LSH operators are the beyond-memory route.
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .where(F.col("cosine") >= threshold)

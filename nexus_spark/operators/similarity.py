@@ -62,11 +62,17 @@ _FLAT_CACHE: dict[tuple, DataFrame] = {}
 
 def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
                  prefix: str) -> DataFrame:
+    from nexus_spark.functions.skew import ensure_parallelism
+
     key = (id(df.sparkSession), df.semanticHash(), id_col, vec_col, dim,
            prefix)
     got = _FLAT_CACHE.get(key)
     if got is None:
-        got = _flat(df, id_col, vec_col, dim, prefix).cache()
+        # Spread a single-split corpus before caching: the flat frame
+        # feeds crossJoin/self-join consumers whose task count equals its
+        # partition count (1 task would serialize every n^2 score).
+        got = ensure_parallelism(
+            _flat(df, id_col, vec_col, dim, prefix)).cache()
         _FLAT_CACHE[key] = got
     return got
 

@@ -31,6 +31,23 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# GPT-2-style pre-tokenizer classes, simplified to the RE2-compatible
+# subset (no lookahead): contractions, letter runs, digit runs, other-symbol
+# runs (each with an optional leading space), then whitespace runs. Both
+# Spark (java.util.regex) and DuckDB (RE2) support \p{L}/\p{N}, so the
+# SAME pattern string is the cross-engine contract.
+BPE_TOKEN_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    pattern. A byte-pair merge table would only SPLIT these further, so
+    this is the standard cheap lower-bound estimate pipelines use for
+    token budgeting before the real tokenizer runs."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

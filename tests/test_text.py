@@ -38,3 +38,33 @@ def test_curate_language_filter(spark):
         "doc_id long, text string")
     out = curate(docs, min_quality=0.0, langs=("en",)).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_bpe_token_count_cross_engine_parity(spark):
+    """The GPT-2-style pre-tokenizer pattern is a shared contract: the
+    SAME pattern string must count identically under java.util.regex
+    (Spark) and RE2 (DuckDB) across contractions, digits, unicode-ish
+    punctuation, repeated spaces, and the empty string."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.text import (BPE_TOKEN_PATTERN,
+                                            bpe_token_count)
+
+    samples = [
+        (1, "The quick brown fox doesn't jump over 42 lazy dogs!!!"),
+        (2, "it's we're I'll they'd you've  double  space"),
+        (3, "unicode: cafe numero 3.14, end."),
+        (4, "a b c"),
+        (5, ""),
+    ]
+    sdf = spark.createDataFrame(samples, ["i", "t"])
+    got = {r["i"]: r["n"] for r in
+           sdf.select("i", bpe_token_count(F.col("t")).alias("n"))
+           .collect()}
+    con = duckdb.connect()
+    for i, t in samples:
+        want = con.execute("SELECT len(regexp_extract_all(?, ?))",
+                           [t, BPE_TOKEN_PATTERN]).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == 12 and got[4] == 3 and got[5] == 0
