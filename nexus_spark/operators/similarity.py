@@ -57,23 +57,29 @@ def _flat_dot(pa: str, pb: str, dim: int):
 # Memo of cached flat frames per (session, input plan, params): repeated
 # invocations in a long-lived session reuse one materialization instead of
 # accumulating storage blocks (same rationale as domain._FRAME_CACHE).
-_FLAT_CACHE: dict[tuple, DataFrame] = {}
+# Entries store (source_df, result): semanticHash is a hash, not plan
+# equality, so hits are confirmed with sameSemantics, and the session
+# component is the JVM session UUID rather than a reusable CPython id
+# (mirror of the dedup-side memo fix).
+_FLAT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
                  prefix: str) -> DataFrame:
     from nexus_spark.functions.skew import ensure_parallelism
+    from nexus_spark.operators.dedup import _session_key
 
-    key = (id(df.sparkSession), df.semanticHash(), id_col, vec_col, dim,
-           prefix)
-    got = _FLAT_CACHE.get(key)
-    if got is None:
-        # Spread a single-split corpus before caching: the flat frame
-        # feeds crossJoin/self-join consumers whose task count equals its
-        # partition count (1 task would serialize every n^2 score).
-        got = ensure_parallelism(
-            _flat(df, id_col, vec_col, dim, prefix)).cache()
-        _FLAT_CACHE[key] = got
+    key = (_session_key(df.sparkSession), df.semanticHash(), id_col,
+           vec_col, dim, prefix)
+    hit = _FLAT_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(df):
+        return hit[1]
+    # Spread a single-split corpus before caching: the flat frame
+    # feeds crossJoin/self-join consumers whose task count equals its
+    # partition count (1 task would serialize every n^2 score).
+    got = ensure_parallelism(
+        _flat(df, id_col, vec_col, dim, prefix)).cache()
+    _FLAT_CACHE[key] = (df, got)
     return got
 
 
@@ -89,7 +95,7 @@ def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
 
 def clear_cache() -> None:
     """Unpersist and drop every memoized flat-vector frame."""
-    for frame in _FLAT_CACHE.values():
+    for _, frame in _FLAT_CACHE.values():
         try:
             frame.unpersist()
         except Exception:
