@@ -576,11 +576,17 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
     al. SoCC'14) is the other standard formulation; this one reuses the
     same two equi-join primitives the rest of the pipeline exercises.
 
-    Scale design: each round is two equi-joins (edge-label join +
-    label-label self-join), both partitioned on the node id;
-    `localCheckpoint` truncates the plan so lineage doesn't grow with
-    rounds (on a cluster with a checkpoint dir configured, prefer
-    `checkpoint()` for fault tolerance). Convergence is detected by the
+    Scale design: the loop runs on the INDUCED SUBGRAPH only — nodes
+    that appear in at least one pair (<= 2|E| rows); singleton documents
+    can never change their self-label, so they are left-joined back at
+    the end instead of riding through every round. In a dedup corpus
+    singletons are the vast majority (5B docs vs ~100M dup-pair nodes at
+    100 TB), so this shrinks every per-round join by |V|/2|E|. Each
+    round is then two equi-joins (edge-label join + label-label
+    self-join), both partitioned on the node id; `localCheckpoint`
+    truncates the plan so lineage doesn't grow with rounds (on a cluster
+    with a checkpoint dir configured, prefer `checkpoint()` for fault
+    tolerance). Convergence is detected by the
     monotone label-sum invariant: labels only ever decrease, so an
     unchanged sum(comp) is a fixpoint — one scalar agg per round instead
     of a full-frame anti-join (numeric ids; non-numeric ids use an exact
@@ -609,7 +615,9 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
     if parts < sp:
         edges = edges.repartition(parts, "e_dst").localCheckpoint()
 
-    labels = (nodes.select(F.col(id_col).alias("node")).distinct()
+    # Induced subgraph: only edge-endpoint nodes enter the loop (the
+    # symmetric edge list has every endpoint in e_src).
+    labels = (edges.select(F.col("e_src").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .repartition(parts, "node").localCheckpoint())
 
@@ -667,8 +675,13 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
             break
     _LAST_CC_ROUNDS = rounds
 
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("comp").alias("component"))
+    # Singletons rejoin: any node with no edge keeps its own id as the
+    # component (exactly what the loop would have computed for it).
+    return (nodes.select(F.col(id_col).alias("node")).distinct()
+            .join(labels, "node", "left")
+            .select(F.col("node").alias(id_col),
+                    F.coalesce(F.col("comp"), F.col("node"))
+                    .alias("component")))
 
 
 def cluster_representatives(components: DataFrame,
