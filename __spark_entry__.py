@@ -1538,6 +1538,73 @@ _SQL_PII_TEXT = ("text || ' user' || CAST(doc_id AS VARCHAR)"
                  " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC corpus ingest: the documents table is rendered as
+    crawler-layout WARC archives (one gzip-member-per-record .warc.gz
+    PER PARTITION, written by the executors — no driver I/O), read back
+    through sources/warc.py's from-scratch parser, and reduced to the
+    corpus-pipeline document surface. The oracle recomputes the expected
+    (url, text, n_tokens) directly from the source table, so any parse/
+    extraction defect anywhere in the encode->parse->extract chain
+    mismatches."""
+    import os
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.sources.warc import (_make_warc_codec, read_warc,
+                                          warc_to_documents)
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="warc_fixture_")
+    # nested-function codec -> pickled BY VALUE into the task closure;
+    # executors need no nexus_spark on their sys.path
+    _, encode_warc = _make_warc_codec()
+
+    def write_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n": []})
+                continue
+            recs = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        "\r\n\r\n<html><body><p>" + t
+                        + "</p></body></html>").encode()
+                recs.append({"warc_type": "response",
+                             "record_id": f"<urn:uuid:{int(d)}>",
+                             "target_uri":
+                             f"https://corpus.example/{int(d)}",
+                             "date": "2026-01-01T00:00:00Z",
+                             "content_type":
+                             "application/http; msgtype=response",
+                             "payload": body})
+            part = int(pdf["doc_id"].iloc[0]) % 1_000_000
+            path = os.path.join(out_dir, f"crawl-{part}.warc.gz")
+            with open(path, "wb") as fh:
+                fh.write(encode_warc(recs, gzip_per_record=True))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    # Executor-side write (repartition bounds archive count), one action.
+    (docs.select("doc_id", "text").repartition(8, "doc_id")
+     .mapInPandas(write_part, "n long").count())
+
+    extracted = warc_to_documents(read_warc(spark, out_dir))
+    return _finish(extracted.select(
+        "url", "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens")))
+
+
+SQL_WARC_INGEST = """
+SELECT 'https://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+       CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                             ' ')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgeting: whitespace count vs GPT-2-style pre-tokenizer
     count (the BPE lower bound). Same regex string runs in both engines
@@ -2630,6 +2697,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_span_apply": q_scrub_span_apply,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "warc_ingest": q_warc_ingest,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2772,6 +2840,7 @@ _ORACLES: dict[str, str] = {
     "scrub_span_dedup": SQL_SCRUB_SPAN,
     "scrub_span_apply": SQL_SCRUB_SPAN_APPLY,
     "text_bpe_tokens": _sql_bpe_tokens(),
+    "warc_ingest": SQL_WARC_INGEST,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 
