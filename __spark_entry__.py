@@ -488,6 +488,32 @@ HAVING COUNT(value) > 0
 _NV_LAT, _NV_LON = 5.0, 20.0
 
 
+def q_a2_tiled_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 summary fast path over a TILE-PARTITIONED lake with native
+    lat_tile/lon_tile partition columns — the deployment shape where the
+    boundary recompute's ring predicate becomes real PARTITION PRUNING
+    (interior files never open; asserted in test_plans). The observations
+    are written out partitioned, read back, and aggregated through
+    stats_from_summary with use_native_tiles=True; the oracle is the
+    plain full-scan SQL, so pruning must lose NOTHING."""
+    import tempfile
+
+    from nexus_spark.plans.summary import stats_from_summary
+
+    obs = domain.observations(spark, sf_dir)
+    lake = tempfile.mkdtemp(prefix="a2_lake_") + "/obs"
+    (obs.withColumn("lat_tile", F.floor(F.col("lat") / 10.0))
+        .withColumn("lon_tile", F.floor(F.col("lon") / 60.0))
+        .write.mode("overwrite")
+        .partitionBy("lat_tile", "lon_tile").parquet(lake))
+    pobs = spark.read.parquet(lake)
+    summary = domain.summary_table(spark, sf_dir,
+                                   lat_tile_deg=10.0, lon_tile_deg=60.0)
+    return _finish(stats_from_summary(
+        pobs, summary, "sst_a", -25, 25, -160, 160,
+        lat_tile_deg=10.0, lon_tile_deg=60.0, use_native_tiles=True))
+
+
 def q_a8_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.tile_service import nearest_value
 
@@ -2698,6 +2724,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_span_apply": q_scrub_span_apply,
     "text_bpe_tokens": q_text_bpe_tokens,
     "warc_ingest": q_warc_ingest,
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2841,6 +2868,7 @@ _ORACLES: dict[str, str] = {
     "scrub_span_apply": SQL_SCRUB_SPAN_APPLY,
     "text_bpe_tokens": _sql_bpe_tokens(),
     "warc_ingest": SQL_WARC_INGEST,
+    "a2_tiled_lake_pruned": SQL_A2,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 
