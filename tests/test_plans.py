@@ -215,6 +215,44 @@ def test_a2_boundary_prunes_tile_partitions(spark, tmp_path):
     assert any(not f.startswith("]") and "lat_tile" in f for f in pruned)
 
 
+def test_span_dedup_plan_shape(spark):
+    """span_dedup_marks must plan as hash joins on the window hash — no
+    cartesian/nested-loop anywhere — and the shared-window aggregate must
+    partial-aggregate map-side (partial_count before the exchange)."""
+    from nexus_spark import catalog
+    from nexus_spark.operators.scrub import span_dedup_marks
+    from tests.conftest import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents")
+    out = span_dedup_marks(docs, window=8)
+    out.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = out._jdf.queryExecution().explainString(jmode)
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "partial_count" in plan  # map-side combine on the h aggregate
+
+
+def test_warc_documents_plan_is_projection(spark, tmp_path):
+    """warc_to_documents adds NO shuffle: extraction is a pure projection
+    over the parsed records (one Exchange-free stage chain)."""
+    from nexus_spark.sources.warc import (encode_warc, read_warc,
+                                          warc_to_documents)
+
+    recs = [{"warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+             "target_uri": f"https://e.org/{i}",
+             "date": "2026-01-01T00:00:00Z",
+             "content_type": "text/html",
+             "payload": f"<p>body {i}</p>".encode()} for i in range(4)]
+    (tmp_path / "x.warc").write_bytes(encode_warc(recs))
+    docs = warc_to_documents(read_warc(spark, str(tmp_path)))
+    docs.collect()
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_a2_rejects_mismatched_native_tiling(spark, tmp_path):
     """A lake tiled with a DIFFERENT size than the summary/arguments must
     be rejected (validated sample), not silently mis-aggregated; and
