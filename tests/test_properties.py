@@ -122,3 +122,74 @@ def test_butterworth_invariants(order, wn, level):
     x = np.full(120, level)
     y = filtfilt(b, a, x, padlen=min(30, 3 * (order + 1)))
     assert np.allclose(y, level, atol=1e-6 * max(1.0, abs(level)))
+
+
+# ---- codec properties (pure Python, no Spark jobs: generous examples) ----
+
+@given(st.integers(1, 4),
+       st.integers(1, 12), st.integers(1, 12),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape(channels, h, w, seed):
+    """decode(encode(x)) == x for every 8-bit channel count and shape."""
+    from nexus_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    assert (decode_png(encode_png(a)) == a).all()
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_samples(samples):
+    from nexus_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.asarray(samples, dtype=np.int16)
+    assert np.allclose(decode_wav(encode_wav(s)), s / 32768.0)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1,
+                max_size=8),
+       st.booleans(), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_arbitrary_payloads(payloads, per_record_gz,
+                                           whole_gz):
+    """WARC parse(encode(x)) preserves every payload byte-exactly — for
+    ARBITRARY payload bytes (including CRLFs, fake 'WARC/1.0' headers,
+    and gzip magic inside payloads) and any gzip layout."""
+    import gzip
+
+    from nexus_spark.sources.warc import encode_warc, parse_warc
+
+    recs = [{"warc_type": "resource", "record_id": f"<urn:uuid:p{i}>",
+             "target_uri": f"https://e.org/{i}",
+             "date": "2026-01-01T00:00:00Z",
+             "content_type": "application/octet-stream", "payload": p}
+            for i, p in enumerate(payloads)]
+    data = encode_warc(recs, gzip_per_record=per_record_gz)
+    if whole_gz and not per_record_gz:
+        data = gzip.compress(data)
+    got = parse_warc(data)
+    assert [r[6] for r in got] == payloads
+    assert [r[0] for r in got] == [r["record_id"] for r in recs]
+
+
+@given(st.text(alphabet=st.characters(codec="ascii",
+                                      exclude_characters="\x00"),
+               max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_pii_redaction_idempotent(text):
+    """redact(redact(x)) == redact(x): replacement tokens must never
+    themselves match a PII pattern (pure-Python re equivalent of the JVM
+    expressions — same pattern strings)."""
+    import re
+
+    from nexus_spark.operators.scrub import PII_PATTERNS
+
+    def redact(s):
+        for pat, tok in PII_PATTERNS.values():
+            s = re.sub(pat, tok, s)
+        return s
+
+    once = redact(text)
+    assert redact(once) == once
