@@ -418,18 +418,14 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
     (similarity.ivf_write) and this join runs per cell partition.
     Output: id_a, id_b, cosine — same surface as embedding_near_dup.
     """
-    from nexus_spark.operators.similarity import (_cell_scores, _flat_cached,
-                                                  _flat_dot,
-                                                  _select_centroids)
+    from nexus_spark.operators.similarity import (_flat_cached, _flat_dot,
+                                                  ivf_cells_cached)
 
     corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    cents = _select_centroids(corpus, n_centroids, dim)
-    w = Window.partitionBy("id").orderBy(
-        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
-    cells = (_cell_scores(corpus, cents, dim, "c")
-             .withColumn("crank", F.row_number().over(w))
-             .where(F.col("crank") <= nprobe)
-             .select("id", "cent_id"))
+    # Memoized multi-probe assignment — the in-session analog of the
+    # persisted ivf_write cell layout (shared with the other IVF
+    # consumers in the session).
+    cells = ivf_cells_cached(corpus, dim, n_centroids, nprobe)
 
     cand = (cells.select(F.col("cent_id"), F.col("id").alias("id_a"))
             .join(cells.select(F.col("cent_id"), F.col("id").alias("id_b")),

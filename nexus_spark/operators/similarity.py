@@ -83,6 +83,37 @@ def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
     return got
 
 
+# Multi-probe cell-assignment memo: the (id -> cent_id) table IS the IVF
+# index ivf_write persists at write time, so in-session it is maintained
+# state, not a query result (same warm-state classification as the flat
+# corpus above). Keyed/confirmed like _FLAT_CACHE.
+_CELLS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
+                     nprobe: int) -> DataFrame:
+    """Memoized multi-probe IVF assignment over a flat corpus frame:
+    (id, cent_id) rows, one per probe. Deterministic (md5-seeded
+    centroids, rounded tie-broken ranks) — the in-session analog of the
+    persisted cell layout."""
+    from nexus_spark.operators.dedup import _session_key
+
+    key = (_session_key(corpus.sparkSession), corpus.semanticHash(),
+           dim, n_centroids, nprobe)
+    hit = _CELLS_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(corpus):
+        return hit[1]
+    cents = _select_centroids(corpus, n_centroids, dim)
+    w = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    cells = (_cell_scores(corpus, cents, dim, "c")
+             .withColumn("crank", F.row_number().over(w))
+             .where(F.col("crank") <= nprobe)
+             .select("id", "cent_id").cache())
+    _CELLS_CACHE[key] = (corpus, cells)
+    return cells
+
+
 def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", dim: int = DIM) -> int:
     """Materialize the session's normalized flat-vector frame — the
@@ -94,13 +125,14 @@ def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def clear_cache() -> None:
-    """Unpersist and drop every memoized flat-vector frame."""
-    for _, frame in _FLAT_CACHE.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass
-    _FLAT_CACHE.clear()
+    """Unpersist and drop every memoized flat-vector / cell frame."""
+    for cache in (_FLAT_CACHE, _CELLS_CACHE):
+        for _, frame in cache.values():
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
