@@ -1823,6 +1823,43 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_m_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize (8x8) -> re-encode -> decode ->
+    features, end-to-end through the real PNG codecs. The integer floor
+    resample contract keeps the closed-form source image closed-form, so
+    the oracle recomputes the resized pixel stats exactly — a defect in
+    EITHER codec direction or the resampler mismatches."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.multimodal import (extract_features,
+                                                  resize_images,
+                                                  synthetic_media)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs).where(F.col("media_type") == "image")
+    feats = extract_features(resize_images(media, 8, 8))
+    return _finish(feats.select("media_id", "media_type", "feat_mean",
+                                "feat_std", "feat_dim"))
+
+
+SQL_M_RESIZE = f"""
+WITH m AS (SELECT doc_id AS media_id, doc_id AS d FROM documents
+           WHERE doc_id % 3 = 0),
+v AS (
+  SELECT media_id,
+         [CAST((d + 13*(
+             (((i//24) * (4+(d//3)%4)) // 8 * (4+(d//3)%5)
+              + (((i%24)//3) * (4+(d//3)%5)) // 8) * 3 + i%3)) % 256
+           AS DOUBLE)/255.0
+          FOR i IN generate_series(0, 191)] AS vals
+  FROM m)
+SELECT media_id, 'image' AS media_type,
+       ROUND(list_avg(vals), {ND}) AS feat_mean,
+       ROUND(list_aggregate(vals, 'stddev_pop'), {ND}) AS feat_std,
+       CAST(len(vals) AS INT) AS feat_dim
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Generic SQL surface (star schema) — joins/windows/rollup/set-ops
 # --------------------------------------------------------------------------
@@ -2742,6 +2779,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "warc_ingest": q_warc_ingest,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
+    "m_resize_features": q_m_resize_features,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2886,6 +2924,7 @@ _ORACLES: dict[str, str] = {
     "text_bpe_tokens": _sql_bpe_tokens(),
     "warc_ingest": SQL_WARC_INGEST,
     "a2_tiled_lake_pruned": SQL_A2,
+    "m_resize_features": SQL_M_RESIZE,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

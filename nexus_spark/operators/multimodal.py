@@ -359,6 +359,51 @@ def extract_features(media: DataFrame, *,
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real image resize over the media table: decode PNG payloads,
+    nearest-neighbor resample to (out_h, out_w), re-encode. Non-image
+    rows pass through untouched.
+
+    Resampling contract (shared with the SQL oracle): output pixel
+    (i, j) = input pixel (i*h // out_h, j*w // out_w) — pure integer
+    floor mapping, so a closed-form source image stays closed-form after
+    resizing. Arrow-batched mapInPandas; decode+resize+encode are numpy
+    on the executor, nothing row-at-a-time.
+    """
+    png_decode, _ = _make_decoders()
+    png_encode, _, _ = _make_encoders()
+    ow, oh = int(out_w), int(out_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np_
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for mtype, payload, w0, h0 in zip(
+                    pdf["media_type"], pdf["payload"], pdf["width"],
+                    pdf["height"]):
+                if mtype != "image" or payload is None:
+                    payloads.append(payload)
+                    widths.append(w0)
+                    heights.append(h0)
+                    continue
+                arr = png_decode(bytes(payload))
+                h, w = arr.shape[:2]
+                ys = (np_.arange(oh) * h) // oh
+                xs = (np_.arange(ow) * w) // ow
+                out = arr[ys][:, xs]
+                payloads.append(png_encode(out))
+                widths.append(ow)
+                heights.append(oh)
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = payloads
+            out_pdf["width"] = pd.array(widths, dtype="Int32")
+            out_pdf["height"] = pd.array(heights, dtype="Int32")
+            yield out_pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     offset (the decode of the actual frame is the stub). Pure relational

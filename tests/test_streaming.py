@@ -131,6 +131,35 @@ def test_multimodal_real_decode_end_to_end(spark):
         assert abs(r["feat_std"] - v.std()) < 1e-9, d
 
 
+def test_resize_images_nearest_exact(spark):
+    """Nearest-neighbor resize contract: out[i,j] = in[i*h//H, j*w//W],
+    checked both downsampling and upsampling through the full
+    decode->resize->re-encode round trip."""
+    import numpy as np
+
+    from nexus_spark.operators.multimodal import (decode_png, encode_png,
+                                                  resize_images)
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(src)), 10, 6, None),
+         (2, "audio", bytearray(b"notpng"), None, None, 42)],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, duration_ms long")
+    for oh, ow in [(3, 4), (12, 20)]:
+        rows = {r["media_id"]: r
+                for r in resize_images(media, ow, oh).collect()}
+        got = decode_png(bytes(rows[1]["payload"]))
+        ys = (np.arange(oh) * 6) // oh
+        xs = (np.arange(ow) * 10) // ow
+        assert (got == src[ys][:, xs]).all()
+        assert (rows[1]["width"], rows[1]["height"]) == (ow, oh)
+        # non-image rows pass through untouched
+        assert bytes(rows[2]["payload"]) == b"notpng"
+        assert rows[2]["duration_ms"] == 42
+
+
 def test_png_decoder_all_filter_types():
     """From-scratch PNG decoder vs hand-filtered scanlines: every filter
     type (None/Sub/Up/Average/Paeth) and every channel count."""
