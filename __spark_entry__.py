@@ -1860,6 +1860,40 @@ FROM v
 """
 
 
+def q_m_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode -> nearest-index resample to 48 samples -> re-encode ->
+    decode -> features; the integer-floor pick preserves the closed-form
+    sample values exactly (int16 round trip is lossless), so the oracle
+    recomputes the resampled stats in SQL."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.multimodal import (extract_features,
+                                                  resample_audio,
+                                                  synthetic_media)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media(docs).where(F.col("media_type") == "audio")
+    feats = extract_features(resample_audio(media, 48))
+    return _finish(feats.select("media_id", "media_type", "feat_mean",
+                                "feat_std", "feat_dim"))
+
+
+SQL_M_RESAMPLE = f"""
+WITH m AS (SELECT doc_id AS media_id, doc_id AS d FROM documents
+           WHERE doc_id % 3 = 1),
+v AS (
+  SELECT media_id,
+         [CAST((31*d + 17*((i*(64+d%32))//48)) % 2001 - 1000 AS DOUBLE)
+            / 32768.0
+          FOR i IN generate_series(0, 47)] AS vals
+  FROM m)
+SELECT media_id, 'audio' AS media_type,
+       ROUND(list_avg(vals), {ND}) AS feat_mean,
+       ROUND(list_aggregate(vals, 'stddev_pop'), {ND}) AS feat_std,
+       CAST(len(vals) AS INT) AS feat_dim
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Generic SQL surface (star schema) — joins/windows/rollup/set-ops
 # --------------------------------------------------------------------------
@@ -2737,9 +2771,10 @@ WHERE event_type = 'error'
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 4 layout: 26 entries last checked in r02 + 3 new + 4 changed +
-# 2 CC-affected + 15 r03-checked pads; the 29-entry tail is all
-# r03-checked and rotates in for round 5.
+# Round 4 layout: 26 entries last checked in r02 + 11 NEW this round
+# (IVF near-dup, 2 xx-parity, 4 scrub, bpe tokens, warc ingest, tiled
+# lake, resize) + 6 changed + 7 r03-checked pads; the 37-entry tail is
+# all r03-checked and rotates in for round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- group 1: last driver row is r02 (stale-first) ---
     "text_stats": q_text_stats,
@@ -2780,6 +2815,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_resize_features": q_m_resize_features,
+    "m_resample_audio": q_m_resample_audio,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2925,6 +2961,7 @@ _ORACLES: dict[str, str] = {
     "warc_ingest": SQL_WARC_INGEST,
     "a2_tiled_lake_pruned": SQL_A2,
     "m_resize_features": SQL_M_RESIZE,
+    "m_resample_audio": SQL_M_RESAMPLE,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

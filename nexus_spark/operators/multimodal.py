@@ -404,6 +404,43 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def resample_audio(media: DataFrame, out_n: int,
+                   framerate: int = 8000) -> DataFrame:
+    """Audio-side twin of resize_images: decode WAV payloads, resample
+    to exactly `out_n` samples by nearest-index pick
+    (out[i] = in[i*n // out_n] — the same integer-floor contract, so
+    closed-form sources stay closed-form), re-encode 16-bit PCM.
+    Non-audio rows pass through untouched."""
+    _, wav_decode = _make_decoders()
+    _, wav_encode, _ = _make_encoders()
+    on = int(out_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np_
+
+        for pdf in batches:
+            payloads, durs = [], []
+            for mtype, payload, dur in zip(pdf["media_type"],
+                                           pdf["payload"],
+                                           pdf["duration_ms"]):
+                if mtype != "audio" or payload is None:
+                    payloads.append(payload)
+                    durs.append(dur)
+                    continue
+                s = wav_decode(bytes(payload))
+                idx = (np_.arange(on) * len(s)) // on
+                out = np_.clip(np_.round(s[idx] * 32768.0), -32768,
+                               32767).astype("<i2")
+                payloads.append(wav_encode(out, framerate))
+                durs.append((on * 1000) // framerate)
+            out_pdf = pdf.copy()
+            out_pdf["payload"] = payloads
+            out_pdf["duration_ms"] = pd.array(durs, dtype="Int64")
+            yield out_pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     offset (the decode of the actual frame is the stub). Pure relational
