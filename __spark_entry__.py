@@ -976,6 +976,53 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution PSI between two snapshot halves of the corpus
+    (doc_id parity) — ingest monitoring over token-count deciles (a
+    richer category set than the 4-value quality score on this fixture).
+    Smoothing, per-category terms and the total are recomputed exactly
+    by the oracle."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import distribution_drift, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(token_count(F.col("text")) / F.lit(10),
+                     F.lit(9)).cast("int")
+    return _finish(distribution_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1), bucket))
+
+
+def _sql_corpus_drift() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(LEAST(len(string_split(text, ' ')) // 10, 9) AS INT)
+           AS score
+  FROM documents),
+a AS (SELECT score, COUNT(*) AS cnt_a FROM q WHERE doc_id % 2 = 0
+      GROUP BY score),
+b AS (SELECT score, COUNT(*) AS cnt_b FROM q WHERE doc_id % 2 = 1
+      GROUP BY score),
+j AS (SELECT COALESCE(a.score, b.score) AS score,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM a FULL OUTER JOIN b ON a.score = b.score),
+p AS (
+  SELECT score,
+         (cnt_a + 0.5) / (SUM(cnt_a) OVER ()
+                          + 0.5 * COUNT(*) OVER ()) AS pa,
+         (cnt_b + 0.5) / (SUM(cnt_b) OVER ()
+                          + 0.5 * COUNT(*) OVER ()) AS pb
+  FROM j)
+SELECT score,
+       ROUND(pa, {ND}) AS frac_a,
+       ROUND(pb, {ND}) AS frac_b,
+       ROUND((pa - pb) * ln(pa / pb), {ND}) AS psi_term,
+       ROUND(SUM((pa - pb) * ln(pa / pb)) OVER (), {ND}) AS psi
+FROM p
+"""
+
+
 def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: docs overlapping a benchmark slice (every
     20th doc stands in for the eval corpus) by distinct 3-gram shingles.
@@ -2816,6 +2863,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
+    "corpus_drift_psi": q_corpus_drift,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -2962,6 +3010,7 @@ _ORACLES: dict[str, str] = {
     "a2_tiled_lake_pruned": SQL_A2,
     "m_resize_features": SQL_M_RESIZE,
     "m_resample_audio": SQL_M_RESAMPLE,
+    "corpus_drift_psi": _sql_corpus_drift(),
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

@@ -139,6 +139,56 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def write_fingerprints(docs: DataFrame, store_path: str,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       mode: str = "append") -> None:
+    """Append a batch's content fingerprints (normalized-text md5 +
+    surviving doc id) to the persistent fingerprint store — the state an
+    ingest pipeline maintains so each NEW shard dedups against ALL
+    history without rescanning it."""
+    from nexus_spark.operators.text import fingerprint
+
+    (docs.select(fingerprint(F.col(text_col)).alias("fingerprint"),
+                 F.col(id_col).alias("first_doc_id"))
+     .groupBy("fingerprint")
+     .agg(F.min("first_doc_id").alias("first_doc_id"))
+     .write.mode(mode).parquet(store_path))
+
+
+def incremental_dedup(new_docs: DataFrame, spark, store_path: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Production ingest-dedup loop step: drop new documents whose
+    content fingerprint already exists in the store (or is duplicated
+    WITHIN the batch — lowest id survives), returning the fresh
+    survivors. Call write_fingerprints on the result to commit the
+    batch's fingerprints.
+
+    Scale: the store is read as a plain parquet scan and anti-joined on
+    the 32-hex fingerprint — one shuffle of (batch + store-touched)
+    rows. At 100 TB maintain the store BUCKETED by fingerprint
+    (sources.lake bucketed tables) and bucket the batch the same way:
+    the anti-join then plans with zero Exchange on the store side.
+
+    Idempotent under replay: re-running a committed batch drops
+    everything (its fingerprints are already stored).
+    """
+    import os
+
+    from nexus_spark.operators.text import fingerprint
+
+    fp = new_docs.withColumn("fingerprint",
+                             fingerprint(F.col(text_col)))
+    # within-batch survivors (lowest id per fingerprint)
+    keep = (fp.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col)))
+    batch = fp.join(keep, ["fingerprint", id_col])
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path).select("fingerprint")
+        batch = batch.join(store, "fingerprint", "left_anti")
+    return batch.drop("fingerprint")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.8,

@@ -211,6 +211,59 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "word", "term_rank", "tfidf"))
 
 
+def quality_drift(docs_a: DataFrame, docs_b: DataFrame,
+                  text_col: str = "text") -> DataFrame:
+    """Population-stability index between two corpus snapshots over the
+    quality-score distribution — the standard ingest-monitoring check
+    ("did this crawl batch's quality profile shift?").
+
+    Per category c: psi_term = (p_a - p_b) * ln(p_a / p_b), with
+    Laplace-smoothed fractions p = (cnt + 0.5) / (n + 0.5k) so empty
+    categories stay finite; psi = sum of terms. PSI < 0.1 is the
+    conventional "stable" band.
+
+    Plan: one aggregate per snapshot (map-side combined), a full-outer
+    join on the category, and window totals over the CATEGORY frame —
+    whose cardinality is the number of distinct scores (4 for the
+    quality heuristic), so the unpartitioned window is a constant-size
+    frame at any corpus scale.
+
+    Output: score, frac_a, frac_b, psi_term, psi (total, on every row).
+    """
+    return distribution_drift(docs_a, docs_b,
+                              quality_score(F.col(text_col)))
+
+
+def distribution_drift(docs_a: DataFrame, docs_b: DataFrame,
+                       score: Column) -> DataFrame:
+    """Generic PSI over any (low-cardinality) categorical score
+    expression — see quality_drift for semantics and the scale
+    argument."""
+    from pyspark.sql import Window
+
+    def cnts(docs, name):
+        return (docs.select(score.alias("score"))
+                .groupBy("score")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    j = (cnts(docs_a, "cnt_a").join(cnts(docs_b, "cnt_b"),
+                                    "score", "full_outer")
+         .select("score",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    w = (Window.orderBy(F.lit(1))
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    k = F.count(F.lit(1)).over(w)
+    pa = (F.col("cnt_a") + 0.5) / (F.sum("cnt_a").over(w) + 0.5 * k)
+    pb = (F.col("cnt_b") + 0.5) / (F.sum("cnt_b").over(w) + 0.5 * k)
+    term = (pa - pb) * F.log(pa / pb)
+    return (j.withColumn("frac_a", pa).withColumn("frac_b", pb)
+            .withColumn("psi_term", term)
+            .withColumn("psi", F.sum(term).over(w))
+            .select("score", "frac_a", "frac_b", "psi_term", "psi"))
+
+
 def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document unigram language-model negative log-likelihood — the

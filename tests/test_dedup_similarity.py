@@ -195,3 +195,33 @@ def test_ivf_near_dup_no_cartesian(spark):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", "CartesianProduct") or True
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_store_loop(spark, tmp_path):
+    """The ingest-dedup loop: batch 1 commits its fingerprints; batch 2
+    drops exact dups against the store AND within itself; replaying a
+    committed batch drops everything (idempotence under retry)."""
+    from nexus_spark.operators.dedup import (incremental_dedup,
+                                             write_fingerprints)
+
+    store = str(tmp_path / "fp_store")
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id long, text string")
+    b1 = mk([(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+             (3, "alpha  beta gamma")])   # 3 normalizes onto 1
+    fresh1 = incremental_dedup(b1, spark, store)
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}
+    write_fingerprints(fresh1, store)
+
+    b2 = mk([(10, "ALPHA beta gamma"),    # dup of stored 1 (normalized)
+             (11, "brand new text here"),
+             (12, "brand new text here"),  # within-batch dup of 11
+             (13, "delta epsilon zeta")])  # dup of stored 2
+    fresh2 = incremental_dedup(b2, spark, store)
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+    write_fingerprints(fresh2, store)
+
+    # replay of batch 2: everything already committed -> empty
+    assert incremental_dedup(b2, spark, store).count() == 0
+    # store holds exactly the 3 surviving fingerprints
+    assert spark.read.parquet(store).count() == 3

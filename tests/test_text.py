@@ -68,3 +68,26 @@ def test_bpe_token_count_cross_engine_parity(spark):
                            [t, BPE_TOKEN_PATTERN]).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
     assert got[1] == 12 and got[4] == 3 and got[5] == 0
+
+
+def test_distribution_drift_detects_planted_shift(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.text import distribution_drift
+
+    mk = lambda texts: spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    short = ["w " * 5] * 40
+    long_ = ["w " * 50] * 40
+    a = mk(short + long_[:10])          # mostly short
+    b = mk(short[:10] + long_)          # mostly long
+    score = F.least(F.size(F.split(F.col("text"), " ")) / 10,
+                    F.lit(9)).cast("int")
+    shifted = distribution_drift(a, b, score).collect()
+    psi_shift = shifted[0]["psi"]
+    same = distribution_drift(a, a, score).collect()
+    assert same[0]["psi"] < 1e-9          # identical corpora: PSI ~ 0
+    assert psi_shift > 0.5                # planted shift: well past 0.1
+    # fractions are proper distributions
+    assert abs(sum(r["frac_a"] for r in shifted) - 1.0) < 1e-9
+    assert abs(sum(r["frac_b"] for r in shifted) - 1.0) < 1e-9
