@@ -41,6 +41,29 @@ HEADLINE = (
 )
 
 
+# Standing per-query notes written into BENCH_NOTES.md with each run —
+# the durable explanation for entries whose sweep time is dominated by
+# something other than steady-state plan execution.
+_QUERY_NOTES = {
+    "d_semantic_dedup":
+        "first-call Catalyst+codegen over the widest plan in the suite "
+        "(64-col IVF pair stage) plus the per-policy unmemoized CC "
+        "convergence; steady-state ~1s with a warm CC memo",
+    "d_near_dup_embedding":
+        "declared O(n^2) brute baseline (labeled); GEMM and IVF are the "
+        "routed alternatives",
+    "d_dedup_lsh_xx_parity":
+        "verification harness: runs BOTH hash families' full LSH "
+        "pipelines to compare their verified pair sets",
+    "d8_insitu_subset":
+        "network-adapter simulation: per-record Python parse of paged "
+        "EDGE responses is the reference-parity contract",
+    "d_dedup_components":
+        "iterative log-diameter convergence, paid per query per the "
+        "warm-state policy (DuckDB pays its recursive CTE likewise)",
+}
+
+
 def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     """--full: time EVERY queries() entry on Spark and its oracle on
     DuckDB, then write BENCH_NOTES.json (stable machine-readable record
@@ -124,6 +147,10 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     for name, r in sorted(record.items()):
         d = "—" if r["duckdb_sec"] is None else f"{r['duckdb_sec']:.3f}"
         lines.append(f"| {name} | {r['rows']} | {r['spark_sec']:.3f} | {d} |")
+    noted = [n for n in sorted(_QUERY_NOTES) if n in record]
+    if noted:
+        lines += ["", "Per-query notes:", ""]
+        lines += [f"- `{n}` — {_QUERY_NOTES[n]}" for n in noted]
     with open(os.path.join(root, "BENCH_NOTES.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({"metric": "full_sweep_total_runtime",
