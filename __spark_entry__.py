@@ -976,6 +976,43 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_d_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (mT5/XLM-R alpha-sampling,
+    alpha=0.3) over the predicted-language groups: data-dependent rates
+    computed in-plan, md5-fraction keep test, per-language achieved
+    counts as the surface. The oracle recomputes rates and re-selects
+    the exact row set."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import temperature_sample
+    from nexus_spark.operators.text import text_stats
+
+    stats = text_stats(load_table(spark, sf_dir, "documents"))
+    samp = temperature_sample(stats, "lang_pred", alpha=0.3)
+    return _finish(samp.groupBy("lang_pred", "group_rate")
+                   .agg(F.count(F.lit(1)).alias("n_sampled"))
+                   .select("lang_pred", "n_sampled", "group_rate"))
+
+
+def _sql_temperature_mix() -> str:
+    return f"""
+WITH ts AS ({_sql_text_stats()}),
+c AS (SELECT lang_pred, COUNT(*) AS n_g FROM ts GROUP BY lang_pred),
+t AS (SELECT SUM(POW(CAST(n_g AS DOUBLE), 0.3)) AS z,
+             MIN(n_g) * COUNT(*) AS t_default FROM c),
+r AS (SELECT lang_pred,
+             ROUND(LEAST(1.0, CAST(t_default AS DOUBLE)
+                   * POW(CAST(n_g AS DOUBLE), 0.3) / z / n_g), 6)
+               AS group_rate
+      FROM c, t),
+s AS (SELECT ts.doc_id, ts.lang_pred, r.group_rate
+      FROM ts JOIN r USING (lang_pred)
+      WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) / 4294967296.0 < group_rate)
+SELECT lang_pred, COUNT(*) AS n_sampled, group_rate
+FROM s GROUP BY lang_pred, group_rate
+"""
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution PSI between two snapshot halves of the corpus
     (doc_id parity) — ingest monitoring over token-count deciles (a
@@ -2864,6 +2901,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
     "corpus_drift_psi": q_corpus_drift,
+    "d_temperature_mix": q_d_temperature_mix,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -3011,6 +3049,7 @@ _ORACLES: dict[str, str] = {
     "m_resize_features": SQL_M_RESIZE,
     "m_resample_audio": SQL_M_RESAMPLE,
     "corpus_drift_psi": _sql_corpus_drift(),
+    "d_temperature_mix": _sql_temperature_mix(),
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

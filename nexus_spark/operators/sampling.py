@@ -65,6 +65,54 @@ def stratified_sample_fraction(df: DataFrame, strata_col: str,
     return df.where(key < thr_col)
 
 
+def temperature_sample(df: DataFrame, strata_col: str,
+                       alpha: float = 0.3, target_total: int | None = None,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual alpha-sampling
+    of mT5 / XLM-R): target group fractions p_g ∝ n_g^alpha flatten the
+    head and boost the tail (alpha=1 keeps natural proportions, alpha=0
+    gives uniform), realized with the same deterministic md5-threshold
+    coin as the other samplers.
+
+    Rates are DATA-DEPENDENT but fully in-plan: one group-count
+    aggregate broadcasts back onto the scan (the count table is
+    group-cardinality-sized), and the per-row keep test compares the
+    integer value of the md5 prefix against rate * 16^8 — float
+    arithmetic both engines evaluate identically, no driver collect, no
+    randomness API. rate_g = min(1, T * p_g / n_g) where T is
+    `target_total` (defaults to the smallest group size times the group
+    count — the largest T at which no group exhausts under uniform).
+
+    Output: the sampled rows (all input columns) plus `group_rate`.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n_g")))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_g").cast("double"), alpha)).alias("z"),
+        (F.min("n_g") * F.count(F.lit(1))).alias("t_default"))
+    # Rates rounded to 6 dp BEFORE the compare: the float chain (pow,
+    # sum order in z) can drift ~1e-16 between engines; rounding pins
+    # both to the identical double so the md5-fraction test selects the
+    # same rows everywhere (the same stabilization every ROUND(x,6)
+    # oracle in this repo uses).
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select(strata_col,
+                     F.round(F.least(
+                         F.lit(1.0),
+                         (F.lit(float(target_total)) if target_total
+                          is not None else F.col("t_default")
+                          .cast("double"))
+                         * F.pow(F.col("n_g").cast("double"), alpha)
+                         / F.col("z") / F.col("n_g")), 6)
+                     .alias("group_rate")))
+    keyed = df.join(F.broadcast(rates), strata_col)
+    frac = F.conv(_hash_key(F.col(id_col)), 16, 10).cast("double") \
+        / F.lit(float(16 ** 8))
+    return keyed.where(frac < F.col("group_rate"))
+
+
 def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
                             id_col: str = "doc_id") -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum: rank rows inside each

@@ -285,3 +285,40 @@ def test_contamination_check_planted_overlap(spark):
     for r in got.values():
         assert 0 < r.contamination <= 1.0
         assert r.n_hits <= r.n_shingles
+
+
+def test_temperature_sample_alpha_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.sampling import temperature_sample
+
+    rows = ([(i, "big") for i in range(4000)]
+            + [(i + 10000, "mid") for i in range(900)]
+            + [(i + 20000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def achieved(alpha, target):
+        out = temperature_sample(df, "grp", alpha=alpha,
+                                 target_total=target)
+        return {r["grp"]: r["n"] for r in
+                out.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+
+    # alpha=1: natural proportions (rates equal across groups)
+    nat = achieved(1.0, 1000)
+    assert nat["big"] > nat["mid"] > nat["small"]
+    assert abs(nat["big"] / nat["small"] - 40) < 15  # ~4000/100
+    # alpha=0: uniform target -> small group fully kept, big downsampled
+    uni = achieved(0.0, 300)
+    assert uni["small"] == 100                       # rate clamped to 1
+    assert abs(uni["big"] - 100) < 40
+    # alpha=0.3 sits between: tail boosted vs natural
+    mid = achieved(0.3, 1000)
+    assert mid["small"] / 100 > nat["small"] / 100   # higher keep rate
+    # determinism: identical re-run selects identical rows
+    a = {r["doc_id"] for r in
+         temperature_sample(df, "grp", 0.3, 1000).collect()}
+    b = {r["doc_id"] for r in
+         temperature_sample(df.repartition(7), "grp", 0.3,
+                            1000).collect()}
+    assert a == b
