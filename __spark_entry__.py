@@ -1060,6 +1060,32 @@ FROM p
 """
 
 
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram LM perplexity per document (CCNet-role filter,
+    one order up from text_unigram_nll)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import bigram_nll
+
+    return _finish(bigram_nll(load_table(spark, sf_dir, "documents")))
+
+
+SQL_TEXT_BIGRAM_NLL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, words[i] AS prev, words[i + 1] AS cur
+  FROM d, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)),
+cb AS (SELECT prev, cur, COUNT(*) AS c_bc FROM big GROUP BY prev, cur),
+cu AS (SELECT prev, SUM(c_bc) AS c_b FROM cb GROUP BY prev),
+s AS (SELECT doc_id, -ln(CAST(c_bc AS DOUBLE) / c_b) AS nl
+      FROM big JOIN cb USING (prev, cur) JOIN cu USING (prev))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(nl), {ND}) AS nll,
+       ROUND(EXP(AVG(nl)), {ND}) AS ppl
+FROM s GROUP BY doc_id
+"""
+
+
 def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: docs overlapping a benchmark slice (every
     20th doc stands in for the eval corpus) by distinct 3-gram shingles.
@@ -2902,6 +2928,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_resample_audio": q_m_resample_audio,
     "corpus_drift_psi": q_corpus_drift,
     "d_temperature_mix": q_d_temperature_mix,
+    "text_bigram_nll": q_text_bigram_nll,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -3050,6 +3077,7 @@ _ORACLES: dict[str, str] = {
     "m_resample_audio": SQL_M_RESAMPLE,
     "corpus_drift_psi": _sql_corpus_drift(),
     "d_temperature_mix": _sql_temperature_mix(),
+    "text_bigram_nll": SQL_TEXT_BIGRAM_NLL,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

@@ -211,6 +211,48 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, "word", "term_rank", "tfidf"))
 
 
+def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document bigram language-model NLL — the next step up from
+    unigram_nll toward CCNet-style perplexity filtering: score each
+    document by the mean of -ln p(w_i | w_{i-1}) under the corpus-fit
+    bigram MLE (p = c(prev,cur) / c(prev)). Fit on the corpus being
+    scored, every observed bigram has count >= 1, so the MLE needs no
+    smoothing to stay finite.
+
+    Plan: one bigram explode, a bigram-count aggregate, context counts
+    derived FROM the bigram table (vocabulary-sized, not corpus-sized),
+    both broadcast back onto the bigram stream, one per-doc mean — all
+    map-side-combined shuffles, no Python. Documents shorter than two
+    tokens have no bigrams and are excluded (documented contract).
+
+    Output: id, n_bigrams, nll, ppl.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("prev"),
+                        F.element_at(words, i + 1).alias("cur"))),
+    ).otherwise(F.array().cast(
+        "array<struct<prev:string,cur:string>>"))
+    big = (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+           .select(id_col, F.col("g.prev").alias("prev"),
+                   F.col("g.cur").alias("cur")))
+    cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bc"))
+    cu = cb.groupBy("prev").agg(F.sum("c_bc").alias("c_b"))
+    scored = (big.join(cb, ["prev", "cur"]).join(cu, "prev")
+              .select(id_col,
+                      (-F.log(F.col("c_bc").cast("double")
+                              / F.col("c_b"))).alias("nl")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg("nl").alias("nll"))
+            .select(id_col, "n_bigrams", "nll",
+                    F.exp(F.col("nll")).alias("ppl")))
+
+
 def quality_drift(docs_a: DataFrame, docs_b: DataFrame,
                   text_col: str = "text") -> DataFrame:
     """Population-stability index between two corpus snapshots over the

@@ -91,3 +91,24 @@ def test_distribution_drift_detects_planted_shift(spark):
     # fractions are proper distributions
     assert abs(sum(r["frac_a"] for r in shifted) - 1.0) < 1e-9
     assert abs(sum(r["frac_b"] for r in shifted) - 1.0) < 1e-9
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from nexus_spark.operators.text import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> p(b|a)=1, p(a|b)=1/4? no:
+    # c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts: c(a)=3, c(b)=2
+    got = {r["doc_id"]: r for r in bigram_nll(docs).collect()}
+    p_ab, p_ba, p_bc = 3 / 3, 1 / 2, 1 / 2
+    want1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["nll"] - want1) < 1e-12
+    assert abs(got[2]["nll"] - want2) < 1e-12
+    assert 3 not in got  # single-token doc has no bigrams (contract)
+    assert abs(got[2]["ppl"] - math.exp(want2)) < 1e-9
