@@ -1086,6 +1086,60 @@ FROM s GROUP BY doc_id
 """
 
 
+_CHUNK_T, _CHUNK_S = 24, 16
+
+
+def q_d_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG-style chunking of the documents table (24-token
+    windows, stride 16 — 8-token overlap)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import chunk_documents
+
+    out = chunk_documents(load_table(spark, sf_dir, "documents"),
+                          chunk_tokens=_CHUNK_T, stride=_CHUNK_S)
+    return _finish(out.withColumnRenamed("id", "doc_id"))
+
+
+SQL_D_CHUNKING = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {_CHUNK_S} AS INT) AS chunk_start,
+       array_to_string(words[i*{_CHUNK_S}+1:i*{_CHUNK_S}+{_CHUNK_T}], ' ')
+         AS chunk_text,
+       CAST(LEAST(len(words) - i*{_CHUNK_S}, {_CHUNK_T}) AS INT)
+         AS n_chunk_tokens
+FROM d, LATERAL unnest(generate_series(
+          0, (GREATEST(len(words) - 1, 0)) // {_CHUNK_S})) AS t(i)
+WHERE i * {_CHUNK_S} < len(words) OR i = 0
+"""
+
+
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-32 corpus vocabulary + per-doc OOV rate (tokenizer prep)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import vocab_oov
+
+    return _finish(vocab_oov(load_table(spark, sf_dir, "documents"),
+                             vocab_size=32))
+
+
+SQL_TEXT_VOCAB_OOV = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+v AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)
+      ORDER BY cnt DESC, word LIMIT 32)
+SELECT doc_id,
+       COUNT(*) AS n_tokens_v,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), {ND}) AS oov_rate
+FROM w LEFT JOIN v USING (word)
+GROUP BY doc_id
+"""
+
+
 def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: docs overlapping a benchmark slice (every
     20th doc stands in for the eval corpus) by distinct 3-gram shingles.
@@ -2929,6 +2983,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift_psi": q_corpus_drift,
     "d_temperature_mix": q_d_temperature_mix,
     "text_bigram_nll": q_text_bigram_nll,
+    "d_chunking": q_d_chunking,
+    "text_vocab_oov": q_text_vocab_oov,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -3078,6 +3134,8 @@ _ORACLES: dict[str, str] = {
     "corpus_drift_psi": _sql_corpus_drift(),
     "d_temperature_mix": _sql_temperature_mix(),
     "text_bigram_nll": SQL_TEXT_BIGRAM_NLL,
+    "d_chunking": SQL_D_CHUNKING,
+    "text_vocab_oov": SQL_TEXT_VOCAB_OOV,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

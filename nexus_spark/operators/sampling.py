@@ -129,6 +129,40 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
             .where(F.col("sample_rank") <= n))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunker — the RAG/embedding-prep step
+    (split every document into `chunk_tokens`-token windows advancing by
+    `stride`, so consecutive chunks overlap by chunk_tokens - stride).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens, so
+    every token is covered and the tail chunk may be short. Pure array
+    expressions + one posexplode — zero shuffle, the chunk stream feeds
+    straight into an embedding/mapInPandas stage.
+
+    Output: id, chunk_idx, chunk_start, chunk_text, n_chunk_tokens.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(words) - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
+            .alias("txt"),
+            F.least(F.size(words) - s, F.lit(chunk_tokens)).alias("n")))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(chunks).alias("chunk_idx", "c"))
+            .select("id", "chunk_idx",
+                    F.col("c.start").alias("chunk_start"),
+                    F.col("c.txt").alias("chunk_text"),
+                    F.col("c.n").alias("n_chunk_tokens")))
+
+
 def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 64,
                    id_col: str = "doc_id",
                    text_col: str = "text",

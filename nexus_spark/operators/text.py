@@ -253,6 +253,34 @@ def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
                     F.exp(F.col("nll")).alias("ppl")))
 
 
+def vocab_oov(docs: DataFrame, vocab_size: int = 32,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tokenizer-prep: build the top-`vocab_size` frequency vocabulary
+    from the corpus (ties broken on the word — deterministic) and score
+    every document's out-of-vocabulary token rate against it. High OOV
+    rate flags documents a fixed-vocab tokenizer would shred into bytes.
+
+    Plan: one word-count aggregate -> vocabulary-sized top-k (ORDER
+    BY count DESC, word LIMIT k — a TakeOrdered, no full sort shuffle) ->
+    broadcast membership join back onto the token stream -> per-doc
+    rate. Output: id, n_tokens_v, n_oov, oov_rate.
+    """
+    w = docs.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    vocab = (w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("word").asc())
+             .limit(int(vocab_size))
+             .select("word", F.lit(1).alias("in_vocab")))
+    return (w.join(F.broadcast(vocab), "word", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens_v"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                       .otherwise(0)).alias("n_oov"))
+            .select(id_col, "n_tokens_v", "n_oov",
+                    (F.col("n_oov") / F.col("n_tokens_v")
+                     .cast("double")).alias("oov_rate")))
+
+
 def quality_drift(docs_a: DataFrame, docs_b: DataFrame,
                   text_col: str = "text") -> DataFrame:
     """Population-stability index between two corpus snapshots over the

@@ -322,3 +322,31 @@ def test_temperature_sample_alpha_semantics(spark):
          temperature_sample(df.repartition(7), "grp", 0.3,
                             1000).collect()}
     assert a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from nexus_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))),  # 50 tokens
+         (2, "a b c")],                              # shorter than chunk
+        "doc_id long, text string")
+    out = [r for r in chunk_documents(docs, chunk_tokens=24,
+                                      stride=16).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # starts 0,16,32,48 (48 <= 49); window sizes 24,24,18,2
+    assert [r["chunk_start"] for r in c1] == [0, 16, 32, 48]
+    assert [r["n_chunk_tokens"] for r in c1] == [24, 24, 18, 2]
+    assert c1[0]["chunk_text"].split(" ")[0] == "t0"
+    assert c1[1]["chunk_text"].split(" ")[0] == "t16"
+    assert c1[-1]["chunk_text"] == "t48 t49"
+    # every token covered; consecutive chunks overlap by 8
+    assert set(" ".join(r["chunk_text"] for r in c1).split(" ")) \
+        == {f"t{i}" for i in range(50)}
+    assert c1[0]["chunk_text"].split(" ")[16:] \
+        == c1[1]["chunk_text"].split(" ")[:8]
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    assert by_doc[2][0]["n_chunk_tokens"] == 3
