@@ -237,7 +237,10 @@ def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
                         F.element_at(words, i + 1).alias("cur"))),
     ).otherwise(F.array().cast(
         "array<struct<prev:string,cur:string>>"))
-    big = (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    big = (ensure_parallelism(docs)
+           .select(F.col(id_col), F.explode(grams).alias("g"))
            .select(id_col, F.col("g.prev").alias("prev"),
                    F.col("g.cur").alias("cur")))
     cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bc"))
