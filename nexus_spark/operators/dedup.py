@@ -43,7 +43,12 @@ ELSE array(concat_ws(' ', words)) END
 
 
 def with_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.withColumn("words", F.split(F.col(text_col), " "))
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    # Spread a single-split input before the word/shingle fan-out (no-op
+    # on any multi-split corpus — see ensure_parallelism).
+    return ensure_parallelism(docs).withColumn(
+        "words", F.split(F.col(text_col), " "))
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -770,8 +775,11 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     Short docs (< k words) contribute one gram of the whole text; docs
     with fewer than w grams contribute the min of what they have.
     """
-    long = (docs.select(F.col(id_col).alias("id"),
-                        F.split(F.col(text_col), " ").alias("ws"))
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    long = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.split(F.col(text_col), " ").alias("ws"))
             .select("id", F.size("ws").alias("nw"),
                     F.posexplode("ws").alias("pos", "word")))
     byid = Window.partitionBy("id").orderBy("pos")

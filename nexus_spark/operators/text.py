@@ -354,8 +354,11 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
 
     Output: doc_id, n_tokens_m, nll (mean -ln p), ppl (= exp(nll)).
     """
-    w = docs.select(F.col(id_col),
-                    F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    w = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
     freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     scored = (w.join(freq, "word")
