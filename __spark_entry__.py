@@ -495,7 +495,9 @@ _TILED_LAKE: dict[tuple, str] = {}
 
 
 def tiled_lake(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+    from nexus_spark.operators.dedup import _session_key
+
+    key = (_session_key(spark), sf_dir)
     lake = _TILED_LAKE.get(key)
     if lake is None:
         import tempfile
