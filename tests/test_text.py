@@ -112,3 +112,17 @@ def test_bigram_nll_hand_computed(spark):
     assert abs(got[2]["nll"] - want2) < 1e-12
     assert 3 not in got  # single-token doc has no bigrams (contract)
     assert abs(got[2]["ppl"] - math.exp(want2)) < 1e-9
+
+
+def test_vocab_oov_hand_computed(spark):
+    from nexus_spark.operators.text import vocab_oov
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b rare1"), (2, "a b b c rare2 rare3")],
+        "doc_id long, text string")
+    # counts: a=4, b=4, c=1, rare1=1, rare2=1, rare3=1
+    # vocab_size=2 -> {a, b} (count desc, word asc tie-break beats c)
+    got = {r["doc_id"]: r for r in vocab_oov(docs, vocab_size=2).collect()}
+    assert (got[1]["n_tokens_v"], got[1]["n_oov"]) == (6, 1)
+    assert (got[2]["n_tokens_v"], got[2]["n_oov"]) == (6, 3)
+    assert abs(got[2]["oov_rate"] - 0.5) < 1e-12
