@@ -1404,6 +1404,40 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def q_sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (PRE-filter formulation): top-5 neighbors
+    among documents with >= 40 tokens only — true top-k among the
+    qualifying corpus, not a post-filtered ANN result."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import filtered_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    pred = F.size(F.split(F.col("text"), " ")) >= 40
+    return _finish(filtered_knn(emb, queries_df, docs, pred, k=_KNN_K))
+
+
+SQL_SIM_FILTERED = f"""
+WITH {_VECS},
+ok AS (SELECT doc_id FROM documents
+       WHERE len(string_split(text, ' ')) >= 40),
+q AS (SELECT * FROM n WHERE vec_id < {_KNN_QUERIES}),
+cand AS (SELECT n.* FROM n JOIN ok ON n.vec_id = ok.doc_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN cand c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, {ND}) AS cosine
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN. Approximate vs brute force, but fully
     DETERMINISTIC: the hyperplanes are seeded-RNG literals baked into the
@@ -2987,6 +3021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_nll": q_text_bigram_nll,
     "d_chunking": q_d_chunking,
     "text_vocab_oov": q_text_vocab_oov,
+    "sim_filtered_knn": q_sim_filtered_knn,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -3138,6 +3173,7 @@ _ORACLES: dict[str, str] = {
     "text_bigram_nll": SQL_TEXT_BIGRAM_NLL,
     "d_chunking": SQL_D_CHUNKING,
     "text_vocab_oov": SQL_TEXT_VOCAB_OOV,
+    "sim_filtered_knn": SQL_SIM_FILTERED,
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 

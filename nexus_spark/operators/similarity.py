@@ -170,6 +170,33 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, k)
 
 
+def filtered_knn(embeddings: DataFrame, queries: DataFrame,
+                 metadata: DataFrame, predicate, k: int = 5,
+                 id_col: str = "vec_id", meta_id_col: str = "doc_id",
+                 vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Filtered vector search with PRE-filtering: the metadata predicate
+    restricts the candidate corpus BEFORE scoring, so every query gets a
+    TRUE top-k among qualifying items. (Post-filtering an ANN result —
+    search first, filter after — silently returns fewer than k when the
+    filter is selective: the classic filtered-search pitfall. This
+    operator is the correct-recall formulation.)
+
+    Plan: predicate -> semi-join onto the vector corpus (the filter
+    reaches the metadata scan; the semi-join shuffles only ids) -> exact
+    scoring over the filtered corpus. At scale, compose the same
+    pre-filter with the IVF cell layout instead: the allowed-id set
+    semi-joins the cell-partitioned index and probes score only
+    qualifying members per cell.
+
+    Output: query_id, neighbor_id, rank, cosine.
+    """
+    allowed = (metadata.where(predicate)
+               .select(F.col(meta_id_col).alias(id_col)))
+    corpus = embeddings.join(allowed, id_col, "left_semi")
+    return knn_bruteforce(corpus, queries, k, id_col=id_col,
+                          vec_col=vec_col, dim=dim)
+
+
 def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_centroids: int = 32, nprobe: int = 2,
