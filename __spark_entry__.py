@@ -2895,6 +2895,52 @@ QUALIFY rank <= {_KNN_K}
 """
 
 
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a driver-checked metric: per-query recall@k of the
+    IVF search against the exact brute-force top-k. Both sides are
+    deterministic (seeded centroids, rounded tie-breaks), so the oracle
+    recomputes the same recall exactly — the eval harness every ANN
+    deployment runs, expressed as one query."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_ivf, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    brute = (knn_bruteforce(emb, queries_df, k=_KNN_K)
+             .select("query_id", "neighbor_id"))
+    ann = (ann_ivf(emb, queries_df, k=_KNN_K)
+           .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    out = (brute.join(ann, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("k_eff"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("n_matched")))
+    return _finish(out.select(
+        "query_id", "k_eff", "n_matched",
+        (F.col("n_matched") / F.col("k_eff").cast("double"))
+        .alias("recall")))
+
+
+def _sql_sim_recall() -> str:
+    """Oracle: brute top-k left-joined against IVF top-k, CTEs prefixed
+    to avoid collisions between the two reused oracle bodies."""
+    ivf_body = SQL_SIM_IVF.split("WITH", 1)[1]
+    knn_body = SQL_SIM_KNN.split("WITH", 1)[1]
+    return f"""
+WITH ivf_res AS (WITH {ivf_body}),
+knn_res AS (WITH {knn_body})
+SELECT b.query_id,
+       COUNT(*) AS k_eff,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), {ND}) AS recall
+FROM knn_res b LEFT JOIN ivf_res a
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -3022,6 +3068,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_chunking": q_d_chunking,
     "text_vocab_oov": q_text_vocab_oov,
     "sim_filtered_knn": q_sim_filtered_knn,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
@@ -3174,6 +3221,7 @@ _ORACLES: dict[str, str] = {
     "d_chunking": SQL_D_CHUNKING,
     "text_vocab_oov": SQL_TEXT_VOCAB_OOV,
     "sim_filtered_knn": SQL_SIM_FILTERED,
+    "sim_ann_recall_at_k": _sql_sim_recall(),
     "sim_ann_ivf": SQL_SIM_IVF,
 }
 
