@@ -3006,6 +3006,201 @@ WHERE event_type = 'error'
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: retrieval (BM25, hybrid RRF), NB classifier, shard export,
+# int8 quantization
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K = 20
+_RRF_DEPTH = 50
+_RRF_QUERY_VEC = 7
+_N_SHARDS = 8
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (Okapi with the Lucene idf floor)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(bm25_topk(docs, _BM25_TERMS, k=_BM25_K))
+
+
+def _sql_bm25_ctes(depth: int) -> str:
+    """Shared BM25 CTE chain (terms baked as literals, same constants and
+    parenthesization as retrieval.bm25_scores)."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+h AS (SELECT doc_id, word FROM w WHERE word IN ({terms})),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM h GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+ts AS (SELECT tf.doc_id,
+              ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                   / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
+       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+ag AS (SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(s) AS bm25
+       FROM ts GROUP BY doc_id),
+lr AS (SELECT doc_id, n_terms_hit, bm25,
+              CAST(ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC,
+                                      doc_id) AS INT) AS lex_rank
+       FROM ag QUALIFY lex_rank <= {depth})"""
+
+
+SQL_TEXT_BM25 = f"""
+WITH {_sql_bm25_ctes(_BM25_K)}
+SELECT doc_id, n_terms_hit, ROUND(bm25, {ND}) AS bm25, lex_rank FROM lr
+"""
+
+
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    (Cormack/Clarke/Buettcher SIGIR'09): BM25 top-50 and exact cosine
+    top-50 around one query embedding, fused by 1/(60+rank) — the RAG
+    retrieval stack as one deterministic relational plan."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.retrieval import hybrid_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _finish(hybrid_rrf(docs, emb, _BM25_TERMS,
+                              query_vec_id=_RRF_QUERY_VEC, k=_BM25_K,
+                              depth=_RRF_DEPTH))
+
+
+SQL_SIM_HYBRID = f"""
+WITH {_VECS},
+{_sql_bm25_ctes(_RRF_DEPTH).lstrip()},
+qv AS (SELECT * FROM n WHERE vec_id = {_RRF_QUERY_VEC}),
+sc AS (SELECT c.vec_id AS doc_id,
+              list_dot_product(qv.vec, c.vec) / (qv.nrm * c.nrm) AS cosine
+       FROM qv JOIN n c ON c.vec_id <> qv.vec_id),
+vr AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 6) DESC,
+                                      doc_id) AS INT) AS vec_rank
+       FROM sc QUALIFY vec_rank <= {_RRF_DEPTH}),
+f AS (SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id,
+             lr.lex_rank, vr.vec_rank,
+             COALESCE(1.0 / (60 + lr.lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + vr.vec_rank), 0.0) AS rrf_score
+      FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id)
+SELECT doc_id, lex_rank, vec_rank, ROUND(rrf_score, {ND}) AS rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rrf_score, 9) DESC,
+                               doc_id) AS INT) AS fused_rank
+FROM f QUALIFY fused_rank <= {_BM25_K}
+"""
+
+
+def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multinomial Naive Bayes language classifier,
+    trained and scored in one relational plan (Laplace-smoothed over the
+    full vocab x classes grid)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import nb_lang_classifier
+
+    return _finish(nb_lang_classifier(
+        load_table(spark, sf_dir, "documents")))
+
+
+SQL_TEXT_NB = f"""
+WITH w AS (SELECT doc_id, lang AS cls,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+cd AS (SELECT lang AS cls, COUNT(*) AS n_docs_c FROM documents
+       GROUP BY lang),
+ndq AS (SELECT COUNT(*) AS n_docs FROM documents),
+pr AS (SELECT cls, ln(CAST(n_docs_c AS DOUBLE) / n_docs) AS logprior
+       FROM cd CROSS JOIN ndq),
+wc AS (SELECT cls, word, COUNT(*) AS c_wc FROM w GROUP BY cls, word),
+tc AS (SELECT cls, SUM(c_wc) AS tok_c FROM wc GROUP BY cls),
+vo AS (SELECT DISTINCT word FROM wc),
+vs AS (SELECT COUNT(*) AS v FROM vo),
+grid AS (SELECT vo.word, cd.cls FROM vo CROSS JOIN cd),
+lik AS (SELECT grid.cls, grid.word,
+               ln((COALESCE(wc.c_wc, 0) + 1.0) / (tc.tok_c + vs.v))
+                 AS loglik
+        FROM grid LEFT JOIN wc ON grid.cls = wc.cls
+                              AND grid.word = wc.word
+        JOIN tc ON grid.cls = tc.cls CROSS JOIN vs),
+sc AS (SELECT w2.doc_id, lik.cls, SUM(lik.loglik) AS sum_ll
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents) w2
+       JOIN lik USING (word) GROUP BY w2.doc_id, lik.cls),
+po AS (SELECT sc.doc_id, sc.cls, sc.sum_ll + pr.logprior AS logpost
+       FROM sc JOIN pr USING (cls)),
+best AS (SELECT doc_id, cls, logpost,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY ROUND(logpost, 6) DESC, cls) AS rk
+         FROM po)
+SELECT b.doc_id, d.lang AS lang_true, b.cls AS lang_pred,
+       ROUND(b.logpost, {ND}) AS logpost
+FROM best b JOIN documents d USING (doc_id) WHERE rk = 1
+"""
+
+
+def q_d_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + balanced shard assignment — the
+    training-export layout (md5-keyed permutation, hash-mod sharding,
+    within-shard hash order = source-interleaved shards)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=_N_SHARDS, seed="r4")
+    return _finish(out.select("doc_id", "lang", "shard", "pos_in_shard"))
+
+
+SQL_D_SHUFFLE_SHARDS = f"""
+WITH k AS (SELECT doc_id, lang,
+                  substr(md5('r4:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS skey
+           FROM documents),
+s AS (SELECT doc_id, lang, skey,
+             ('0x' || skey)::BIGINT % {_N_SHARDS} AS shard FROM k)
+SELECT doc_id, lang, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY skey, doc_id) AS INT) AS pos_in_shard
+FROM s
+"""
+
+
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8-style
+    per-vector scale): codes checksum + range + reconstruction MSE."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import quantize_int8
+
+    return _finish(quantize_int8(load_table(spark, sf_dir, "embeddings")))
+
+
+SQL_SIM_QUANTIZE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+s AS (SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, vec, scale,
+             list_transform(vec, x -> CASE WHEN scale = 0 THEN 0.0
+                  ELSE floor(x / scale + 0.5) END) AS qv
+      FROM s)
+SELECT vec_id, ROUND(scale, {ND}) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS qsum,
+       CAST(list_min(qv) AS BIGINT) AS qmin,
+       CAST(list_max(qv) AS BIGINT) AS qmax,
+       ROUND((list_dot_product(vec, vec)
+              - 2.0 * scale * list_dot_product(vec, qv)
+              + scale * scale * list_dot_product(qv, qv))
+             / len(vec), {ND}) AS mse
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3017,10 +3212,14 @@ WHERE event_type = 'error'
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 4 layout: 26 entries last checked in r02 + 11 NEW this round
+# Round 4 layout: 24 entries last checked in r02 + 24 NEW this round
 # (IVF near-dup, 2 xx-parity, 4 scrub, bpe tokens, warc ingest, tiled
-# lake, resize) + 6 changed + 7 r03-checked pads; the 37-entry tail is
-# all r03-checked and rotates in for round 5.
+# lake, resize/resample, drift, temperature mix, bigram, chunking, oov,
+# filtered/recall, bm25, hybrid rrf, nb classifier, shuffle shards,
+# int8 quantize) + the 2 highest-priority changed entries
+# (sketch_profile — round 3's one red row — and d_semantic_dedup, whose
+# "done = green" was an explicit round-3 task) = the 50-entry window;
+# see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- group 1: last driver row is r02 (stale-first) ---
     "text_stats": q_text_stats,
@@ -3044,8 +3243,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_distinct_bboxes": q_t_distinct_bboxes,
     "a4_corr_grid": q_a4_corr_grid,
     "etl_transforms": q_etl_transforms,
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
     "sql_topk_per_group": q_sql_topk,
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
@@ -3069,9 +3266,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_oov": q_text_vocab_oov,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
+    "text_bm25_topk": q_text_bm25,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
+    "text_nb_classifier": q_text_nb_classifier,
+    "d_shuffle_shards": q_d_shuffle_shards,
+    "sim_quantize_int8": q_sim_quantize_int8,
     # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
+    # --- tail (entry 51+): rotates in for round 5. Window arithmetic for
+    # this round: 26 stale + 24 new + 6 changed = 56 demands > 50 slots,
+    # so the 4 remaining changed entries (below — robustness/perf changes,
+    # not semantics; each pytest-parity-checked at sf0.01 every run) and 2
+    # group-1 entries (sql_left_join / sql_semi_join, whose single-join
+    # surface is exercised in-window by sql_anti_join + sql_set_ops) wait
+    # for round 5's window. ---
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "d_dedup_components": q_d_dedup_components,
@@ -3223,6 +3434,11 @@ _ORACLES: dict[str, str] = {
     "sim_filtered_knn": SQL_SIM_FILTERED,
     "sim_ann_recall_at_k": _sql_sim_recall(),
     "sim_ann_ivf": SQL_SIM_IVF,
+    "text_bm25_topk": SQL_TEXT_BM25,
+    "sim_hybrid_rrf": SQL_SIM_HYBRID,
+    "text_nb_classifier": SQL_TEXT_NB,
+    "d_shuffle_shards": SQL_D_SHUFFLE_SHARDS,
+    "sim_quantize_int8": SQL_SIM_QUANTIZE,
 }
 
 

@@ -1,0 +1,152 @@
+"""Lexical and hybrid retrieval over a document corpus: BM25 scoring,
+top-k search, and reciprocal-rank fusion with the vector-search path.
+
+The reference engine has no text-retrieval surface; this implements the
+standard public formulations — Okapi BM25 (Robertson & Sparck Jones, with
+the Lucene ``ln(1 + ...)`` idf floor so scores stay positive on small
+corpora) and reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+SIGIR'09) — as Catalyst-friendly relational plans. Together with
+similarity.knn_bruteforce/ann_ivf they form the retrieval half of a RAG
+data pipeline: lexical recall + semantic recall, fused rank.
+
+Scale shape (the part that must survive 100 TB):
+
+- the exploded token stream is filtered to the query terms IN THE SCAN
+  STAGE (a handful of terms), so the per-(doc, term) tf aggregate shuffles
+  only matching tokens — corpus-size-proportional work happens in one
+  narrow projection;
+- document lengths are one shuffle-free projection; corpus-level stats
+  (N, avgdl) reduce to a single broadcast scalar row;
+- the term document-frequency table is at most |query_terms| rows and
+  broadcasts; the only O(corpus) shuffle is the final per-doc score
+  aggregate, map-side combined on the doc key;
+- RRF fusion joins two ALREADY top-k rank lists (k rows each) — a
+  broadcastable full-outer join, independent of corpus size.
+
+Determinism contract (oracle hash-match): ranks order by the 6-decimal
+ROUNDED score with an id tie-break, the same discipline as
+similarity._topk; BM25 per-term scores are exact given exact tf/df/dl
+inputs, and the per-doc sum spans <= |query_terms| doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Okapi defaults (Robertson et al.; the Lucene defaults).
+K1 = 1.2
+B = 0.75
+RRF_K = 60  # the SIGIR'09 constant
+
+
+def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
+                k1: float = K1, b: float = B,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query.
+
+    score(d) = sum over query terms t present in d of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Output: doc_id, n_terms_hit, bm25. Documents matching no term are
+    absent (standard inverted-index semantics).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [str(t) for t in query_terms]
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    # Filter in the scan stage: only query-term tokens reach the shuffle.
+    hits = words.where(F.col("word").isin(terms))
+    tf = hits.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are unique per (doc, term), so COUNT(*) per term = df.
+    df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+
+    # Doc lengths: shuffle-free projection; corpus stats: one scalar row.
+    dl = docs.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+    scored = (tf.join(F.broadcast(df_tbl), "word")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), term_score.alias("s")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                 F.sum("s").alias("bm25")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
+              k1: float = K1, b: float = B, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-k documents by BM25. Deterministic tie-break on (rounded score
+    desc, doc id asc) — the same contract as similarity._topk. The window
+    is unpartitioned but runs over the ALREADY-aggregated per-doc score
+    table; at scale replace with ORDER BY ... LIMIT k (a TakeOrdered, no
+    single-partition sort) — semantics identical, kept as a window here so
+    the rank column survives into the fusion join.
+
+    Output: doc_id, n_terms_hit, bm25, lex_rank.
+    """
+    scored = bm25_scores(docs, query_terms, k1, b, id_col, text_col)
+    w = Window.orderBy(F.round(F.col("bm25"), 6).desc(),
+                       F.col(id_col).asc())
+    return (scored.withColumn("lex_rank", F.row_number().over(w))
+            .where(F.col("lex_rank") <= k))
+
+
+def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
+               query_terms: tuple[str, ...], query_vec_id: int,
+               k: int = 10, depth: int = 50, rrf_k: int = RRF_K,
+               doc_id_col: str = "doc_id", vec_id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal-rank fusion.
+
+    Runs BM25 top-`depth` over the documents and exact cosine top-`depth`
+    around the `query_vec_id` embedding (the fixture contract pairs
+    doc_id==vec_id), then fuses:
+
+      rrf(d) = sum over lists containing d of 1 / (rrf_k + rank_list(d))
+
+    — rank-based fusion needs no score normalization across the two
+    incomparable scales (BM25 vs cosine), which is exactly why RRF is the
+    production default. Both input lists are k-row tables, so the
+    full-outer fusion join broadcasts regardless of corpus size.
+
+    Output: doc_id, lex_rank, vec_rank (NULL when absent from that list),
+    rrf_score, fused_rank.
+    """
+    from nexus_spark.operators.similarity import knn_bruteforce
+
+    lex = bm25_topk(docs, query_terms, k=depth, id_col=doc_id_col)
+    qv = embeddings.where(F.col(vec_id_col) == query_vec_id)
+    vec = (knn_bruteforce(embeddings, qv, k=depth, id_col=vec_id_col,
+                          vec_col=vec_col, dim=dim)
+           .select(F.col("neighbor_id").alias(doc_id_col),
+                   F.col("rank").alias("vec_rank")))
+    fused = (lex.select(doc_id_col, "lex_rank")
+             .join(vec, doc_id_col, "full_outer"))
+    # 1/(c+r) terms are exact doubles of well-separated magnitudes; the
+    # two-term sum is order-free (binary fp addition is commutative).
+    contrib = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)))
+    w = Window.orderBy(F.round(contrib, 9).desc(), F.col(doc_id_col).asc())
+    return (fused.withColumn("rrf_score", contrib)
+            .withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= k)
+            .select(doc_id_col, "lex_rank", "vec_rank", "rrf_score",
+                    "fused_rank"))

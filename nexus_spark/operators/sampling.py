@@ -129,6 +129,44 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
             .where(F.col("sample_rank") <= n))
 
 
+def shuffle_shards(df: DataFrame, n_shards: int = 8, seed: str = "r4",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-
+    export step that turns a curated corpus into N well-mixed output
+    shards (the parquet/TFRecord writer layout), seed-free and
+    engine-portable like every sampler in this module.
+
+    Each row gets a content-addressed pseudo-random key
+    md5(seed || ':' || id); shard = key-integer mod n_shards, position =
+    rank of the key within the shard. Because the key is uniform, (a)
+    shards are balanced to binomial fluctuation, and (b) the within-shard
+    order is a uniform permutation — consecutive rows of any shard are
+    draws from the whole corpus, so sources/languages arrive interleaved
+    (no same-document or same-source runs), which is exactly the property
+    a training dataloader needs from its shards.
+
+    Scale shape: the shard assignment is a pure projection (no shuffle);
+    the position rank is one hash shuffle on the shard key + a per-shard
+    sort — the same cost as the shard write itself (df.repartition(shard)
+    .sortWithinPartitions(key)), which is the intended physical layout at
+    100 TB. Changing `seed` reshuffles; changing n_shards only re-buckets.
+
+    Output: all input columns + shard, pos_in_shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.substring(
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col(id_col).cast("string"))), 1, 8)
+    # conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT — portable hex->int.
+    shard = F.pmod(F.conv(key, 16, 10).cast("bigint"), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("skey"), F.col(id_col))
+    return (df.withColumn("skey", key)
+            .withColumn("shard", shard)
+            .withColumn("pos_in_shard", F.row_number().over(w))
+            .drop("skey"))
+
+
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
                     stride: int = 24, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

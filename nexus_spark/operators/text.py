@@ -284,6 +284,81 @@ def vocab_oov(docs: DataFrame, vocab_size: int = 32,
                      .cast("double")).alias("oov_rate")))
 
 
+def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       label_col: str = "lang") -> DataFrame:
+    """Train-and-score a multinomial Naive Bayes text classifier in one
+    relational plan — the cheap supervised quality/language gate every
+    corpus pipeline runs (the fastText-classifier role, reduced to the
+    closed-form NB fit so both engines compute it exactly).
+
+    Fit (all aggregates, no iteration): class priors from the label
+    column, Laplace-smoothed word likelihoods
+    p(w|c) = (count(w,c) + 1) / (tokens(c) + V) over the full
+    vocab x classes grid (so unseen (word, class) pairs score the
+    smoothing floor, not a dropped join row).
+
+    Score: logpost(d,c) = ln p(c) + sum over tokens of ln p(w|c);
+    prediction = argmax with deterministic (rounded logpost desc, class
+    asc) tie-break.
+
+    Scale shape: the likelihood grid is vocab x classes — vocabulary-
+    sized, NOT corpus-sized — so it broadcasts; scoring multiplies the
+    token stream by |classes| (the standard NB scoring join) and reduces
+    with one map-side-combined aggregate on (doc, class). The per-doc
+    argmax window partitions by doc. Nothing here grows faster than the
+    token stream itself at 100 TB.
+
+    Output: doc_id, lang_true, lang_pred, logpost (the winning class's
+    log posterior).
+    """
+    from nexus_spark.functions.skew import ensure_parallelism
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(docs)
+    w = d.select(F.col(id_col), F.col(label_col).alias("cls"),
+                 F.explode(F.split(F.col(text_col), " ")).alias("word"))
+
+    cls_docs = (d.groupBy(F.col(label_col).alias("cls"))
+                .agg(F.count(F.lit(1)).alias("n_docs_c")))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (cls_docs.crossJoin(F.broadcast(n_docs))
+             .select("cls", F.log(F.col("n_docs_c").cast("double")
+                                  / F.col("n_docs")).alias("logprior")))
+
+    wc = w.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("c_wc"))
+    tok_c = wc.groupBy("cls").agg(F.sum("c_wc").alias("tok_c"))
+    vocab = wc.select("word").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+
+    grid = vocab.crossJoin(cls_docs.select("cls"))
+    lik = (grid.join(wc, ["cls", "word"], "left")
+           .join(tok_c, "cls")
+           .crossJoin(F.broadcast(vsize))
+           .select("cls", "word",
+                   F.log((F.coalesce(F.col("c_wc"), F.lit(0)) + 1.0)
+                         / (F.col("tok_c") + F.col("v")))
+                   .alias("loglik")))
+
+    scored = (w.select(id_col, "word")
+              .join(F.broadcast(lik), "word")
+              .groupBy(id_col, "cls")
+              .agg(F.sum("loglik").alias("sum_ll"))
+              .join(F.broadcast(prior), "cls")
+              .select(id_col, "cls",
+                      (F.col("sum_ll") + F.col("logprior"))
+                      .alias("logpost")))
+    win = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("logpost"), 6).desc(), F.col("cls").asc())
+    best = (scored.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") == 1))
+    return (best.join(d.select(F.col(id_col),
+                               F.col(label_col).alias("lang_true")),
+                      id_col)
+            .select(id_col, "lang_true", F.col("cls").alias("lang_pred"),
+                    "logpost"))
+
+
 def quality_drift(docs_a: DataFrame, docs_b: DataFrame,
                   text_col: str = "text") -> DataFrame:
     """Population-stability index between two corpus snapshots over the
