@@ -3200,6 +3200,77 @@ FROM q
 """
 
 
+_WSAMPLE_N = 100
+
+
+def q_d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys, md5-uniform draws): top-100 documents weighted by
+    length — deterministic, engine-portable, TakeOrdered at scale."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import weighted_sample_topn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(weighted_sample_topn(docs, "n_chars", n=_WSAMPLE_N,
+                                        seed="w"))
+
+
+SQL_D_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars AS weight,
+         -ln((('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT + 1) / 4294967297.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight, ROUND(es_key, {ND}) AS es_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS INT)
+         AS sample_rank
+FROM k QUALIFY sample_rank <= {_WSAMPLE_N}
+"""
+
+
+def q_sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index search: exact top-k over the int8-quantized
+    corpus (asymmetric: float queries vs dequantized codes) — the
+    1/4-scan-bytes search mode of a quantized 100 TB index,
+    oracle-checked end-to-end because codes and scales are exact."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_int8(emb, queries_df, k=_KNN_K))
+
+
+SQL_SIM_ANN_INT8 = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+s AS (SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+dq AS (SELECT vec_id,
+              list_transform(vec, x -> CASE WHEN scale = 0 THEN 0.0
+                   ELSE floor(x / scale + 0.5) * scale END) AS vec
+       FROM s),
+nc AS (SELECT vec_id, vec,
+              sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+       FROM dq),
+nq AS (SELECT vec_id, vec,
+              sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+       FROM v WHERE vec_id < {_KNN_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM nq q JOIN nc c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, {ND}) AS cosine
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3280,7 +3351,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # not semantics; each pytest-parity-checked at sf0.01 every run) and 2
     # group-1 entries (sql_left_join / sql_semi_join, whose single-join
     # surface is exercised in-window by sql_anti_join + sql_set_ops) wait
-    # for round 5's window. ---
+    # for round 5's window, as do the two newest entries below (weighted
+    # sample, int8 ANN — pytest-parity-checked at sf0.01 every run). ---
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3439,6 +3513,8 @@ _ORACLES: dict[str, str] = {
     "text_nb_classifier": SQL_TEXT_NB,
     "d_shuffle_shards": SQL_D_SHUFFLE_SHARDS,
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
+    "d_weighted_sample": SQL_D_WEIGHTED_SAMPLE,
+    "sim_ann_int8": SQL_SIM_ANN_INT8,
 }
 
 

@@ -57,20 +57,28 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
         raise ValueError("query_terms must be non-empty")
     terms = [str(t) for t in query_terms]
 
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    # Carry the doc length THROUGH the filtered token stream instead of
+    # joining a corpus-sized per-doc length table back in later: dl rides
+    # the (tiny) matching-token shuffle, so the only corpus-keyed shuffle
+    # is the per-(doc, term) tf aggregate itself.
     words = docs.select(
         F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"))
     # Filter in the scan stage: only query-term tokens reach the shuffle.
     hits = words.where(F.col("word").isin(terms))
-    tf = hits.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (hits.groupBy(id_col, "word", "dl")
+          .agg(F.count(F.lit(1)).alias("tf")))
     # tf rows are unique per (doc, term), so COUNT(*) per term = df.
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
 
-    # Doc lengths: shuffle-free projection; corpus stats: one scalar row.
-    dl = docs.select(F.col(id_col),
-                     F.size(F.split(F.col(text_col), " ")).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.sum("dl").alias("sum_dl"))
+    # Corpus stats: a shuffle-free projection reduced to one scalar row.
+    stats = (docs.select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("dl").alias("sum_dl")))
 
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + 0.5)
@@ -81,7 +89,6 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
     term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
 
     scored = (tf.join(F.broadcast(df_tbl), "word")
-              .join(dl, id_col)
               .crossJoin(F.broadcast(stats))
               .select(F.col(id_col), term_score.alias("s")))
     return (scored.groupBy(id_col)

@@ -129,6 +129,45 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, n: int,
             .where(F.col("sample_rank") <= n))
 
 
+def weighted_sample_topn(df: DataFrame, weight_col: str, n: int,
+                         id_col: str = "doc_id",
+                         seed: str = "w") -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, IPL 2006): each row draws u = md5-uniform in (0, 1] and gets
+    the exponential sort key -ln(u) / weight; the n smallest keys are a
+    weighted sample without replacement. The standard quality-weighted /
+    length-weighted corpus subsampling step, with this module's usual
+    guarantees: seed-free, engine-portable, reproducible at any scale.
+
+    Rows with weight <= 0 are excluded (they have zero selection
+    probability; documented contract). Scale shape: the key is a pure
+    projection; top-n is ORDER BY key LIMIT n — a TakeOrdered (per-
+    partition heap + driver merge of n*partitions candidates), no global
+    sort shuffle. The rank column comes from a window AFTER the limit,
+    over n rows only.
+
+    Output: id, weight, es_key, sample_rank (1-based, smallest key
+    first).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col(id_col).cast("string"))), 1, 8)
+    # u in (0, 1]: (hash_int + 1) / (16^8 + 1) — never 0, so ln is finite.
+    u = ((F.conv(hexpfx, 16, 10).cast("bigint") + 1)
+         / F.lit(float(16 ** 8 + 1)))
+    key = -F.log(u) / F.col(weight_col)
+    picked = (df.where(F.col(weight_col) > 0)
+              .select(F.col(id_col),
+                      F.col(weight_col).alias("weight"),
+                      key.alias("es_key"))
+              .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+              .limit(int(n)))
+    w = Window.orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+    return picked.withColumn("sample_rank", F.row_number().over(w))
+
+
 def shuffle_shards(df: DataFrame, n_shards: int = 8, seed: str = "r4",
                    id_col: str = "doc_id") -> DataFrame:
     """Deterministic global shuffle + shard assignment — the training-

@@ -225,3 +225,18 @@ def test_incremental_dedup_store_loop(spark, tmp_path):
     assert incremental_dedup(b2, spark, store).count() == 0
     # store holds exactly the 3 surviving fingerprints
     assert spark.read.parquet(store).count() == 3
+
+
+def test_ann_int8_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.similarity import ann_int8, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in ann_int8(emb, queries, k=5).collect()}
+    # int8 quantization perturbs cosine by <1e-2; top-5 overlap stays high
+    assert len(exact & quant) / len(exact) >= 0.9

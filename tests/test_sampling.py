@@ -350,3 +350,29 @@ def test_chunk_documents_coverage_and_overlap(spark):
         == c1[1]["chunk_text"].split(" ")[:8]
     assert by_doc[2][0]["chunk_text"] == "a b c"
     assert by_doc[2][0]["n_chunk_tokens"] == 3
+
+
+def test_weighted_sample_topn(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.sampling import weighted_sample_topn
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        # weights 1 vs 100: heavy rows should dominate the sample
+        F.when(F.col("id") % 2 == 0, 100).otherwise(1).alias("wt"))
+    out = weighted_sample_topn(docs, "wt", n=50, seed="t").collect()
+    assert len(out) == 50
+    assert [r["sample_rank"] for r in
+            sorted(out, key=lambda r: r["es_key"])] == list(range(1, 51))
+    heavy = sum(1 for r in out if r["weight"] == 100)
+    assert heavy >= 40  # 100:1 weights -> overwhelmingly heavy rows
+    # deterministic under repartitioning
+    again = weighted_sample_topn(docs.repartition(7), "wt", n=50,
+                                 seed="t").collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in again} \
+        == {(r["doc_id"], r["sample_rank"]) for r in out}
+    # zero/negative weights are excluded
+    docs0 = spark.range(10).select(F.col("id").alias("doc_id"),
+                                   F.lit(0).alias("wt"))
+    assert weighted_sample_topn(docs0, "wt", n=5).count() == 0
