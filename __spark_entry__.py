@@ -3228,6 +3228,47 @@ FROM k QUALIFY sample_rank <= {_WSAMPLE_N}
 """
 
 
+def q_d_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (added / removed /
+    changed / unchanged via normalized content fingerprints). The two
+    snapshots are carved deterministically from the documents fixture:
+    'old' drops ids divisible by 10, 'new' appends a token to ids
+    divisible by 7 — so every status appears."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")).alias("text"))
+    return _finish(corpus_diff(old, new))
+
+
+SQL_D_CORPUS_DIFF = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+  FROM documents),
+o AS (SELECT doc_id, fp AS old_fp FROM fp WHERE doc_id % 10 <> 0),
+nw AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
+           ' +', ' ', 'g'))) AS new_fp
+  FROM documents)
+SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN nw.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp = nw.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_fp, nw.new_fp
+FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+"""
+
+
 def q_sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-index search: exact top-k over the int8-quantized
     corpus (asymmetric: float queries vs dequantized codes) — the
@@ -3355,6 +3396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sample, int8 ANN — pytest-parity-checked at sf0.01 every run). ---
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3515,6 +3557,7 @@ _ORACLES: dict[str, str] = {
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
     "d_weighted_sample": SQL_D_WEIGHTED_SAMPLE,
     "sim_ann_int8": SQL_SIM_ANN_INT8,
+    "d_corpus_diff": SQL_D_CORPUS_DIFF,
 }
 
 

@@ -359,6 +359,37 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
                     "logpost"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions — the ingest-monitoring
+    step run between crawls/exports: per document id, is it ADDED (new
+    only), REMOVED (old only), CHANGED (both, content fingerprint
+    differs) or UNCHANGED.
+
+    Content identity uses the same whitespace-normalized md5 fingerprint
+    as the exact-dedup path, so a reformatted-but-identical document
+    counts as unchanged. Plan: two shuffle-free fingerprint projections +
+    ONE full-outer join on the id — nothing wider than the corpora
+    themselves, and at 100 TB the join co-partitions on the same id key
+    both snapshots are already bucketed by.
+
+    Output: id, status, old_fp, new_fp (fingerprints NULL on the absent
+    side).
+    """
+    o = old.select(F.col(id_col),
+                   fingerprint(F.col(text_col)).alias("old_fp"))
+    n = new.select(F.col(id_col),
+                   fingerprint(F.col(text_col)).alias("new_fp"))
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") == F.col("new_fp"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col), status.alias("status"),
+                    "old_fp", "new_fp"))
+
+
 def quality_drift(docs_a: DataFrame, docs_b: DataFrame,
                   text_col: str = "text") -> DataFrame:
     """Population-stability index between two corpus snapshots over the

@@ -126,3 +126,20 @@ def test_vocab_oov_hand_computed(spark):
     assert (got[1]["n_tokens_v"], got[1]["n_oov"]) == (6, 1)
     assert (got[2]["n_tokens_v"], got[2]["n_oov"]) == (6, 3)
     assert abs(got[2]["oov_rate"] - 0.5) < 1e-12
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "gone soon")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "a  b   c"),   # whitespace-only change -> unchanged
+         (2, "x y z"),      # content change -> changed
+         (4, "brand new")], # added
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
