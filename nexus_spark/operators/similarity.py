@@ -568,3 +568,88 @@ def ann_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     qf = queries.select(F.col(id_col), v.alias("deq"))
     return knn_bruteforce(deq, qf, k, id_col=id_col,
                           vec_col="deq", dim=dim)
+
+
+def ivf_write_q8(embeddings: DataFrame, path: str, n_centroids: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = DIM, refine_iters: int = 0) -> None:
+    """IVF + int8 scalar quantization as ONE persistent index (the
+    FAISS IVF-SQ8 architecture): the cell-partitioned layout of
+    ivf_write, but each row stores `codes` (array<tinyint>) + one
+    float `scale` instead of dim float64 columns — 8x smaller rows than
+    the flat-double layout, 4x smaller than float32, while probes still
+    prune to nprobe partition directories. This is the shape a 100 TB
+    vector corpus actually serves from: coarse cells bound the scan,
+    quantization bounds the bytes per scanned row.
+
+    Same deterministic cell assignment as ivf_write (md5-seeded
+    centroids, rounded-cosine max_by); codes/scale are quantize_int8's
+    exact floor(x+0.5) / max|v|/127 contract.
+    """
+    corpus = _flat(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, dim, refine_iters)
+    assign = (_cell_scores(corpus, cents, dim, "c")
+              .groupBy("id")
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t"))).alias("cell_id")))
+    scale = F.array_max(F.transform(F.col("vec"), F.abs)) / 127.0
+    codes = F.transform(
+        F.col("vec"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") + 0.5)).cast("tinyint"))
+    (corpus.select("id", "vec").withColumn("scale", scale)
+     .select("id", "scale", codes.alias("codes"))
+     .join(assign, "id")
+     .write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search_q8(spark, path: str, queries: DataFrame, k: int = 5,
+                  nprobe: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Probe a quantized IVF index: same nprobe partition pruning as
+    ivf_search, but candidates are reconstructed from their int8 codes
+    (code * scale) in the scan projection — asymmetric distance, float
+    queries vs dequantized candidates, exactly ann_int8's math restricted
+    to the probed cells. Output contract and tie-breaks match ann_ivf.
+    """
+    cents = spark.read.parquet(f"{path}/_centroids")
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (_cell_scores(qflat, cents, dim, "q")
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+    probe_rows = probes.collect()
+    cells = sorted({r.cent_id for r in probe_rows})
+
+    # Dequantize in the scan projection: the partition-pruned read ships
+    # dim tinyints + one double per row, the multiply happens JVM-side.
+    raw = (spark.read.parquet(path)
+           .where(F.col("cell_id").isin(cells)))
+    deq = raw.selectExpr(
+        "cell_id", "id AS neighbor_id",
+        *[f"CAST(codes[{i}] AS DOUBLE) * scale AS c{i}"
+          for i in range(dim)])
+    ss = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    c = deq.withColumn("c_nrm", F.expr(f"sqrt({ss})"))
+
+    q = (qflat.drop("vec").withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    probe_df = F.broadcast(spark.createDataFrame(
+        [(r.query_id, r.cent_id) for r in probe_rows],
+        "query_id long, cell_id long"))
+    scored = (
+        probe_df.join(c, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine",
+                    _flat_dot("q", "c", dim)
+                    / (F.col("q_nrm") * F.col("c_nrm")))
+    )
+    return _topk(scored, k)

@@ -98,3 +98,46 @@ def test_refined_index_still_searches(spark, tmp_path):
     out = ivf_search(spark, path, queries, k=5, nprobe=2).collect()
     assert len(out) == 25  # 5 queries x k
     assert all(r.rank <= 5 for r in out)
+
+
+def test_ivf_q8_layout_and_recall(spark, tmp_path):
+    """Quantized index: codes are tinyint arrays + one scale; probing it
+    returns (nearly) the float index's neighbors — quantization at dim 64
+    perturbs cosine by <1e-2, so top-5 overlap stays high."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from nexus_spark.operators.similarity import (ivf_search, ivf_search_q8,
+                                                  ivf_write, ivf_write_q8)
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    pq8 = str(tmp_path / "ivf_q8")
+    pf = str(tmp_path / "ivf_f")
+    ivf_write_q8(emb, pq8, n_centroids=32)
+    ivf_write(emb, pf, n_centroids=32)
+
+    schema = {f.name: f.dataType for f in spark.read.parquet(pq8).schema}
+    assert isinstance(schema["codes"], ArrayType)
+    assert isinstance(schema["codes"].elementType, ByteType)
+
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_search_q8(spark, pq8, queries, k=5,
+                                  nprobe=2).collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in ivf_search(spark, pf, queries, k=5, nprobe=2).collect()}
+    assert len(want) > 0
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_ivf_q8_prunes_partitions(spark, tmp_path):
+    """The quantized layout must keep the partition-pruning property."""
+    from nexus_spark.operators.similarity import ivf_search_q8, ivf_write_q8
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_q8")
+    ivf_write_q8(emb, path, n_centroids=8)
+    df = ivf_search_q8(spark, path, queries, k=3, nprobe=1)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan

@@ -193,3 +193,66 @@ def test_pii_redaction_idempotent(text):
 
     once = redact(text)
     assert redact(once) == once
+
+
+vec_s = st.lists(st.floats(min_value=-10.0, max_value=10.0,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=4, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(vec_s, min_size=1, max_size=6))
+def test_quantize_int8_error_bound(spark, vecs):
+    """Scalar quantization invariants on arbitrary vectors: codes stay in
+    [-127, 127] and every reconstructed component is within scale/2 of
+    the original (the defining property of round-to-nearest)."""
+    from nexus_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    rows = quantize_int8(emb).collect()
+    src = {i: [float(x) for x in v] for i, v in enumerate(vecs)}
+    for r in rows:
+        assert -127 <= r["qmin"] <= r["qmax"] <= 127
+        v = src[r["vec_id"]]
+        # mse <= (scale/2)^2 by the rounding bound
+        assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12
+        maxabs = max(abs(x) for x in v)
+        assert r["scale"] == pytest.approx(maxabs / 127.0, rel=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+             min_size=1, max_size=12).map(" ".join),
+    min_size=1, max_size=8))
+def test_bm25_matches_reference_formula(spark, texts):
+    """BM25 scores equal an independent pure-Python computation of the
+    Okapi/Lucene formula on arbitrary tiny corpora."""
+    from nexus_spark.operators.retrieval import bm25_scores
+
+    terms = ("alpha", "gamma")
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(docs, terms).collect()}
+
+    n = len(texts)
+    toks = [t.split(" ") for t in texts]
+    avgdl = sum(len(w) for w in toks) / n
+    dfs = {t: sum(1 for w in toks if t in w) for t in terms}
+    for i, w in enumerate(toks):
+        want = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            want += (idf * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl)))
+        if want > 0:
+            assert got[i] == pytest.approx(want, rel=1e-9)
+        else:
+            assert i not in got
