@@ -3127,10 +3127,12 @@ lik AS (SELECT grid.cls, grid.word,
         FROM grid LEFT JOIN wc ON grid.cls = wc.cls
                               AND grid.word = wc.word
         JOIN tc ON grid.cls = tc.cls CROSS JOIN vs),
-sc AS (SELECT w2.doc_id, lik.cls, SUM(lik.loglik) AS sum_ll
-       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-             FROM documents) w2
-       JOIN lik USING (word) GROUP BY w2.doc_id, lik.cls),
+tfq AS (SELECT doc_id, word, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) w2
+        GROUP BY doc_id, word),
+sc AS (SELECT tfq.doc_id, lik.cls, SUM(tfq.tf * lik.loglik) AS sum_ll
+       FROM tfq JOIN lik USING (word) GROUP BY tfq.doc_id, lik.cls),
 po AS (SELECT sc.doc_id, sc.cls, sc.sum_ll + pr.logprior AS logpost
        FROM sc JOIN pr USING (cls)),
 best AS (SELECT doc_id, cls, logpost,

@@ -138,6 +138,14 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "timed query, so each CC consumer pays its own convergence",
         "rounds exactly like the oracle's recursive CTE.",
         "",
+        "Absolute seconds are MACHINE-SENSITIVE: driver sessions land on",
+        "hosts with different effective CPU speed (observed: a uniform",
+        "~1.5x per-query scaling of BOTH engines between two rounds'",
+        "hosts with zero code change, while the same-session headline",
+        "matched round-over-round). Compare the Spark/DuckDB ratio within",
+        "one record, and use BENCH_r{N}.json (headline, same session as",
+        "the driver's other checks) for round-over-round deltas.",
+        "",
         f"**Totals: nexus-spark {spark_total}s for all {len(record)} queries;"
         f" DuckDB {duck_total}s for the oracled subset.**",
         "",

@@ -557,12 +557,22 @@ def ann_int8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     asymmetric approximate value).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs)) / 127.0
-    deq = embeddings.select(
+    # Materialize the per-vector scale behind a JOIN barrier: inlined into
+    # the 64 flat-column extractions, the array_max(transform(...)) scale
+    # expression would be re-evaluated per component (64x common-
+    # subexpression blowup after Catalyst's projection collapse — measured
+    # 3.1s vs 1.0s at sf0.1). The join is id-co-partitioned at scale; the
+    # PERSISTED form of this search (ivf_search_q8) reads the stored scale
+    # and never pays the recomputation at all.
+    scales = embeddings.select(
         F.col(id_col),
-        F.transform(
-            v, lambda x: F.when(scale == 0, F.lit(0.0))
-            .otherwise(F.floor(x / scale + 0.5) * scale)).alias("deq"))
+        (F.array_max(F.transform(v, F.abs)) / 127.0).alias("q8_scale"))
+    s = F.col("q8_scale")
+    deq = (embeddings.join(scales, id_col)
+           .select(F.col(id_col),
+                   F.transform(
+                       v, lambda x: F.when(s == 0, F.lit(0.0))
+                       .otherwise(F.floor(x / s + 0.5) * s)).alias("deq")))
     # Queries stay float (asymmetric distance): same column name, exact
     # double values.
     qf = queries.select(F.col(id_col), v.alias("deq"))

@@ -298,16 +298,19 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
     vocab x classes grid (so unseen (word, class) pairs score the
     smoothing floor, not a dropped join row).
 
-    Score: logpost(d,c) = ln p(c) + sum over tokens of ln p(w|c);
-    prediction = argmax with deterministic (rounded logpost desc, class
-    asc) tie-break.
+    Score: logpost(d,c) = ln p(c) + sum over DISTINCT doc words of
+    tf(d,w) * ln p(w|c) — the sparse-dot formulation: the per-doc tf
+    table (|doc| * distinct-words rows, several times smaller than the
+    raw token stream) is what joins the likelihood grid, not the token
+    stream itself. Prediction = argmax with deterministic (rounded
+    logpost desc, class asc) tie-break.
 
     Scale shape: the likelihood grid is vocab x classes — vocabulary-
     sized, NOT corpus-sized — so it broadcasts; scoring multiplies the
-    token stream by |classes| (the standard NB scoring join) and reduces
-    with one map-side-combined aggregate on (doc, class). The per-doc
-    argmax window partitions by doc. Nothing here grows faster than the
-    token stream itself at 100 TB.
+    tf table by |classes| (the standard sparse NB scoring join) and
+    reduces with one map-side-combined aggregate on (doc, class). The
+    per-doc argmax window partitions by doc. Nothing here grows faster
+    than the tf table itself at 100 TB.
 
     Output: doc_id, lang_true, lang_pred, logpost (the winning class's
     log posterior).
@@ -340,10 +343,11 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
                          / (F.col("tok_c") + F.col("v")))
                    .alias("loglik")))
 
-    scored = (w.select(id_col, "word")
-              .join(F.broadcast(lik), "word")
+    tf = (w.groupBy(id_col, "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    scored = (tf.join(F.broadcast(lik), "word")
               .groupBy(id_col, "cls")
-              .agg(F.sum("loglik").alias("sum_ll"))
+              .agg(F.sum(F.col("tf") * F.col("loglik")).alias("sum_ll"))
               .join(F.broadcast(prior), "cls")
               .select(id_col, "cls",
                       (F.col("sum_ll") + F.col("logprior"))
