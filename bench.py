@@ -61,6 +61,17 @@ _QUERY_NOTES = {
     "d_dedup_components":
         "iterative log-diameter convergence, paid per query per the "
         "warm-state policy (DuckDB pays its recursive CTE likewise)",
+    "d_near_dup_embedding_ivf":
+        "sweep time is dominated by first-call Catalyst analysis + "
+        "janino codegen of the 64-column pair plan; measured steady "
+        "state 1.2s warm (0.67s plan build + 0.49s execute at sf0.1)",
+    "sim_ann_int8":
+        "steady state ~1.2s warm; the sweep's single execution pays "
+        "one-off codegen of the 64-column dequantize projection",
+    "text_nb_classifier":
+        "critical path of ~10 tiny sequential aggregate stages (NB fit "
+        "grid -> score -> argmax); per-stage scheduling floor dominates "
+        "at toy scale, join volume is the sparse tf formulation",
 }
 
 

@@ -80,3 +80,31 @@ def salted_broadcast_join(big: DataFrame, small: DataFrame,
     preferred) salting case. Provided for API symmetry and as the decision
     point: broadcast if you can, salt only when both sides are large."""
     return big.join(F.broadcast(small), key_cols)
+
+
+def salted_join(skewed: DataFrame, other: DataFrame,
+                key_cols: list[str], salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Large-large join under EXTREME key skew, when `other` is too big
+    to broadcast and AQE's runtime splitting is insufficient: salt the
+    skewed side's rows (content-hash, retry-stable), replicate the other
+    side across all `salts` values, and join on (key..., salt) — the hot
+    key's rows spread over `salts` reducers instead of one straggler.
+
+    Cost model: replicates `other` x salts through the shuffle — worth it
+    only when the skew stalls the job harder than the replication costs
+    (the classic salting trade). Only `inner` and `left` joins are
+    semantically safe with replication (an unmatched `other` row would
+    surface once per salt in right/full joins) — anything else raises.
+
+    The salt is content-derived (see with_salt), so exact-duplicate rows
+    on the skewed side share a salt; pass rows through with a
+    distinguishing id column in content when the hot key's rows are
+    near-identical.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    s = with_salt(skewed, salts)
+    rep = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    return s.join(rep, key_cols + ["_salt"], how).drop("_salt")

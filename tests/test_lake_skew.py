@@ -186,3 +186,37 @@ def test_zorder_write_tightens_rowgroup_zone_maps(spark, tmp_path):
     # Random order covers ~full extent per group; Z order covers tight
     # boxes -> total span collapses.
     assert z_span < plain_span * 0.5, (z_span, plain_span)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.functions.skew import salted_join
+
+    # 80% of the left side is one hot key
+    left = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 5 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k"),
+        (F.col("id") * 3).alias("payload"))
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("k0", 2.5), ("k5", 3.5), ("nomatch", 9.9)],
+        ["k", "w"])
+
+    def rows(df):
+        return sorted(tuple(r) for r in
+                      df.select("row_id", "k", "payload", "w").collect())
+
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, ["k"], salts=8)
+    assert rows(salted) == rows(plain) and plain.count() > 0
+
+    plain_l = left.join(right, "k", "left")
+    salted_l = salted_join(left, right, ["k"], salts=8, how="left")
+    assert rows(salted_l) == rows(plain_l)
+    assert salted_l.count() == 1000  # left join preserves every left row
+
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
