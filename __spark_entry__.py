@@ -3271,6 +3271,30 @@ FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
 """
 
 
+def q_sim_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk->document embedding mean-pooling (the chunk_documents ->
+    embed -> pool pipeline step), long format: vectors grouped into
+    pseudo-documents by vec_id % 50, one pooled component per (doc,
+    pos)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import mean_pool
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select((F.col("vec_id") % 50).alias("doc_id"),
+                        "embedding")
+    return _finish(mean_pool(chunks, "doc_id"))
+
+
+SQL_SIM_MEAN_POOL = f"""
+WITH e AS (SELECT vec_id % 50 AS doc_id,
+                  CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+x AS (SELECT doc_id, unnest(vec) AS val,
+             CAST(generate_subscripts(vec, 1) - 1 AS INT) AS pos FROM e)
+SELECT doc_id, pos, ROUND(AVG(val), {ND}) AS pooled
+FROM x GROUP BY doc_id, pos
+"""
+
+
 def q_sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-index search: exact top-k over the int8-quantized
     corpus (asymmetric: float queries vs dequantized codes) — the
@@ -3399,6 +3423,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
     "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3560,6 +3585,7 @@ _ORACLES: dict[str, str] = {
     "d_weighted_sample": SQL_D_WEIGHTED_SAMPLE,
     "sim_ann_int8": SQL_SIM_ANN_INT8,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
+    "sim_mean_pool": SQL_SIM_MEAN_POOL,
 }
 
 

@@ -663,3 +663,36 @@ def ivf_search_q8(spark, path: str, queries: DataFrame, k: int = 5,
                     / (F.col("q_nrm") * F.col("c_nrm")))
     )
     return _topk(scored, k)
+
+
+def mean_pool(chunks: DataFrame, group_col: str,
+              vec_col: str = "embedding") -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per group (document) —
+    the standard chunk->document aggregation of an embedding pipeline
+    (chunk_documents -> embed -> mean_pool -> index/dedup).
+
+    Long-format output (group, pos, pooled): one posexplode + ONE
+    map-side-combined aggregate on (group, pos) — the explode multiplies
+    rows by dim but each output row is 3 scalars, so the shuffle volume
+    equals the input vector volume; nothing materializes per-group state
+    wider than one component. Use pool_to_vectors to reassemble arrays
+    for downstream search.
+
+    `pos` is 0-based.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (chunks.select(F.col(group_col),
+                          F.posexplode(v).alias("pos", "val"))
+            .groupBy(group_col, "pos")
+            .agg(F.avg("val").alias("pooled")))
+
+
+def pool_to_vectors(pooled: DataFrame, group_col: str) -> DataFrame:
+    """Reassemble mean_pool's long format into (group, embedding
+    array<double>), ordered by pos (array_sort on (pos, val) structs —
+    collect_list alone is order-nondeterministic)."""
+    return (pooled.groupBy(group_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("pos"), F.col("pooled")))),
+                lambda s: s.getField("pooled")).alias("embedding")))

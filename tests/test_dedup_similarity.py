@@ -240,3 +240,18 @@ def test_ann_int8_recall_vs_exact(spark):
              for r in ann_int8(emb, queries, k=5).collect()}
     # int8 quantization perturbs cosine by <1e-2; top-5 overlap stays high
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_mean_pool_and_reassemble(spark):
+    from nexus_spark.operators.similarity import mean_pool, pool_to_vectors
+
+    chunks = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (0, [3.0, 4.0, 5.0]), (1, [10.0, 0.0, -2.0])],
+        ["doc_id", "embedding"])
+    pooled = mean_pool(chunks, "doc_id")
+    got = {(r["doc_id"], r["pos"]): r["pooled"] for r in pooled.collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (0, 2): 4.0,
+                   (1, 0): 10.0, (1, 1): 0.0, (1, 2): -2.0}
+    vecs = {r["doc_id"]: r["embedding"]
+            for r in pool_to_vectors(pooled, "doc_id").collect()}
+    assert vecs[0] == [2.0, 3.0, 4.0] and vecs[1] == [10.0, 0.0, -2.0]
