@@ -2941,6 +2941,52 @@ GROUP BY b.query_id
 """
 
 
+def q_sim_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality eval as a driver-checked metric: per-query
+    recall@k of the int8-compressed search against the exact float
+    top-k — the measured answer to 'what does 4x compression cost in
+    recall'. Both sides deterministic, so the oracle recomputes the
+    identical recall."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_int8, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    brute = (knn_bruteforce(emb, queries_df, k=_KNN_K)
+             .select("query_id", "neighbor_id"))
+    q8 = (ann_int8(emb, queries_df, k=_KNN_K)
+          .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    out = (brute.join(q8, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("k_eff"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("n_matched")))
+    return _finish(out.select(
+        "query_id", "k_eff", "n_matched",
+        (F.col("n_matched") / F.col("k_eff").cast("double"))
+        .alias("recall")))
+
+
+def _sql_sim_int8_recall() -> str:
+    """Oracle: exact top-k left-joined against int8 top-k (same CTE
+    surgery as _sql_sim_recall)."""
+    q8_body = SQL_SIM_ANN_INT8.split("WITH", 1)[1]
+    knn_body = SQL_SIM_KNN.split("WITH", 1)[1]
+    return f"""
+WITH q8_res AS (WITH {q8_body}),
+knn_res AS (WITH {knn_body})
+SELECT b.query_id,
+       COUNT(*) AS k_eff,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), {ND}) AS recall
+FROM knn_res b LEFT JOIN q8_res a
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -3424,6 +3470,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_int8": q_sim_ann_int8,
     "d_corpus_diff": q_d_corpus_diff,
     "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3586,6 +3633,7 @@ _ORACLES: dict[str, str] = {
     "sim_ann_int8": SQL_SIM_ANN_INT8,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
+    "sim_int8_recall_at_k": _sql_sim_int8_recall(),
 }
 
 
