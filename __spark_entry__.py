@@ -1577,6 +1577,55 @@ FROM c
 """
 
 
+def q_d_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data EXPORT pipeline in one declarative
+    plan: quality-gated curation (scan-fused filters + one fingerprint
+    dedup aggregate) → concat-and-chunk packing into 512-token context
+    windows (one bucket-window cumsum, reusing the token counts the
+    curation pass computed) → deterministic global shuffle + balanced
+    shard assignment (md5 permutation, one per-shard rank window). The
+    surface is exactly what a shard writer consumes: for every surviving
+    document, its pack, its offset in the pack, its shard, and its
+    position within the shard."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import pack_sequences, shuffle_shards
+    from nexus_spark.operators.text import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate(docs, min_quality=0.6)
+    packed = pack_sequences(curated, budget=_PACK_BUDGET,
+                            n_buckets=_PACK_BUCKETS, tokens_col="n_tokens")
+    sharded = shuffle_shards(packed, n_shards=_N_SHARDS, seed="r4")
+    return _finish(sharded.select("doc_id", "n_tokens", "pack_id",
+                                  "offset_in_pack", "shard",
+                                  "pos_in_shard"))
+
+
+def _sql_export_pipeline() -> str:
+    return f"""
+WITH cur AS ({_sql_curation()}),
+t AS (SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             CAST(n_tokens AS INT) AS n_tokens
+      FROM cur),
+c AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_excl
+      FROM t),
+p AS (SELECT doc_id, n_tokens,
+             CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET})
+                  AS BIGINT) AS pack_id,
+             CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack,
+             substr(md5('r4:' || CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+      FROM c),
+s AS (SELECT *, ('0x' || skey)::BIGINT % {_N_SHARDS} AS shard FROM p)
+SELECT doc_id, n_tokens, pack_id, offset_in_pack, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY skey, doc_id) AS INT) AS pos_in_shard
+FROM s
+"""
+
+
 def q_d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5 60-bit word hash — the fully
     oracle-checkable variant (mirror of d_dedup_minhash_md5): every bit of
@@ -3471,6 +3520,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_corpus_diff": q_d_corpus_diff,
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
+    "d_export_pipeline": q_d_export_pipeline,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3634,6 +3684,7 @@ _ORACLES: dict[str, str] = {
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
+    "d_export_pipeline": _sql_export_pipeline(),
 }
 
 

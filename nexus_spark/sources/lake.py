@@ -142,3 +142,27 @@ def write_bucketed(df: DataFrame, table: str, key: str,
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed (possibly bucketed) table back from the catalog."""
     return spark.table(table)
+
+
+def write_corpus_shards(df: DataFrame, path: str, n_shards: int = 8,
+                        seed: str = "r4", id_col: str = "doc_id",
+                        fmt: str = "json") -> None:
+    """Materialize a curated corpus as N well-mixed training shards —
+    the physical counterpart of sampling.shuffle_shards: one
+    `shard=<i>/` directory per shard, rows written in the deterministic
+    within-shard permutation order (pos_in_shard), default JSONL (the
+    dataloader-native format; pass fmt='parquet' for columnar shards).
+
+    The repartition-on-shard + sortWithinPartitions IS the shard write's
+    natural physical plan (one hash shuffle + per-shard sort — the same
+    cost the assignment rank pays), so the export adds no extra pass.
+    Re-running with the same seed rewrites byte-identical shard
+    contents: the export is reproducible end to end.
+    """
+    from nexus_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(df, n_shards=n_shards, seed=seed,
+                             id_col=id_col)
+    (sharded.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "pos_in_shard")
+     .write.mode("overwrite").partitionBy("shard").format(fmt).save(path))

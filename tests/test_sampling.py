@@ -376,3 +376,28 @@ def test_weighted_sample_topn(spark):
     docs0 = spark.range(10).select(F.col("id").alias("doc_id"),
                                    F.lit(0).alias("wt"))
     assert weighted_sample_topn(docs0, "wt", n=5).count() == 0
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.sampling import shuffle_shards
+    from nexus_spark.sources.lake import write_corpus_shards
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"))
+    path = str(tmp_path / "shards")
+    write_corpus_shards(docs, path, n_shards=4, seed="s")
+
+    dirs = sorted(e for e in os.listdir(path) if e.startswith("shard="))
+    assert len(dirs) == 4
+    back = spark.read.json(path)
+    assert back.count() == 300
+    # per-shard membership equals the logical assignment
+    want = {(r["doc_id"], r["shard"])
+            for r in shuffle_shards(docs, n_shards=4, seed="s").collect()}
+    got = {(r["doc_id"], int(r["shard"])) for r in back.collect()}
+    assert got == want
