@@ -401,3 +401,25 @@ def test_write_corpus_shards_layout(spark, tmp_path):
             for r in shuffle_shards(docs, n_shards=4, seed="s").collect()}
     got = {(r["doc_id"], int(r["shard"])) for r in back.collect()}
     assert got == want
+
+
+def test_write_shard_manifest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.sources.lake import (write_corpus_shards,
+                                          write_shard_manifest)
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c").alias("text"),
+        F.lit(3).alias("n_tokens"))
+    path = str(tmp_path / "exp")
+    write_corpus_shards(docs, path, n_shards=4, seed="m")
+    write_shard_manifest(spark, path, tokens_col="n_tokens")
+
+    m = {r["shard"]: r for r in
+         spark.read.parquet(f"{path}/_manifest").collect()}
+    assert sum(r["n_rows"] for r in m.values()) == 200
+    assert all(r["n_tokens"] == 3 * r["n_rows"] for r in m.values())
+    # the _-prefixed manifest dir is skipped by shard reads
+    assert spark.read.json(path).count() == 200
