@@ -1626,6 +1626,71 @@ FROM s
 """
 
 
+def q_d_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic-clustering profile: every document's embedding is
+    assigned to its nearest deterministic centroid (the same md5-seeded
+    spherical assignment the IVF index uses, nprobe=1 = cluster
+    membership), then each cluster is profiled against the text surface:
+    size, token volume, mean quality, dominant predicted language
+    (count-desc, lang-asc tie-break). The 'what is in my corpus'
+    unsupervised report, as one plan: O(k) centroid broadcast, one
+    assignment pass, two map-side-combined aggregates."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import similarity
+    from nexus_spark.operators.text import text_stats
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    flat = similarity._flat_cached(emb, "vec_id", "embedding",
+                                   similarity.DIM, "c")
+    cells = similarity.ivf_cells_cached(flat, similarity.DIM, 32, 1)
+    stats = text_stats(docs)
+    j = cells.join(stats, cells.id == stats.doc_id)
+    prof = (j.groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens_total"),
+                 F.avg("quality").alias("avg_quality")))
+    lc = (j.groupBy("cent_id", "lang_pred")
+          .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("cent_id").orderBy(F.col("c").desc(),
+                                              F.col("lang_pred").asc())
+    dom = (lc.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("cent_id", F.col("lang_pred").alias("dominant_lang")))
+    return _finish(prof.join(dom, "cent_id"))
+
+
+def _sql_topic_clusters() -> str:
+    return f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+cells AS (
+  SELECT vec_id AS id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 1),
+stats AS ({_sql_text_stats()}),
+j AS (SELECT cells.cent_id, s.* FROM cells
+      JOIN stats s ON cells.id = s.doc_id),
+prof AS (SELECT cent_id, COUNT(*) AS n_docs,
+                SUM(n_tokens) AS n_tokens_total,
+                ROUND(AVG(quality), {ND}) AS avg_quality
+         FROM j GROUP BY cent_id),
+lc AS (SELECT cent_id, lang_pred, COUNT(*) AS c
+       FROM j GROUP BY cent_id, lang_pred),
+dom AS (SELECT cent_id, lang_pred AS dominant_lang FROM lc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cent_id
+                 ORDER BY c DESC, lang_pred) = 1)
+SELECT prof.cent_id, prof.n_docs, prof.n_tokens_total, prof.avg_quality,
+       dom.dominant_lang
+FROM prof JOIN dom USING (cent_id)
+"""
+
+
 def q_d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5 60-bit word hash — the fully
     oracle-checkable variant (mirror of d_dedup_minhash_md5): every bit of
@@ -3521,6 +3586,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
+    "d_topic_clusters": q_d_topic_clusters,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3685,6 +3751,7 @@ _ORACLES: dict[str, str] = {
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
     "d_export_pipeline": _sql_export_pipeline(),
+    "d_topic_clusters": _sql_topic_clusters(),
 }
 
 
