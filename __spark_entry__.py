@@ -1691,6 +1691,88 @@ FROM prof JOIN dom USING (cent_id)
 """
 
 
+_KM_K = 16
+
+
+def q_d_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means (Lloyd) round, driver-checked end to end —
+    iterative ML as a relational plan both engines compute identically:
+    md5-seeded init → max-cosine assignment (rounded tie-breaks) →
+    per-component member means (ROUNDED to 6dp on both sides, so the
+    refined centroid is the identical double everywhere) → per-cluster
+    profile against the refined centroid (member count, refined norm,
+    mean member cosine). The in-library kmeans_refine runs the same
+    round unrounded for more iterations; this query pins one round to
+    the oracle."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import similarity as S
+
+    dim = S.DIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = S._flat_cached(emb, "vec_id", "embedding", dim, "c")
+    cents = S._select_centroids(flat, _KM_K, dim)
+    assign = (S._cell_scores(flat, cents, dim, "c")
+              .groupBy("id")
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t")))
+                  .alias("cent_id")))
+    members = flat.drop("vec").join(assign, "id")
+
+    def r6(c):
+        return F.round(c.cast("decimal(38,7)"), 6).cast("double")
+
+    means = (members.groupBy("cent_id")
+             .agg(*[r6(F.avg(f"c{i}")).alias(f"m{i}")
+                    for i in range(dim)]))
+    mss = " + ".join(f"m{i} * m{i}" for i in range(dim))
+    means = means.withColumn("mnrm", F.expr(f"sqrt({mss})"))
+    dot = F.expr(" + ".join(f"c{i} * m{i}" for i in range(dim)))
+    prof = (members.join(F.broadcast(means), "cent_id")
+            .withColumn("cs", dot / (F.col("nrm") * F.col("mnrm")))
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("mnrm").alias("refined_nrm"),
+                 F.avg("cs").alias("avg_cosine")))
+    return _finish(prof)
+
+
+def _sql_kmeans_round() -> str:
+    return f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {_KM_K}),
+asg AS (
+  SELECT vec_id AS id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 1),
+mem AS (SELECT asg.cent_id, n.vec, n.nrm FROM asg
+        JOIN n ON n.vec_id = asg.id),
+mx AS (SELECT cent_id, pos, ROUND(AVG(val), 6) AS m
+       FROM (SELECT cent_id, unnest(vec) AS val,
+                    generate_subscripts(vec, 1) AS pos FROM mem)
+       GROUP BY cent_id, pos),
+ml AS (SELECT cent_id, list(m ORDER BY pos) AS mvec FROM mx
+       GROUP BY cent_id),
+mn AS (SELECT cent_id, mvec,
+              sqrt(list_sum(list_transform(mvec, x -> x * x))) AS mnrm
+       FROM ml),
+p AS (SELECT mem.cent_id, mn.mnrm,
+             list_dot_product(mem.vec, mn.mvec) / (mem.nrm * mn.mnrm)
+               AS cs
+      FROM mem JOIN mn USING (cent_id))
+SELECT cent_id, COUNT(*) AS n_members,
+       ROUND(MAX(mnrm), {ND}) AS refined_nrm,
+       ROUND(AVG(cs), {ND}) AS avg_cosine
+FROM p GROUP BY cent_id
+"""
+
+
 def q_d_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the md5 60-bit word hash — the fully
     oracle-checkable variant (mirror of d_dedup_minhash_md5): every bit of
@@ -3587,6 +3669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
     "d_topic_clusters": q_d_topic_clusters,
+    "d_kmeans_round": q_d_kmeans_round,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3752,6 +3835,7 @@ _ORACLES: dict[str, str] = {
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
     "d_export_pipeline": _sql_export_pipeline(),
     "d_topic_clusters": _sql_topic_clusters(),
+    "d_kmeans_round": _sql_kmeans_round(),
 }
 
 
