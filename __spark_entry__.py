@@ -2737,6 +2737,52 @@ FROM events GROUP BY event_type
 """
 
 
+_STREAM_Q_N = [0]
+
+
+def q_e_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup executed as a REAL Structured Streaming query (not
+    the batch-parity shortcut): the documents parquet is staged into a
+    watch directory, read with readStream, content-hashed and
+    dropDuplicates'd, and drained to completion with an availableNow
+    trigger into a memory sink. The returned frame is the stream's
+    output — the distinct content-hash set, which is order-independent
+    and therefore oracle-checkable even though micro-batch arrival order
+    is not deterministic. Driver-checks the streaming execution path
+    itself (source discovery, state store, sink), not just the
+    transformation's batch shadow."""
+    import os
+    import shutil
+    import tempfile
+
+    from nexus_spark.streaming.dedup import with_content_hash
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    watch = tempfile.mkdtemp(prefix="nexus_stream_docs_")
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), watch)
+    else:
+        shutil.copy(src, os.path.join(watch, "batch0.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(watch))
+    _STREAM_Q_N[0] += 1
+    name = f"stream_dedup_out_{_STREAM_Q_N[0]}"
+    q = (with_content_hash(stream)
+         .select("content_hash").dropDuplicates(["content_hash"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+SQL_E_STREAM_DEDUP = """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
+"""
+
+
 def q_e_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.streaming.events import windowed_stats
@@ -3670,6 +3716,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_export_pipeline": q_d_export_pipeline,
     "d_topic_clusters": q_d_topic_clusters,
     "d_kmeans_round": q_d_kmeans_round,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3836,6 +3883,7 @@ _ORACLES: dict[str, str] = {
     "d_export_pipeline": _sql_export_pipeline(),
     "d_topic_clusters": _sql_topic_clusters(),
     "d_kmeans_round": _sql_kmeans_round(),
+    "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
 }
 
 
