@@ -1677,7 +1677,7 @@ stats AS ({_sql_text_stats()}),
 j AS (SELECT cells.cent_id, s.* FROM cells
       JOIN stats s ON cells.id = s.doc_id),
 prof AS (SELECT cent_id, COUNT(*) AS n_docs,
-                SUM(n_tokens) AS n_tokens_total,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
                 ROUND(AVG(quality), {ND}) AS avg_quality
          FROM j GROUP BY cent_id),
 lc AS (SELECT cent_id, lang_pred, COUNT(*) AS c
