@@ -2783,6 +2783,62 @@ SELECT DISTINCT md5(text) AS content_hash FROM documents
 """
 
 
+def q_e_stream_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a REAL
+    streaming query in append mode, drained with availableNow — the
+    driver-checkable pin of Spark's WATERMARK SEMANTICS themselves: the
+    emitted set is exactly the windows finalized by the final watermark
+    (max event time − 30 min); later windows stay in state and are NOT
+    emitted. The oracle recomputes that boundary relationally
+    (window_end <= max(ts) − 30 min), so a regression in how the
+    pipeline advances or applies the watermark shows up as a row-set
+    mismatch, not just a flaky test."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    watch = tempfile.mkdtemp(prefix="nexus_stream_ev_")
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), watch)
+    else:
+        shutil.copy(src, os.path.join(watch, "batch0.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(watch)
+    agg = (stream.withColumn("ts2", F.col("ts").cast("timestamp"))
+           .withWatermark("ts2", "30 minutes")
+           .groupBy(F.window("ts2", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    _STREAM_Q_N[0] += 1
+    name = f"stream_win_out_{_STREAM_Q_N[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.table(name).select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        "event_type", "n_events")
+    return _finish(out)
+
+
+SQL_E_STREAM_WINDOW = """
+WITH x AS (SELECT event_type, epoch(ts) AS es FROM events),
+m AS (SELECT MAX(es) AS mx FROM x),
+w AS (SELECT CAST(FLOOR(es / 3600) * 3600 AS BIGINT) AS ws, event_type
+      FROM x)
+SELECT strftime(make_timestamp(ws * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(make_timestamp((ws + 3600) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS w_end,
+       event_type, COUNT(*) AS n_events
+FROM w CROSS JOIN m
+WHERE ws + 3600 <= mx - 1800
+GROUP BY ws, event_type
+"""
+
+
 def q_e_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.streaming.events import windowed_stats
@@ -3717,6 +3773,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_topic_clusters": q_d_topic_clusters,
     "d_kmeans_round": q_d_kmeans_round,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3884,6 +3941,7 @@ _ORACLES: dict[str, str] = {
     "d_topic_clusters": _sql_topic_clusters(),
     "d_kmeans_round": _sql_kmeans_round(),
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
+    "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
 }
 
 
