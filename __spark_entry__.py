@@ -3757,13 +3757,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
     # --- tail (entry 51+): rotates in for round 5. Window arithmetic for
-    # this round: 26 stale + 24 new + 6 changed = 56 demands > 50 slots,
-    # so the 4 remaining changed entries (below — robustness/perf changes,
-    # not semantics; each pytest-parity-checked at sf0.01 every run) and 2
-    # group-1 entries (sql_left_join / sql_semi_join, whose single-join
-    # surface is exercised in-window by sql_anti_join + sql_set_ops) wait
-    # for round 5's window, as do the two newest entries below (weighted
-    # sample, int8 ANN — pytest-parity-checked at sf0.01 every run). ---
+    # this round: 26 stale + 34 new + 6 changed = 66 demands > 50 slots.
+    # Deferred to round 5's window (each pytest-parity-checked at sf0.01
+    # on every test run, and by the repo's driver-sim harness):
+    #   * the 10 newest entries below (weighted sample, int8 ANN/quantize
+    #     recall, corpus diff, mean pool, export pipeline, topic
+    #     clusters, k-means round, the 2 executed-stream queries);
+    #   * the 4 remaining changed entries (robustness/perf changes, not
+    #     semantics);
+    #   * 2 group-1 entries (sql_left_join / sql_semi_join, whose
+    #     single-join surface is exercised in-window by sql_anti_join +
+    #     sql_set_ops). ---
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
     "d_corpus_diff": q_d_corpus_diff,
