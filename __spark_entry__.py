@@ -1626,6 +1626,53 @@ FROM s
 """
 
 
+_DSIR_K = 200
+
+
+def q_d_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: unigram-LM log-likelihood ratio of the
+    target slice (lang='en') vs the raw corpus per document, then
+    deterministic top-k selection by the rounded score (exp(score) is
+    the weight the weighted resampler would consume)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import importance_scores
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = importance_scores(docs, F.col("lang") == "en")
+    w = Window.orderBy(F.round(F.col("importance"), 6).desc(),
+                       F.col("doc_id").asc())
+    return _finish(sc.withColumn("sel_rank", F.row_number().over(w))
+                   .where(F.col("sel_rank") <= _DSIR_K))
+
+
+SQL_D_IMPORTANCE = f"""
+WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+raw AS (SELECT word, COUNT(*) AS c_r FROM w GROUP BY word),
+tgt AS (SELECT word, COUNT(*) AS c_t FROM w WHERE is_target
+        GROUP BY word),
+lm AS (SELECT raw.word, raw.c_r, COALESCE(tgt.c_t, 0) AS c_t
+       FROM raw LEFT JOIN tgt USING (word)),
+tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t, COUNT(*) AS v FROM lm),
+ratio AS (SELECT word,
+                 ln((c_t + 1.0) / (t_t + v)) - ln((c_r + 1.0) / (t_r + v))
+                   AS lr
+          FROM lm CROSS JOIN tot),
+sc AS (SELECT w.doc_id, COUNT(*) AS n_tokens_i, AVG(ratio.lr)
+         AS importance
+       FROM w JOIN ratio USING (word) GROUP BY w.doc_id),
+r AS (SELECT doc_id, n_tokens_i, importance,
+             CAST(ROW_NUMBER() OVER (ORDER BY ROUND(importance, 6) DESC,
+                                     doc_id) AS INT) AS sel_rank
+      FROM sc)
+SELECT doc_id, n_tokens_i, ROUND(importance, {ND}) AS importance,
+       sel_rank
+FROM r WHERE sel_rank <= {_DSIR_K}
+"""
+
+
 def q_d_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus topic-clustering profile: every document's embedding is
     assigned to its nearest deterministic centroid (the same md5-seeded
@@ -3778,6 +3825,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_kmeans_round": q_d_kmeans_round,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3946,6 +3994,7 @@ _ORACLES: dict[str, str] = {
     "d_kmeans_round": _sql_kmeans_round(),
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
     "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
+    "d_importance_select": SQL_D_IMPORTANCE,
 }
 
 

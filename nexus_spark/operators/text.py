@@ -363,6 +363,54 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
                     "logpost"))
 
 
+def importance_scores(docs: DataFrame, target_pred,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Data-selection importance scoring in the DSIR family (Xie et al.,
+    2023: importance resampling with n-gram LM ratios): fit a unigram LM
+    on the TARGET slice (the distribution you want more of) and one on
+    the RAW corpus, score every document by the mean per-token
+    log-likelihood ratio  ln p_target(w) − ln p_raw(w)  (Laplace
+    smoothing over the raw corpus vocabulary keeps unseen-in-target
+    words finite). Positive scores = looks like the target; feed
+    exp(score) into sampling.weighted_sample_topn for importance
+    RESAMPLING, or rank directly for deterministic selection.
+
+    Scale shape: both LM tables are vocabulary-sized and broadcast; the
+    only corpus-sized work is the token explode and one per-doc
+    aggregate — identical to unigram_nll's plan, run with two broadcast
+    joins instead of one.
+
+    Output: id, n_tokens_i, importance (mean log ratio).
+    """
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    d = ensure_parallelism(docs)
+    w = d.select(F.col(id_col), target_pred.alias("is_target"),
+                 F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    raw = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (w.where(F.col("is_target"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c_t")))
+    # vocab = raw vocabulary (superset); totals as one scalar row
+    lm = (raw.join(tgt, "word", "left")
+          .select("word", "c_r",
+                  F.coalesce("c_t", F.lit(0)).alias("c_t")))
+    tot = lm.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"),
+                 F.count(F.lit(1)).alias("v"))
+    ratio = (lm.crossJoin(F.broadcast(tot))
+             .select("word",
+                     (F.log((F.col("c_t") + 1.0)
+                            / (F.col("t_t") + F.col("v")))
+                      - F.log((F.col("c_r") + 1.0)
+                              / (F.col("t_r") + F.col("v"))))
+                     .alias("lr")))
+    return (w.select(id_col, "word")
+            .join(F.broadcast(ratio), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens_i"),
+                 F.avg("lr").alias("importance")))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Snapshot diff between two corpus versions — the ingest-monitoring

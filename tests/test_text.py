@@ -143,3 +143,28 @@ def test_corpus_diff_statuses(spark):
         ["doc_id", "text"])
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_importance_scores_directionality(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.text import importance_scores
+
+    rows = [
+        (0, "alpha alpha beta", "t"),
+        (1, "alpha beta beta", "t"),
+        (2, "gamma delta gamma", "x"),
+        (3, "delta gamma delta", "x"),
+        (4, "alpha alpha alpha", "x"),   # raw doc that LOOKS like target
+        (5, "gamma gamma gamma", "t"),   # target doc that looks off-target
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    got = {r["doc_id"]: r["importance"]
+           for r in importance_scores(docs, F.col("grp") == "t").collect()}
+    # target-vocabulary docs score higher than off-target-vocabulary docs
+    assert got[0] > got[2] and got[1] > got[3]
+    # scoring is content-based, not label-based: the alpha-heavy RAW doc
+    # outscores the delta-heavy raw docs (alpha is target-favored)
+    assert got[4] > got[2] and got[4] > got[3]
+    # beta is the most target-exclusive word -> doc 1 (beta-heavy) tops
+    assert got[1] == max(got.values())
