@@ -190,6 +190,10 @@ def shuffle_shards(df: DataFrame, n_shards: int = 8, seed: str = "r4",
     .sortWithinPartitions(key)), which is the intended physical layout at
     100 TB. Changing `seed` reshuffles; changing n_shards only re-buckets.
 
+    Contract: `id_col` values must be unique (the module-wide sampler
+    contract) — duplicate ids share a key, making pos_in_shard arbitrary
+    among the copies.
+
     Output: all input columns + shard, pos_in_shard.
     """
     if n_shards <= 0:
