@@ -1626,6 +1626,58 @@ FROM s
 """
 
 
+_SEG_T = 16
+
+
+def q_text_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: chunk-level language ID + per-doc mix
+    profile (dominant language, minority chunk fraction)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import language_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _finish(language_segments(docs, chunk_tokens=_SEG_T))
+
+
+def _sql_lang_segments() -> str:
+    from nexus_spark.operators.text import LANG_MARKERS
+
+    scores = {lang: _sql_lang_score(m) for lang, m in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {cond} THEN '{lang}'" if cond
+                     else f"ELSE '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " END"
+    t = _SEG_T
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS allwords
+           FROM documents),
+ch AS (SELECT doc_id, allwords[i*{t}+1:i*{t}+{t}] AS words
+       FROM d, LATERAL unnest(generate_series(
+                 0, (GREATEST(len(allwords) - 1, 0)) // {t})) AS g(i)
+       WHERE i * {t} < len(allwords) OR i = 0),
+sc AS (SELECT doc_id,
+              {", ".join(f"{s} AS s_{lang}"
+                         for lang, s in scores.items())}
+       FROM ch),
+cl AS (SELECT doc_id, {lang_case} AS lang_c FROM sc),
+ct AS (SELECT doc_id, lang_c, COUNT(*) AS c FROM cl
+       GROUP BY doc_id, lang_c),
+pr AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+              COUNT(*) AS n_langs
+       FROM ct GROUP BY doc_id),
+dom AS (SELECT doc_id, lang_c AS dom_lang, c AS dom_c FROM ct
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, lang_c) = 1)
+SELECT pr.doc_id AS id, pr.n_chunks, pr.n_langs, dom.dom_lang,
+       ROUND(1.0 - dom.dom_c / CAST(pr.n_chunks AS DOUBLE), {ND})
+         AS minority_frac
+FROM pr JOIN dom USING (doc_id)
+"""
+
+
 _DSIR_K = 200
 
 
@@ -3826,6 +3878,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -3995,6 +4048,7 @@ _ORACLES: dict[str, str] = {
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
     "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
     "d_importance_select": SQL_D_IMPORTANCE,
+    "text_lang_segments": _sql_lang_segments(),
 }
 
 

@@ -363,6 +363,48 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
                     "logpost"))
 
 
+def language_segments(docs: DataFrame, chunk_tokens: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Mixed-language (code-switching) detection: run the marker-word
+    language ID per non-overlapping `chunk_tokens`-token window and
+    profile each document's language mix — documents whose chunks
+    disagree are exactly the ones a document-level language filter
+    mislabels and a curation pass should route to per-segment handling.
+
+    Plan: the zero-shuffle chunker + the chunk-level lang-ID projection,
+    one (doc, lang) count aggregate, one per-doc rollup + rank window —
+    the chunk stream is the only corpus-sized frame.
+
+    Output: id, n_chunks, n_langs, dom_lang (chunk-count argmax,
+    count-desc/lang-asc tie-break), minority_frac (fraction of chunks
+    NOT in the dominant language).
+    """
+    from pyspark.sql import Window
+
+    from nexus_spark.operators.sampling import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens,
+                             stride=chunk_tokens, id_col=id_col,
+                             text_col=text_col)
+    per = chunks.select("id", lang_id(F.col("chunk_text")).alias("lang_c"))
+    ct = per.groupBy("id", "lang_c").agg(F.count(F.lit(1)).alias("c"))
+    prof = (ct.groupBy("id")
+            .agg(F.sum("c").alias("n_chunks"),
+                 F.count(F.lit(1)).alias("n_langs")))
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                         F.col("lang_c").asc())
+    dom = (ct.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("id", F.col("lang_c").alias("dom_lang"),
+                   F.col("c").alias("dom_c")))
+    return (prof.join(dom, "id")
+            .select("id", "n_chunks", "n_langs", "dom_lang",
+                    (1.0 - F.col("dom_c")
+                     / F.col("n_chunks").cast("double"))
+                    .alias("minority_frac")))
+
+
 def importance_scores(docs: DataFrame, target_pred,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -168,3 +168,22 @@ def test_importance_scores_directionality(spark):
     assert got[4] > got[2] and got[4] > got[3]
     # beta is the most target-exclusive word -> doc 1 (beta-heavy) tops
     assert got[1] == max(got.values())
+
+
+def test_language_segments_detects_code_switching(spark):
+    from nexus_spark.operators.text import language_segments
+
+    en = "the cat and the dog is in the house it is the best"
+    es = "el gato y la de que los se en el de que se los"
+    docs = spark.createDataFrame(
+        [(0, en + " " + en),        # monolingual
+         (1, en + " " + es),        # code-switched halves
+         (2, es + " " + es)],
+        ["doc_id", "text"])
+    got = {r["id"]: r for r in
+           language_segments(docs, chunk_tokens=13).collect()}
+    assert got[0]["n_langs"] == 1 and got[0]["dom_lang"] == "en"
+    assert got[0]["minority_frac"] == 0.0
+    assert got[2]["n_langs"] == 1 and got[2]["dom_lang"] == "es"
+    assert got[1]["n_langs"] == 2
+    assert got[1]["minority_frac"] > 0.0
