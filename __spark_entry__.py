@@ -2873,7 +2873,15 @@ def q_e_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("content_hash").dropDuplicates(["content_hash"])
          .writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        # awaitTermination returns False on timeout (it does NOT raise);
+        # reading the memory table then would silently return a partial
+        # drain — fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming dedup drain exceeded 300s")
+    finally:
+        shutil.rmtree(watch, ignore_errors=True)
     return spark.table(name)
 
 
@@ -2914,7 +2922,12 @@ def q_e_stream_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_win_out_{_STREAM_Q_N[0]}"
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    try:
+        if not q.awaitTermination(300):  # False = timeout (no raise)
+            q.stop()
+            raise TimeoutError("streaming window drain exceeded 300s")
+    finally:
+        shutil.rmtree(watch, ignore_errors=True)
     out = spark.table(name).select(
         F.col("w.start").alias("w_start"),
         F.col("w.end").alias("w_end"),
@@ -3856,12 +3869,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
     # --- tail (entry 51+): rotates in for round 5. Window arithmetic for
-    # this round: 26 stale + 34 new + 6 changed = 66 demands > 50 slots.
+    # this round: 26 stale + 36 new + 6 changed = 68 demands > 50 slots.
     # Deferred to round 5's window (each pytest-parity-checked at sf0.01
     # on every test run, and by the repo's driver-sim harness):
-    #   * the 10 newest entries below (weighted sample, int8 ANN/quantize
+    #   * the 12 newest entries below (weighted sample, int8 ANN/quantize
     #     recall, corpus diff, mean pool, export pipeline, topic
-    #     clusters, k-means round, the 2 executed-stream queries);
+    #     clusters, k-means round, the 2 executed-stream queries, DSIR
+    #     importance selection, language segments);
     #   * the 4 remaining changed entries (robustness/perf changes, not
     #     semantics);
     #   * 2 group-1 entries (sql_left_join / sql_semi_join, whose

@@ -46,16 +46,25 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
                 text_col: str = "text") -> DataFrame:
     """Per-document BM25 score for a bag-of-terms query.
 
-    score(d) = sum over query terms t present in d of
-      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
-    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    score(d) = sum over DISTINCT query terms t present in d of
+      qtf(t) * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)), where qtf(t) is the
+    term's multiplicity in the query — true bag-of-terms semantics
+    (a repeated query term weights its contribution, it is not
+    silently collapsed).
 
-    Output: doc_id, n_terms_hit, bm25. Documents matching no term are
-    absent (standard inverted-index semantics).
+    Output: doc_id, n_terms_hit (distinct matching terms), bm25.
+    Documents matching no term are absent (standard inverted-index
+    semantics).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = [str(t) for t in query_terms]
+    if any(not str(t) for t in query_terms):
+        raise ValueError("query terms must be non-empty strings")
+    qtf: dict[str, int] = {}
+    for t in query_terms:
+        qtf[str(t)] = qtf.get(str(t), 0) + 1
+    terms = sorted(qtf)
 
     from nexus_spark.functions.skew import ensure_parallelism
 
@@ -87,6 +96,14 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
     denom = (F.col("tf")
              + k1 * (1.0 - b + b * F.col("dl") / avgdl))
     term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    if any(c > 1 for c in qtf.values()):
+        # query-term multiplicity as a literal CASE weight
+        wexpr = None
+        for t in terms:
+            cond = F.col("word") == t
+            wexpr = (F.when(cond, float(qtf[t])) if wexpr is None
+                     else wexpr.when(cond, float(qtf[t])))
+        term_score = term_score * wexpr.otherwise(1.0)
 
     scored = (tf.join(F.broadcast(df_tbl), "word")
               .crossJoin(F.broadcast(stats))

@@ -198,6 +198,12 @@ def shuffle_shards(df: DataFrame, n_shards: int = 8, seed: str = "r4",
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    clash = {"skey", "shard", "pos_in_shard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)} — "
+            "drop or rename them before re-sharding (withColumn would "
+            "silently overwrite a previous assignment)")
     key = F.substring(
         F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
                        F.col(id_col).cast("string"))), 1, 8)

@@ -169,35 +169,27 @@ def write_corpus_shards(df: DataFrame, path: str, n_shards: int = 8,
 
 
 def write_shard_manifest(spark: SparkSession, path: str,
-                         tokens_col: str | None = None) -> DataFrame:
+                         tokens_col: str | None = None,
+                         fmt: str = "json") -> DataFrame:
     """Write `<path>/_manifest` (parquet, underscore-prefixed so shard
     reads skip it) summarizing a write_corpus_shards export: one row per
     shard with row count and optional token total — the audit artifact a
     training run records next to its shards. Returns the manifest frame.
+
+    `fmt` must match the export's format (write_corpus_shards' own
+    default is json) — declared by the caller, not sniffed from the
+    filesystem, so the manifest works on any Hadoop-compatible path
+    (object store, HDFS), not just local disk.
 
     One aggregate over the shard partition column (partition-pruned
     columnar scan), written by the executors — no driver-side collect.
     """
     from pyspark.sql import functions as F
 
-    shards = spark.read.format("json").load(path) \
-        if _is_json_export(path) else spark.read.parquet(path)
+    shards = spark.read.format(fmt).load(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if tokens_col and tokens_col in shards.columns:
         aggs.append(F.sum(tokens_col).alias("n_tokens"))
     manifest = shards.groupBy("shard").agg(*aggs)
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
-
-
-def _is_json_export(path: str) -> bool:
-    """A write_corpus_shards export is JSONL unless its shard dirs hold
-    parquet part files."""
-    import os
-
-    for entry in sorted(os.listdir(path)):
-        if entry.startswith("shard="):
-            full = os.path.join(path, entry)
-            return not any(f.endswith(".parquet")
-                           for f in os.listdir(full))
-    return False

@@ -232,7 +232,9 @@ def test_ann_int8_recall_vs_exact(spark):
 
     from nexus_spark.operators.similarity import ann_int8, knn_bruteforce
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)
     exact = {(r["query_id"], r["neighbor_id"])
              for r in knn_bruteforce(emb, queries, k=5).collect()}

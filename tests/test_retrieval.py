@@ -103,10 +103,8 @@ def test_nb_classifier_separable(spark):
         assert got[i]["lang_pred"] == "es", got[i]
     # hand-check doc 4's winning logpost: priors 3/6 each;
     # en tokens: the,cat,sat,the,dog,ran,the,the,cat,dog = 10
-    # vocab = {the,cat,sat,dog,ran,el,gato,aqui,perro,alla,} = 10
+    # vocab = {the,cat,sat,dog,ran,el,gato,aqui,perro,alla} = 10
     # p(the|en)=(4+1)/(10+10), p(cat|en)=3/20, p(dog|en)=3/20
-    want = (math.log(0.5) + 2 * math.log(5 / 20)
-            + 2 * math.log(3 / 20) + math.log(3 / 20))
     # doc4 = the the cat dog -> ln prior + 2*ln p(the) + ln p(cat) + ln p(dog)
     want = (math.log(0.5) + 2 * math.log(5 / 20)
             + math.log(3 / 20) + math.log(3 / 20))
@@ -157,3 +155,23 @@ def test_quantize_int8_hand_computed(spark):
     assert r0["mse"] == pytest.approx(0.005 ** 2 / 4, rel=1e-6)
     r1 = got[1]
     assert r1["scale"] == 0.0 and r1["qsum"] == 0 and r1["mse"] == 0.0
+
+
+def test_bm25_repeated_query_term_weights(tiny_docs):
+    from nexus_spark.operators.retrieval import bm25_scores
+
+    import pytest
+
+    once = {r["doc_id"]: r["bm25"]
+            for r in bm25_scores(tiny_docs, ("spark", "join")).collect()}
+    twice = {r["doc_id"]: r["bm25"]
+             for r in bm25_scores(tiny_docs,
+                                  ("spark", "spark", "join")).collect()}
+    # doubling 'spark' doubles its per-term contribution only
+    one = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(tiny_docs, ("spark",)).collect()}
+    for d in once:
+        extra = one.get(d, 0.0)
+        assert twice[d] == pytest.approx(once[d] + extra, rel=1e-12)
+    with pytest.raises(ValueError):
+        bm25_scores(tiny_docs, ("",))
