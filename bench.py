@@ -72,6 +72,13 @@ _QUERY_NOTES = {
         "critical path of ~10 tiny sequential aggregate stages (NB fit "
         "grid -> score -> argmax); per-stage scheduling floor dominates "
         "at toy scale, join volume is the sparse tf formulation",
+    "e_stream_dedup_exact":
+        "executes a REAL streaming query (stage fixture + readStream + "
+        "availableNow drain): ~2s of fixed stream startup/commit cost "
+        "independent of data volume",
+    "e_stream_window_watermark":
+        "same executed-stream fixed cost as e_stream_dedup_exact, plus "
+        "the watermark flush batch",
 }
 
 
