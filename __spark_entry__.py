@@ -2279,6 +2279,54 @@ FROM grp GROUP BY doc_id, island
 """
 
 
+def q_scrub_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level train-vs-benchmark decontamination: maximal TRAIN-doc
+    spans whose window-grams appear anywhere in the benchmark slice
+    (doc_id % 10 == 0) — cut-the-passage decontamination instead of
+    drop-the-document."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import cross_contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    out = cross_contamination_spans(train, bench, window=_SPAN_W)
+    return _finish(out.select(F.col("id").alias("doc_id"), "span_start",
+                              "span_end", "n_windows"))
+
+
+SQL_SCRUB_CROSS_CONTAM = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM d, LATERAL unnest(generate_series(1, len(words) - {_SPAN_W} + 1))
+       AS t(i)
+  WHERE len(words) >= {_SPAN_W}),
+bh AS (SELECT DISTINCT h FROM wins WHERE doc_id % 10 = 0),
+marked AS (SELECT doc_id, pos FROM wins
+           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_SPAN_W} - 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_W} - 1 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+
 def q_scrub_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the span-dedup decisions: cut every marked span, return
     the scrubbed text + kept/cut token counts per document."""
@@ -3601,6 +3649,42 @@ FROM best b JOIN documents d USING (doc_id) WHERE rk = 1
 """
 
 
+def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval harness: the NB language classifier's confusion
+    matrix against the true labels (count per (true, predicted) pair,
+    plus per-true-class recall) — the accuracy report a pipeline records
+    whenever it swaps the quality/language gate model. One aggregate
+    over the classifier's per-doc output; the oracle reruns the full NB
+    fit+score as a subquery."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import nb_lang_classifier
+    from pyspark.sql import Window
+
+    scored = nb_lang_classifier(load_table(spark, sf_dir, "documents"))
+    cm = (scored.groupBy("lang_true", "lang_pred")
+          .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("lang_true")
+    return _finish(cm.withColumn(
+        "recall_of_true",
+        F.when(F.col("lang_true") == F.col("lang_pred"),
+               F.col("n_docs") / F.sum("n_docs").over(w))
+        .otherwise(F.lit(None).cast("double"))))
+
+
+def _sql_nb_confusion() -> str:
+    return f"""
+WITH scored AS ({SQL_TEXT_NB}),
+cm AS (SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+       FROM scored GROUP BY lang_true, lang_pred)
+SELECT lang_true, lang_pred, n_docs,
+       CASE WHEN lang_true = lang_pred THEN
+         ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang_true)
+                             AS DOUBLE), {ND})
+       END AS recall_of_true
+FROM cm
+"""
+
+
 def q_d_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + balanced shard assignment — the
     training-export layout (md5-keyed permutation, hash-mod sharding,
@@ -3893,6 +3977,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
     "text_lang_segments": q_text_lang_segments,
+    "text_nb_confusion": q_text_nb_confusion,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -4063,6 +4149,8 @@ _ORACLES: dict[str, str] = {
     "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
     "d_importance_select": SQL_D_IMPORTANCE,
     "text_lang_segments": _sql_lang_segments(),
+    "text_nb_confusion": _sql_nb_confusion(),
+    "scrub_cross_contamination": SQL_SCRUB_CROSS_CONTAM,
 }
 
 

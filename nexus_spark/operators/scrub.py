@@ -117,6 +117,19 @@ def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
     Output: id, span_start, span_end (inclusive token offsets, 0-based),
     n_windows (windows merged into the span).
     """
+    wins = _window_hashes(docs, window, id_col, text_col)
+    shared = (wins.groupBy("h")
+              .agg(F.count_distinct("id").alias("ndocs"))
+              .where(F.col("ndocs") >= min_docs)
+              .select("h"))
+    marked = wins.join(shared, "h").select("id", "pos")
+    return _merge_spans(marked, window)
+
+
+def _window_hashes(docs: DataFrame, window: int, id_col: str,
+                   text_col: str) -> DataFrame:
+    """(id, pos, h) stream of md5 window-gram hashes — the shared front
+    end of the span-mark operators."""
     from nexus_spark.functions.skew import ensure_parallelism
 
     words = F.split(F.col(text_col), " ")
@@ -127,15 +140,41 @@ def span_dedup_marks(docs: DataFrame, window: int = 8, min_docs: int = 2,
             lambda i: F.md5(F.concat_ws(" ",
                                         F.slice(words, i + 1, window)))),
     ).otherwise(F.array().cast("array<string>"))
-    wins = (ensure_parallelism(docs)
+    return (ensure_parallelism(docs)
             .select(F.col(id_col).alias("id"),
                     F.posexplode(hashes).alias("pos", "h")))
-    shared = (wins.groupBy("h")
-              .agg(F.count_distinct("id").alias("ndocs"))
-              .where(F.col("ndocs") >= min_docs)
-              .select("h"))
-    marked = wins.join(shared, "h").select("id", "pos")
 
+
+def cross_contamination_spans(train: DataFrame, benchmark: DataFrame,
+                              window: int = 8, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Span-level TRAIN-vs-BENCHMARK decontamination marks: every
+    maximal token span of a TRAIN document covered by `window`-gram
+    windows that appear ANYWHERE in the benchmark set — the
+    substring-granular complement of dedup.contamination_check (which
+    reports doc-level overlap fractions). Feeding these marks to
+    apply_span_dedup cuts the leaked passages while keeping the rest of
+    the document, instead of dropping whole documents.
+
+    Scale shape: the benchmark window-hash set is benchmark-sized
+    (<< corpus) and reduces to a DISTINCT table that broadcast-joins the
+    train window stream — the train side streams at any corpus size;
+    the islands merge is the same per-doc window pass as
+    span_dedup_marks.
+
+    Output: id, span_start, span_end (inclusive, 0-based), n_windows.
+    """
+    wins_t = _window_hashes(train, window, id_col, text_col)
+    bench_h = (_window_hashes(benchmark, window, id_col, text_col)
+               .select("h").distinct())
+    marked = (wins_t.join(F.broadcast(bench_h), "h")
+              .select("id", "pos"))
+    return _merge_spans(marked, window)
+
+
+def _merge_spans(marked: DataFrame, window: int) -> DataFrame:
+    """Merge marked window positions into maximal spans (islands pass);
+    marked = (id, pos)."""
     w_order = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + window - 1).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1))

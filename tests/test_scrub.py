@@ -99,3 +99,22 @@ def test_span_marks_distinct_islands(spark):
     assert (1, 0, 7) in spans and (1, 18, 25) in spans
     assert (2, 0, 7) in spans and (3, 0, 7) in spans
     assert len(spans) == 4
+
+
+def test_cross_contamination_spans_planted_leak(spark):
+    from nexus_spark.operators.scrub import cross_contamination_spans
+
+    leak = "q w e r t y u i"  # 8 tokens == window
+    train = spark.createDataFrame(
+        [(1, "a b c " + leak + " d e f"),   # leaked span at tokens 3..10
+         (2, "clean doc with no benchmark overlap at all here ok")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "benchmark text holds " + leak + " somewhere inside")],
+        ["doc_id", "text"])
+    got = cross_contamination_spans(train, bench, window=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id"], r["span_start"], r["span_end"]) == (1, 3, 10)
+    # benchmark docs themselves are never marked; disjoint train doc clean
+    assert all(row["id"] != 2 for row in got)
