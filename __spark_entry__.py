@@ -2327,6 +2327,77 @@ FROM grp GROUP BY doc_id, island
 """
 
 
+def q_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination: mark every train-doc span leaked from
+    the benchmark slice, CUT those spans and reassemble the text —
+    the full cut-the-passage decontamination pipeline (marks + apply) as
+    one plan over the train corpus."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import (apply_span_dedup,
+                                             cross_contamination_spans)
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    marks = cross_contamination_spans(train, bench, window=_SPAN_W)
+    return _finish(apply_span_dedup(train, marks))
+
+
+SQL_SCRUB_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE doc_id % 10 <> 0),
+db AS (SELECT doc_id, string_split(text, ' ') AS words
+       FROM documents WHERE doc_id % 10 = 0),
+wt AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM d, LATERAL unnest(generate_series(1, len(words) - {_SPAN_W} + 1))
+       AS t(i)
+  WHERE len(words) >= {_SPAN_W}),
+wb AS (
+  SELECT md5(array_to_string(words[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM db, LATERAL unnest(generate_series(1, len(words) - {_SPAN_W} + 1))
+       AS t(i)
+  WHERE len(words) >= {_SPAN_W}),
+bh AS (SELECT DISTINCT h FROM wb),
+marked AS (SELECT doc_id, pos FROM wt WHERE h IN (SELECT h FROM bh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_SPAN_W} - 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_W} - 1 AS e
+  FROM grp GROUP BY doc_id, island),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS word
+  FROM d, LATERAL unnest(generate_series(1, len(words))) AS t(i)),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e),
+kept AS (SELECT * FROM toks ANTI JOIN cov USING (doc_id, pos)),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(string_split(text, ' ')) AS n_total
+        FROM documents WHERE doc_id % 10 <> 0)
+SELECT tot.doc_id,
+       COALESCE(agg.text, '') AS text,
+       COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept,
+       tot.n_total - COALESCE(agg.n_tokens_kept, 0) AS n_tokens_cut
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_scrub_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the span-dedup decisions: cut every marked span, return
     the scrubbed text + kept/cut token counts per document."""
@@ -3979,6 +4050,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_segments": q_text_lang_segments,
     "text_nb_confusion": q_text_nb_confusion,
     "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -4151,6 +4223,7 @@ _ORACLES: dict[str, str] = {
     "text_lang_segments": _sql_lang_segments(),
     "text_nb_confusion": _sql_nb_confusion(),
     "scrub_cross_contamination": SQL_SCRUB_CROSS_CONTAM,
+    "scrub_decontaminate": SQL_SCRUB_DECONTAMINATE,
 }
 
 
