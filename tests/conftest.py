@@ -15,7 +15,10 @@ SF_DIR_T2 = os.environ.get("NEXUS_SPARK_T2_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     from nexus_spark.session import get_session
 
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    # 8 local cores: the suite grew past 9.5 min at local[4] (115-query
+    # parity sweep); local[8] keeps it well inside any 10-min budget on
+    # the 32-core container while leaving headroom for the bench.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_session("nexus_spark_tests", shuffle_partitions=8)
     yield spark
 
