@@ -3070,6 +3070,49 @@ GROUP BY ws, event_type
 """
 
 
+def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's radius/time matchup executed as a REAL stream-stream join
+    (the third executed-streaming pin, after stateful dedup and the
+    watermarked window): both matchup feeds are staged to watch
+    directories, joined with streaming_matchup's cell-equi + event-time
+    range condition, and drained with availableNow. With the watermark
+    covering the fixture span, the emitted set must equal the batch
+    matchup (match_once=False) — the kappa-architecture guarantee,
+    checked here by the driver against the batch oracle SQL."""
+    import shutil
+    import tempfile
+
+    from nexus_spark.streaming.matchup import streaming_matchup
+
+    p = domain.matchup_primary(spark, sf_dir)
+    s = domain.matchup_secondary(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="nexus_stream_mu_")
+    pdir, sdir = f"{base}/p", f"{base}/s"
+    p.write.mode("overwrite").parquet(pdir)
+    s.write.mode("overwrite").parquet(sdir)
+    ps = (spark.readStream.schema(spark.read.parquet(pdir).schema)
+          .parquet(pdir))
+    ss = (spark.readStream.schema(spark.read.parquet(sdir).schema)
+          .parquet(sdir))
+    out = streaming_matchup(ps, ss, radius_km=_MU_R,
+                            time_tolerance_s=_MU_TT,
+                            watermark="3650 days")
+    _STREAM_Q_N[0] += 1
+    name = f"stream_mu_out_{_STREAM_Q_N[0]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        if not q.awaitTermination(300):  # False = timeout (no raise)
+            q.stop()
+            raise TimeoutError("streaming matchup drain exceeded 300s")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return _finish(spark.table(name).select(
+        "primary_id", "p_time", "p_lat", "p_lon", "p_value",
+        "secondary_id", "s_time", "s_lat", "s_lon", "s_value",
+        "dist_km", "dt_s"))
+
+
 def q_e_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.catalog import load_table
     from nexus_spark.streaming.events import windowed_stats
@@ -4052,6 +4095,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "scrub_cross_contamination": q_scrub_cross_contamination,
     "scrub_decontaminate": q_scrub_decontaminate,
+    "e_stream_matchup": q_e_stream_matchup,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
@@ -4225,6 +4269,7 @@ _ORACLES: dict[str, str] = {
     "text_nb_confusion": _sql_nb_confusion(),
     "scrub_cross_contamination": SQL_SCRUB_CROSS_CONTAM,
     "scrub_decontaminate": SQL_SCRUB_DECONTAMINATE,
+    "e_stream_matchup": _sql_matchup(False),
 }
 
 

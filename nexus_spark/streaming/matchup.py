@@ -106,7 +106,13 @@ def streaming_matchup(
          .withColumn("j_lon_cell",
                      F.pmod(F.col("lon_cell") + F.col("dlon"), n_lon_cells)))
 
-    tol = int(time_tolerance_s)
+    # The range join compares RAW event times, but the exact tolerance
+    # filter below works on floor-second dt_s (the batch operator's
+    # contract). Widen the join interval by 1s so it is a strict
+    # superset of the dt_s filter even with fractional-second
+    # timestamps (raw diff can exceed tol while floor diff == tol);
+    # state eviction changes by that same 1s only.
+    tol = int(time_tolerance_s) + 1
     joined = p.join(
         s,
         (F.col("j_lat_cell") == F.col("s_lat_cell"))
