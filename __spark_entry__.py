@@ -4067,12 +4067,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
     # --- tail (entry 51+): rotates in for round 5. Window arithmetic for
-    # this round: 26 stale + 39 new + 6 changed = 71 demands > 50 slots.
+    # this round: 26 stale + 40 new + 6 changed = 72 demands > 50 slots.
     # Deferred to round 5's window (each pytest-parity-checked at sf0.01
     # on every test run, and by the repo's driver-sim harness):
-    #   * the 15 newest entries below (weighted sample, int8 ANN/quantize
+    #   * the 16 newest entries below (weighted sample, int8 ANN/quantize
     #     recall, corpus diff, mean pool, export pipeline, topic
-    #     clusters, k-means round, the 2 executed-stream queries, DSIR
+    #     clusters, k-means round, the 3 executed-stream queries, DSIR
     #     importance selection, language segments, NB confusion, span
     #     decontamination mark + apply);
     #   * the 4 remaining changed entries (robustness/perf changes, not

@@ -79,6 +79,11 @@ _QUERY_NOTES = {
     "e_stream_window_watermark":
         "same executed-stream fixed cost as e_stream_dedup_exact, plus "
         "the watermark flush batch",
+    "e_stream_matchup":
+        "Spark side stages both feeds to parquet + stream startup on top "
+        "of the join itself; NOTE its oracle repeats the same quadratic "
+        "DuckDB join the two batch matchup queries already pay — read "
+        "the sweep ratio with that triple-count in mind",
 }
 
 
