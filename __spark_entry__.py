@@ -4013,7 +4013,83 @@ FROM ranked WHERE rank <= {_KNN_K}
 # "done = green" was an explicit round-3 task) = the 50-entry window;
 # see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- group 1: last driver row is r02 (stale-first) ---
+    # --- round-5 window (first 50): executes the rotation planned in the
+    # round-4 tail comment.
+    # group A (16): never driver-checked — the round-4 tail head ---
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
+    "d_export_pipeline": q_d_export_pipeline,
+    "d_topic_clusters": q_d_topic_clusters,
+    "d_kmeans_round": q_d_kmeans_round,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
+    "text_nb_confusion": q_text_nb_confusion,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "e_stream_matchup": q_e_stream_matchup,
+    # group B (2): group-1 entries deferred from the round-4 window ---
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
+    # group C (4): implementation changed in round 4 (robustness/perf) ---
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    # group D (28): r03-checked refreshes (headline/family-central picks,
+    # oracled entries preferred over the no-oracle variants) ---
+    "s1_time_series": q_s1_time_series,
+    "s8_matchup_once": q_s8_matchup_once,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
+    "doms_list": q_doms_list,
+    "e_sliding_events": q_e_sliding_events,
+    "s1_polygon_time_series": q_s1_polygon,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "a10_dataset_list": q_a10_dataset_list,
+    "s4_corr_map": q_s4_corr_map,
+    "s7_daily_difference": q_s7_daily_difference,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "t_asof_doy": q_t_asof_doy,
+    "f_seasonal_filter": q_f_seasonal,
+    "etl_regrid": q_etl_regrid,
+    "d_dedup_exact": q_d_dedup_exact,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    "sim_knn_bruteforce": q_sim_knn,
+    "d_stratified_sample": q_d_stratified_sample,
+    # --- tail (entry 51+): rotates in for round 6. 16 r03-checked entries
+    # (incl. the 4 no-oracle rows-only variants) will be exactly 2 rounds
+    # stale after this round and must LEAD round 6's window: ---
+    "f_lowpass": q_f_lowpass,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
+    "d_dedup_simhash": q_d_simhash,
+    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
+    "sql_quantiles": q_sql_quantiles,
+    "sql_json_extract": q_sql_json,
+    "sql_distinct_counts": q_sql_distinct,
+    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
+    "d_curation_pipeline": q_d_curation_pipeline,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_sample_exact_n": q_d_sample_exact_n,
+    "d_token_packing": q_d_token_packing,
+    "text_tfidf_top_terms": q_text_tfidf,
+    "text_unigram_nll": q_text_unigram_nll,
+    "s1_time_series_compare": q_s1_compare,
+    "s8_matchup": q_s8_matchup,
+    # --- tail: r04-checked (freshest; rotate last) ---
     "text_stats": q_text_stats,
     "m_multimodal_metadata": q_m_metadata,
     "m_frame_sample": q_m_frame_sample,
@@ -4038,7 +4114,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_topk_per_group": q_sql_topk,
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
-    # --- group 2: new in round 4 ---
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
@@ -4063,91 +4138,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_classifier": q_text_nb_classifier,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
-    # --- group 2b: implementation changed in round 4 ---
     "sketch_profile": q_sketch_profile,
     "d_semantic_dedup": q_d_semantic_dedup,
-    # --- tail (entry 51+): rotates in for round 5. Window arithmetic for
-    # this round: 26 stale + 40 new + 6 changed = 72 demands > 50 slots.
-    # Deferred to round 5's window (each pytest-parity-checked at sf0.01
-    # on every test run, and by the repo's driver-sim harness):
-    #   * the 16 newest entries below (weighted sample, int8 ANN/quantize
-    #     recall, corpus diff, mean pool, export pipeline, topic
-    #     clusters, k-means round, the 3 executed-stream queries, DSIR
-    #     importance selection, language segments, NB confusion, span
-    #     decontamination mark + apply);
-    #   * the 4 remaining changed entries (robustness/perf changes, not
-    #     semantics);
-    #   * 2 group-1 entries (sql_left_join / sql_semi_join, whose
-    #     single-join surface is exercised in-window by sql_anti_join +
-    #     sql_set_ops). ---
-    "d_weighted_sample": q_d_weighted_sample,
-    "sim_ann_int8": q_sim_ann_int8,
-    "d_corpus_diff": q_d_corpus_diff,
-    "sim_mean_pool": q_sim_mean_pool,
-    "sim_int8_recall_at_k": q_sim_int8_recall,
-    "d_export_pipeline": q_d_export_pipeline,
-    "d_topic_clusters": q_d_topic_clusters,
-    "d_kmeans_round": q_d_kmeans_round,
-    "e_stream_dedup_exact": q_e_stream_dedup_exact,
-    "e_stream_window_watermark": q_e_stream_window_watermark,
-    "d_importance_select": q_d_importance_select,
-    "text_lang_segments": q_text_lang_segments,
-    "text_nb_confusion": q_text_nb_confusion,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "e_stream_matchup": q_e_stream_matchup,
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    # --- group 3: r03-checked pads (headline/family-central picks) ---
-    "s1_time_series": q_s1_time_series,
-    "s8_matchup_once": q_s8_matchup_once,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding": q_d_near_dup_embedding,
-    "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    "d_dedup_simhash": q_d_simhash,
-    "sim_ann_lsh": q_sim_ann_lsh,
-    "d_dedup_winnow": q_d_dedup_winnow,
-    "d_corpus_mix": q_d_corpus_mix,
-    "d_contamination": q_d_contamination,
-    "doms_list": q_doms_list,
-    "e_sliding_events": q_e_sliding_events,
-    "s1_polygon_time_series": q_s1_polygon,
-    "f_lowpass": q_f_lowpass,
-    # --- tail (entry 51+): all r03-checked; rotates in for round 5 ---
-    "sql_quantiles": q_sql_quantiles,
-    "sql_json_extract": q_sql_json,
-    "sql_distinct_counts": q_sql_distinct,
-    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
-    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
-    "d_curation_pipeline": q_d_curation_pipeline,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
-    "d_stratified_sample": q_d_stratified_sample,
-    "d_sample_exact_n": q_d_sample_exact_n,
-    "d_token_packing": q_d_token_packing,
-    "text_tfidf_top_terms": q_text_tfidf,
-    "text_unigram_nll": q_text_unigram_nll,
-    "s1_time_series_compare": q_s1_compare,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "a10_dataset_list": q_a10_dataset_list,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "s8_matchup": q_s8_matchup,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
-    "t_asof_doy": q_t_asof_doy,
-    "f_seasonal_filter": q_f_seasonal,
-    "etl_regrid": q_etl_regrid,
-    "d_dedup_exact": q_d_dedup_exact,
-    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "sim_knn_bruteforce": q_sim_knn,
 }
 
 _ORACLES: dict[str, str] = {
