@@ -3906,14 +3906,15 @@ def q_d_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_D_CORPUS_DIFF = """
 WITH fp AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(trim(COALESCE(text, '')),
+                                  ' +', ' ', 'g'))) AS fp
   FROM documents),
 o AS (SELECT doc_id, fp AS old_fp FROM fp WHERE doc_id % 10 <> 0),
 nw AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(trim(
-           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END),
-           ' +', ' ', 'g'))) AS new_fp
+         md5(lower(regexp_replace(trim(COALESCE(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+           '')), ' +', ' ', 'g'))) AS new_fp
   FROM documents)
 SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
        CASE WHEN o.old_fp IS NULL THEN 'added'

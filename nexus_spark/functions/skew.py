@@ -104,6 +104,11 @@ def salted_join(skewed: DataFrame, other: DataFrame,
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, df in (("skewed", skewed), ("other", other)):
+        if "_salt" in df.columns:
+            raise ValueError(
+                f"salted_join reserves the column name '_salt', which the "
+                f"{side} input already carries — rename it before joining")
     s = with_salt(skewed, salts)
     rep = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))

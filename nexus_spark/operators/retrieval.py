@@ -152,6 +152,15 @@ def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
 
     Output: doc_id, lex_rank, vec_rank (NULL when absent from that list),
     rrf_score, fused_rank.
+
+    Self-exclusion caveat: the vector branch reuses knn_bruteforce, whose
+    dedup-oriented contract excludes query_id == neighbor_id. Under the
+    doc_id==vec_id fixture pairing this means the query DOCUMENT itself can
+    never receive a vec_rank — it fuses from the lexical list alone (its
+    RRF score carries only the 1/(k+lex_rank) term). This is intentional
+    and matched by the oracle: "retrieve documents LIKE this one" semantics
+    exclude the probe; callers wanting the probe ranked should pass a
+    query_vec_id outside the corpus id space.
     """
     from nexus_spark.operators.similarity import knn_bruteforce
 

@@ -462,18 +462,24 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
 
     Content identity uses the same whitespace-normalized md5 fingerprint
     as the exact-dedup path, so a reformatted-but-identical document
-    counts as unchanged. Plan: two shuffle-free fingerprint projections +
-    ONE full-outer join on the id — nothing wider than the corpora
-    themselves, and at 100 TB the join co-partitions on the same id key
-    both snapshots are already bucketed by.
+    counts as unchanged. NULL text is coalesced to '' before
+    fingerprinting: a NULL fingerprint would be indistinguishable from
+    "absent from this snapshot" in the full-outer join, misreporting a
+    present-with-NULL-text document as added/removed. Plan: two
+    shuffle-free fingerprint projections + ONE full-outer join on the id
+    — nothing wider than the corpora themselves, and at 100 TB the join
+    co-partitions on the same id key both snapshots are already bucketed
+    by.
 
     Output: id, status, old_fp, new_fp (fingerprints NULL on the absent
     side).
     """
     o = old.select(F.col(id_col),
-                   fingerprint(F.col(text_col)).alias("old_fp"))
+                   fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("old_fp"))
     n = new.select(F.col(id_col),
-                   fingerprint(F.col(text_col)).alias("new_fp"))
+                   fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("new_fp"))
     status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
               .when(F.col("new_fp").isNull(), F.lit("removed"))
               .when(F.col("old_fp") == F.col("new_fp"),

@@ -220,3 +220,10 @@ def test_salted_join_equals_plain_join(spark):
     import pytest
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+    # reserved-column guard: a pre-existing _salt on EITHER side would be
+    # silently clobbered/dropped — must raise instead
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(left.withColumn("_salt", F.lit(0)), right, ["k"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(left, right.withColumn("_salt", F.lit(0)), ["k"])

@@ -145,6 +145,29 @@ def test_corpus_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
 
 
+def test_corpus_diff_null_text(spark):
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from nexus_spark.operators.text import corpus_diff
+
+    schema = StructType([StructField("doc_id", IntegerType()),
+                         StructField("text", StringType())])
+    # doc 1: NULL old text but present in both -> changed (was wrongly
+    # 'added' before NULL coalescing); doc 2: NULL both sides ->
+    # unchanged; doc 3: NULL new text, present both -> changed.
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "kept")], schema)
+    new = spark.createDataFrame(
+        [(1, "filled in"), (2, None), (3, None)], schema)
+    rows = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert {k: v["status"] for k, v in rows.items()} == {
+        1: "changed", 2: "unchanged", 3: "changed"}
+    # present-side fingerprints are never NULL (NULL fp means "absent")
+    assert all(r["old_fp"] is not None and r["new_fp"] is not None
+               for r in rows.values())
+
+
 def test_importance_scores_directionality(spark):
     from pyspark.sql import functions as F
 
