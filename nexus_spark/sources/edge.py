@@ -128,6 +128,140 @@ def parse_edge_record(rec: dict, source: str) -> tuple:
             float(depth) if depth is not None else None, data)
 
 
+_EDGE_COLUMNS = ["id", "source", "time", "lat", "lon", "platform",
+                 "device", "mission", "depth", "data"]
+
+
+def parse_edge_page(records: list, source: str):
+    """Vectorized page normalization: one raw EDGE `results` list -> one
+    pandas frame in EDGE_SCHEMA column order. Same semantics as mapping
+    parse_edge_record over the page (__resultRawToUsable:34-59), but with
+    pandas column ops instead of a per-record Python loop — the page task
+    is the d8 hot path and the row loop was ~half its cost. The only
+    per-row python left is assembling the extras `data` dict (map-typed
+    output) and object-dtype fallbacks for mixed-type columns a real
+    server should never send.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not records:
+        return pd.DataFrame(columns=_EDGE_COLUMNS)
+    df = pd.DataFrame.from_records(records)
+
+    # sea_surface_temperature -> sea_water_temperature. The reference
+    # pops per record, so rows WITHOUT sst must keep a native swt value —
+    # a column-level overwrite would null them out.
+    if "sea_surface_temperature" in df.columns:
+        sst = df["sea_surface_temperature"]
+        if "sea_water_temperature" in df.columns:
+            df["sea_water_temperature"] = sst.where(
+                sst.notna(), df["sea_water_temperature"])
+        else:
+            df["sea_water_temperature"] = sst
+        df = df.drop(columns=["sea_surface_temperature"])
+
+    # time: ISO-8601Z string or epoch seconds -> float ms
+    t = df["time"]
+    if pd.api.types.is_numeric_dtype(t):
+        time_ms = t.astype("float64") * 1000.0
+    elif pd.api.types.is_string_dtype(t) or t.dtype == object:
+        try:
+            time_ms = (pd.to_datetime(t, format="%Y-%m-%dT%H:%M:%SZ",
+                                      utc=True).astype("int64") / 1e6)
+        except (ValueError, TypeError):  # mixed numeric/string page
+            time_ms = t.map(_parse_time_ms)
+    else:
+        time_ms = t.map(_parse_time_ms)
+
+    # location: 'Point(lon lat)' / 'lat,lon' column, else x/y-style fields
+    if "point" in df.columns:
+        pt = df["point"].astype(str)
+        inner = pt.str.extract(r"\((.*)\)", expand=False).where(
+            pt.str.contains("Point"), pt)
+        is_csv = inner.str.contains(",")
+        csv = inner.str.split(",", expand=True).reindex(columns=[0, 1])
+        ssv = inner.str.split(" ", expand=True).reindex(columns=[0, 1])
+        lat = pd.to_numeric(csv[0].where(is_csv, ssv[1]), errors="raise")
+        lon = pd.to_numeric(csv[1].where(is_csv, ssv[0]), errors="raise")
+    else:
+        lat = lon = None
+        for cand in ("y", "lat", "latitude"):
+            if cand in df.columns:
+                lat = df[cand]
+                break
+        for cand in ("x", "lon", "longitude"):
+            if cand in df.columns:
+                lon = df[cand]
+                break
+        lat = pd.to_numeric(lat, errors="coerce")
+        lon = pd.to_numeric(lon, errors="coerce")
+
+    rid = df["id"] if "id" in df.columns else df.get("metadata")
+    ids = "id-" + rid.astype(str)
+
+    def vocab_col(name: str, vocab: dict) -> pd.Series:
+        if name not in df.columns:
+            return pd.Series([None] * len(df), index=df.index, dtype=object)
+        s = df[name]
+        mapped = s.map(vocab)
+        # out-of-vocab -> str(value); missing -> None (reference's
+        # None-guard). int columns NaN-coerced to float by pandas render
+        # back through int so '3.0' never leaks for an integer code.
+        fallback = s.map(
+            lambda v: None if v is None
+            or (isinstance(v, float) and math.isnan(v))
+            else str(int(v)) if isinstance(v, float) and v.is_integer()
+            else str(v))
+        return mapped.where(mapped.notna(), fallback).astype(object)
+
+    if "depth" in df.columns:
+        depth = pd.to_numeric(df["depth"], errors="coerce")
+        if "sea_water_temperature_depth" in df.columns:
+            depth = depth.fillna(
+                pd.to_numeric(df["sea_water_temperature_depth"],
+                              errors="coerce"))
+    elif "sea_water_temperature_depth" in df.columns:
+        depth = pd.to_numeric(df["sea_water_temperature_depth"],
+                              errors="coerce")
+    else:
+        depth = pd.Series(np.nan, index=df.index)
+
+    # extras map: every non-core numeric field, NaN-stripped per row
+    extras = [c for c in df.columns if c not in _CORE_KEYS
+              and c != "sea_water_temperature_depth"]
+    num_extras = {}
+    for c in extras:
+        col = df[c]
+        if pd.api.types.is_numeric_dtype(col):
+            num_extras[c] = col.astype("float64").to_numpy()
+        elif col.dtype == object:  # mixed page: keep per-value semantics
+            num_extras[c] = col.map(
+                lambda v: float(v)
+                if isinstance(v, (int, float)) and not (
+                    isinstance(v, float) and math.isnan(v))
+                else np.nan).to_numpy()
+    names = list(num_extras)
+    cols = [num_extras[c] for c in names]
+    data = [{n: v for n, v in zip(names, vals) if v == v}
+            for vals in zip(*cols)] if names else [{}] * len(df)
+
+    return pd.DataFrame({
+        "id": ids.to_numpy(),
+        "source": source,
+        "time": np.asarray(time_ms, dtype="float64"),
+        "lat": np.asarray(lat, dtype="float64"),
+        "lon": np.asarray(lon, dtype="float64"),
+        "platform": vocab_col("platform", PLATFORMS),
+        "device": vocab_col("device", DEVICES),
+        "mission": vocab_col("mission", MISSIONS),
+        # NaN -> None so absent depth surfaces as SQL NULL (like the
+        # row-wise parser), not a NaN double
+        "depth": depth.astype(object).where(depth.notna(), None).to_numpy(),
+        "data": data,
+    }, columns=_EDGE_COLUMNS)
+
+
 def _page_params(start_time: str, end_time: str, bbox: str,
                  items_per_page: int, start_index: int,
                  depth_min: float | None, depth_max: float | None,
@@ -191,44 +325,37 @@ def read_edge(spark: SparkSession, endpoint: dict, start_time: str,
                                       depth_min, depth_max, platforms,
                                       variable))
     total = int(first["totalResults"])
-    results = first.get("results", [])
-    first_rows = [parse_edge_record(r, name) for r in results]
-    # Rows come out of our own parser with schema-exact types —
-    # verifySchema would re-check 2000 rows x 10 fields per call
-    # (measured ~1s of pure driver CPU on the fixture).
-    first_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(first_rows,
-                                       max(1, len(first_rows) // 5000 + 1)),
-        EDGE_SCHEMA, verifySchema=False)
-    if total <= len(first_rows) or not first_rows:
-        return first_df
-
+    first_results = first.get("results", [])
+    n0 = len(first_results)
+    if n0 == 0:
+        return spark.createDataFrame([], EDGE_SCHEMA)
     ipp = int(first.get("itemsPerPage", req_ipp)) or req_ipp
-    offsets = list(range(len(first_rows), total, ipp))
+    # Page count including the already-fetched first page: its raw
+    # results ride into the page tasks inside the closure (bounded by one
+    # page size), so NO page is fetched twice and NO record is parsed at
+    # the driver — normalization runs vectorized on executors only.
+    n_pages = 1 + max(0, -(-(total - n0) // ipp))
 
     def fetch_pages(batches: Iterator) -> Iterator:
-        import pandas as pd
         for batch in batches:
             for start in batch["start"]:
-                page = fetcher(url, _page_params(
-                    start_time, end_time, bbox, ipp, int(start),
-                    depth_min, depth_max, platforms, variable))
-                rows = [parse_edge_record(r, name)
-                        for r in page.get("results", [])]
-                yield pd.DataFrame(rows, columns=["id", "source", "time",
-                                                  "lat", "lon", "platform",
-                                                  "device", "mission",
-                                                  "depth", "data"])
+                results = first_results if int(start) < 0 else fetcher(
+                    url, _page_params(start_time, end_time, bbox, ipp,
+                                      int(start), depth_min, depth_max,
+                                      platforms, variable)).get("results", [])
+                yield parse_edge_page(results, name)
 
     # spark.range with an explicit partition count: one task per page (up
     # to 64) with NO shuffle — a parallelize+repartition would spin up
     # defaultParallelism empty tasks plus an exchange just to seed the
-    # offset list.
-    rest = (spark.range(0, len(offsets), 1, min(len(offsets), 64))
-            .select((F.lit(offsets[0])
-                     + F.col("id") * ipp).alias("start"))
+    # offset list. start<0 marks the embedded first page; later pages
+    # begin at n0 (the server may have forced a different page size than
+    # requested, so page-2+ offsets stride by ITS ipp from n0).
+    return (spark.range(0, n_pages, 1, min(n_pages, 64))
+            .select(F.when(F.col("id") == 0, F.lit(-1).cast("long"))
+                    .otherwise(F.lit(n0) + (F.col("id") - 1) * ipp)
+                    .alias("start"))
             .mapInPandas(fetch_pages, EDGE_SCHEMA))
-    return first_df.unionByName(rest)
 
 
 def read_edge_next_links(spark: SparkSession, endpoint: dict,

@@ -73,6 +73,40 @@ def test_record_normalization_matches_reference_semantics():
     assert data == {"sea_water_temperature": 18.5}
 
 
+def test_vectorized_page_parse_matches_row_parser():
+    """parse_edge_page (the executor hot path) must agree with the
+    row-wise reference parser on every normalization rule: both point
+    forms, epoch vs ISO time, out-of-vocab codes, missing depth,
+    NaN-stripped extras map."""
+    from nexus_spark.sources.edge import parse_edge_page
+
+    page = [
+        {"id": 1, "time": "2013-10-21T00:00:00Z",
+         "point": "Point(-30.5 12.25)", "platform": 2, "device": 3,
+         "mission": 4, "depth": 1.5, "sea_surface_temperature": 18.5},
+        {"id": 2, "time": "2013-10-22T06:30:00Z", "point": "11.5,-29.0",
+         "platform": 99,                       # out-of-vocab -> "99"
+         "sea_water_salinity": 35.25},         # no depth -> NULL
+        {"id": 3, "time": "2013-10-23T00:00:00Z",
+         "point": "Point(-31.0 13.0)", "device": 6,
+         "depth": 0.0, "wind_speed": 7.5, "sea_water_temperature": 16.0},
+    ]
+    expected = [parse_edge_record(dict(r), "src") for r in page]
+    got = parse_edge_page(page, "src")
+    assert list(got.columns) == ["id", "source", "time", "lat", "lon",
+                                 "platform", "device", "mission", "depth",
+                                 "data"]
+    for exp, (_, row) in zip(expected, got.iterrows()):
+        for i, col in enumerate(got.columns):
+            v = row[col]
+            if col == "depth" and exp[i] is None:
+                assert v is None or v != v
+            elif isinstance(exp[i], float):
+                assert abs(v - exp[i]) < 1e-9, (col, v, exp[i])
+            else:
+                assert v == exp[i], (col, v, exp[i])
+
+
 def test_filters_and_parameter_value_column(spark):
     ep = make_fixture_endpoint(_records(100), items_per_page=30)
     df = insitu_subset(spark, ep, START, END, BBOX, parameter="sst",
