@@ -186,11 +186,14 @@ def _with_lowpass(spark: SparkSession, ts: DataFrame) -> DataFrame:
 
 
 def build_routes(spark: SparkSession, sf_dir: str,
-                 edge_endpoints: dict[str, dict] | None = None
+                 edge_endpoints: dict[str, dict] | None = None,
+                 warehouse_dir: str | None = None
                  ) -> dict[str, Callable[[Params], Any]]:
     """Route table (webapp.py:169-256). Each handler returns a DataFrame
     (content-negotiated) or a plain dict/list (JSON only). Handlers that
     are map-shaped return (df, grid_value_col) so `output=PNG` can render."""
+    from pyspark.sql import functions as F
+
     from nexus_spark import capabilities, domain
     from nexus_spark.operators.correlation import corr_map
     from nexus_spark.operators.daily_difference import daily_difference
@@ -237,7 +240,7 @@ def build_routes(spark: SparkSession, sf_dir: str,
 
     def r_corr_map(p: Params):
         return corr_map(obs(), p.get_dataset("ds1"), p.get_dataset("ds2"),
-                        **p.bounds()), "corr"
+                        **p.bounds()), "corr_r"
 
     def r_lonlat_map(p: Params):
         return lonlat_map(obs(), dataset=p.get_dataset(), **p.bounds()), "ll_mean"
@@ -302,11 +305,12 @@ def build_routes(spark: SparkSession, sf_dir: str,
                   for ds in p.get_datasets()}
         return frames  # ZIP-only payload
 
-    def r_insitu_subset(p: Params):
-        # D8 /domsinsitusubset (reference insitusubset.py:100-171): paged
-        # EDGE fetch of one in-situ source over the search domain. The
-        # endpoint registry is injected at serve() time (the reference's
-        # doms/config.py endpoint list); tests inject a fixture endpoint.
+    def _fetch_insitu(p: Params, parameter: str | None):
+        # Shared EDGE fetch for /domsinsitusubset (insitusubset.py:100-171)
+        # and /domsvalues (doms/ValuesQuery.py:14-55 — same datafetch, no
+        # parameter narrowing). The endpoint registry is injected at
+        # serve() time (the reference's doms/config.py endpoint list);
+        # tests inject a fixture endpoint.
         from nexus_spark.sources.edge import insitu_subset
         source = p.get("source")
         if source is None or source.strip() == "":
@@ -338,11 +342,118 @@ def build_routes(spark: SparkSession, sf_dir: str,
                 spark, endpoint,
                 datetime.strptime(start, "%Y-%m-%d %H:%M:%S").strftime(iso),
                 datetime.strptime(end, "%Y-%m-%d %H:%M:%S").strftime(iso),
-                bbox, parameter=p.get("parameter"),
+                bbox, parameter=parameter,
                 depth_min=p.get_float("depthMin"),
                 depth_max=p.get_float("depthMax"), platforms=platforms)
         except ValueError as exc:
             raise RequestError(str(exc))
+
+    def r_insitu_subset(p: Params):
+        return _fetch_insitu(p, p.get("parameter"))
+
+    def r_correlation_map(p: Params):
+        # /correlationMap (reference algorithms/CorrelationMap.py:16-129):
+        # gridded two-dataset correlation at a user resolution (`res`,
+        # default 1.0 degree).
+        ds = p.get_datasets()
+        if len(ds) != 2:
+            raise RequestError(
+                "Requires two datasets for comparison. Specify request "
+                "parameter ds=Dataset_1,Dataset_2")
+        res = p.get_float("res", 1.0)
+        if res is None or res <= 0:
+            raise RequestError(f"'res' must be a positive number: {res!r}")
+        return corr_map(obs(), ds[0], ds[1], resolution=res,
+                        **p.bounds()), "corr_r"
+
+    def r_doms_values(p: Params):
+        # /domsvalues (doms/ValuesQuery.py:14-55): full-record in-situ
+        # value lookup over the search domain — the insitu fetch without
+        # parameter narrowing.
+        return _fetch_insitu(p, None)
+
+    def r_doms_metadata(p: Params):
+        # /domsmetadata (doms/MetadataQuery.py:13-50). The reference
+        # proxies an external UMM metadata URL per dataset; lake-native
+        # form serves the catalog row (counts + extents) for the dataset.
+        dataset = p.get("dataset")
+        if dataset is None or len(dataset) == 0:
+            raise RequestError("'dataset' parameter not specified")
+        rows = (doms_dataset_list(obs(), load_table(spark, sf_dir, "events"))
+                .where(F.col("dataset") == dataset).collect())
+        if not rows:
+            raise RequestError(f"Dataset '{dataset}' not found")
+        return rows[0].asDict()
+
+    def r_doms_stats(p: Params):
+        # /domsstats (doms/StatsQuery.py:10-52): in-situ result count for
+        # a search domain without fetching rows (datafetch.getCount — the
+        # itemsPerPage=0 probe). Mirrors the reference's raw `s`/`e`
+        # time params passed through to the endpoint.
+        from nexus_spark.sources.edge import edge_count
+        source = p.get("source")
+        if source is None or source.strip() == "":
+            raise RequestError("'source' argument is required")
+        endpoint = (edge_endpoints or {}).get(source)
+        if endpoint is None:
+            raise RequestError(f"Source '{source}' not found")
+        start = p.get("s") or p.get("startTime")
+        end = p.get("e") or p.get("endTime")
+        if start is None or end is None:
+            raise RequestError("'s' and 'e' time arguments are required")
+        box = p.get_bbox()
+        bbox = (f"{box['min_lon']},{box['min_lat']},"
+                f"{box['max_lon']},{box['max_lat']}")
+        n = edge_count(endpoint, start, end, bbox,
+                       depth_min=p.get_float("depthMin"),
+                       depth_max=p.get_float("depthMax"),
+                       platforms=p.get("platforms"))
+        return {"count": n, "source": source, "startTime": start,
+                "endTime": end, "bbox": bbox}
+
+    def _load_results(p: Params):
+        import uuid as _uuid
+
+        from nexus_spark.operators.results_store import load_execution
+        eid = p.get("id")
+        try:
+            _uuid.UUID(eid)
+        except (ValueError, TypeError):
+            raise RequestError("'id' argument must be a valid uuid")
+        if warehouse_dir is None:
+            raise RequestError("results warehouse not configured")
+        try:
+            return load_execution(spark, warehouse_dir, eid)
+        except FileNotFoundError:
+            raise RequestError(f"Execution '{eid}' not found")
+
+    def r_doms_results(p: Params):
+        # /domsresults (doms/ResultsRetrieval.py:10-30): re-serve a stored
+        # matchup execution by id; simpleResults trims to the core match
+        # columns (trim_data analog).
+        df, _meta = _load_results(p)
+        if p.get_strict_bool("simpleResults"):
+            df = df.select("primary_id", "secondary_id", "dist_km", "dt_s")
+        return df
+
+    def r_doms_plot(p: Params):
+        # /domsplot (doms/ResultsPlotQuery.py:15-40): scatter | map |
+        # histogram rendering of a stored execution. Returns PNG bytes
+        # directly (the reference returns the rendered image payload).
+        from nexus_spark.plans.render import (histogram_payload,
+                                              histogram_png, scatter_png)
+        df, _meta = _load_results(p)
+        plot_type = p.get("type", "scatter")
+        if plot_type == "scatter":
+            return scatter_png(df, "p_value", "s_value")
+        if plot_type == "map":
+            # match-density map: 2-D binned counts over primary locations
+            return scatter_png(df, "p_lon", "p_lat")
+        if plot_type == "histogram":
+            diff = df.withColumn("value_diff",
+                                 F.col("p_value") - F.col("s_value"))
+            return histogram_png(histogram_payload(diff, "value_diff"))
+        raise RequestError(f"Unsupported plot type '{plot_type}' specified.")
 
     return {
         "/timeSeriesSpark": r_time_series,
@@ -363,6 +474,12 @@ def build_routes(spark: SparkSession, sf_dir: str,
             obs(), load_table(spark, sf_dir, "events")),
         "/domssubset": r_subset,
         "/domsinsitusubset": r_insitu_subset,
+        "/correlationMap": r_correlation_map,
+        "/domsvalues": r_doms_values,
+        "/domsmetadata": r_doms_metadata,
+        "/domsstats": r_doms_stats,
+        "/domsresults": r_doms_results,
+        "/domsplot": r_doms_plot,
         "/capabilities": lambda p: capabilities(),
         "/heartbeat": lambda p: {"online": True},
         "/version": lambda p: {"version": __import__("nexus_spark").__version__},
@@ -379,6 +496,9 @@ def _negotiate(result: Any, p: Params) -> tuple[bytes, str]:
     grid_col = None
     if isinstance(result, tuple):
         result, grid_col = result
+
+    if isinstance(result, bytes):  # pre-rendered image payload (/domsplot)
+        return result, "image/png"
 
     if isinstance(result, dict) and result and all(
             isinstance(v, DataFrame) for v in result.values()):
@@ -497,17 +617,21 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(spark: SparkSession, sf_dir: str, port: int = 0,
           edge_endpoints: dict[str, dict] | None = None,
-          cache_ttl_s: float = 0.0) -> ThreadingHTTPServer:
+          cache_ttl_s: float = 0.0,
+          warehouse_dir: str | None = None) -> ThreadingHTTPServer:
     """Start the facade on `port` (0 = ephemeral); returns the server —
     `server.server_address[1]` is the bound port; call `.shutdown()` to
     stop. Runs daemon-threaded so tests and notebooks can use it inline.
     `edge_endpoints` maps in-situ source names to EDGE endpoint dicts
-    (sources/edge.py) for /domsinsitusubset. `cache_ttl_s` > 0 enables the
-    reference's TTL result cache (60 s there) on 200 responses; the cache
-    handle is exposed as `server.response_cache` for invalidation."""
+    (sources/edge.py) for /domsinsitusubset, /domsvalues and /domsstats.
+    `cache_ttl_s` > 0 enables the reference's TTL result cache (60 s
+    there) on 200 responses; the cache handle is exposed as
+    `server.response_cache` for invalidation. `warehouse_dir` points
+    /domsresults and /domsplot at a results_store warehouse."""
     cache = _ResponseCache(ttl_s=cache_ttl_s) if cache_ttl_s > 0 else None
     handler = type("BoundHandler", (_Handler,),
-                   {"routes": build_routes(spark, sf_dir, edge_endpoints),
+                   {"routes": build_routes(spark, sf_dir, edge_endpoints,
+                                           warehouse_dir),
                     "spark": spark, "cache": cache})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     server.response_cache = cache  # type: ignore[attr-defined]

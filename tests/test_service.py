@@ -208,3 +208,137 @@ def test_ttl_response_cache_and_fair_pool(spark):
         assert s3 == 400
     finally:
         srv.shutdown()
+
+
+# --------------------------------------------------------------------------
+# DOMS facade routes (reference: doms/ValuesQuery.py:14-55,
+# MetadataQuery.py:13-50, StatsQuery.py:10-52, ResultsRetrieval.py:10-30,
+# ResultsPlotQuery.py:15-40) + /correlationMap
+# (algorithms/CorrelationMap.py:16-129) — 200/400 per route, mirroring the
+# reference's StandardDeviationSearch_test.py parameter-validation style.
+# --------------------------------------------------------------------------
+
+def _doms_records(n: int = 60) -> list[dict]:
+    return [{"id": i, "time": f"2013-10-{(i % 28) + 1:02d}T06:00:00Z",
+             "point": f"Point({-40 + (i % 20) * 0.5} {10 + (i // 20) * 0.5})",
+             "platform": (i % 9) + 1, "depth": float(i % 10),
+             "sea_water_temperature": 15.0 + (i % 50) * 0.1}
+            for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def doms_server(spark, tmp_path_factory):
+    from nexus_spark import domain
+    from nexus_spark.operators.matchup import matchup
+    from nexus_spark.operators.results_store import save_execution
+    from nexus_spark.service import serve
+    from nexus_spark.sources.edge import make_fixture_endpoint
+
+    wh = str(tmp_path_factory.mktemp("doms_wh"))
+    results = matchup(domain.matchup_primary(spark, SF_DIR),
+                      domain.matchup_secondary(spark, SF_DIR),
+                      radius_km=300.0, time_tolerance_s=86400.0)
+    eid = save_execution(results, {"rt_km": 300.0}, wh)
+    srv = serve(spark, SF_DIR, port=0,
+                edge_endpoints={"spurs": make_fixture_endpoint(
+                    _doms_records(), name="spurs", items_per_page=25)},
+                warehouse_dir=wh)
+    yield f"http://127.0.0.1:{srv.server_address[1]}", eid
+    srv.shutdown()
+
+
+_DOMS_WINDOW = ("startTime=2013-10-01T00:00:00Z"
+                "&endTime=2013-10-31T23:59:59Z&b=-45,5,-25,25")
+
+
+def test_correlation_map_route_matches_library(spark, doms_server):
+    from nexus_spark import domain
+    from nexus_spark.operators.correlation import corr_map
+
+    base, _ = doms_server
+    status, _, body = _get(base, "/correlationMap?ds=sst_a,sst_b&res=30")
+    assert status == 200
+    rows = json.loads(body)
+    expected = corr_map(domain.observations(spark, SF_DIR),
+                        "sst_a", "sst_b", resolution=30.0).count()
+    assert len(rows) == expected > 0
+    assert {"lat", "lon", "corr_r", "corr_cnt"} <= set(rows[0])
+    # PNG negotiation works for the gridded map
+    status, ctype, _ = _get(base, "/correlationMap?ds=sst_a,sst_b&res=30"
+                                  "&output=PNG")
+    assert (status, ctype) == (200, "image/png")
+
+
+def test_doms_values_route(doms_server):
+    base, _ = doms_server
+    status, _, body = _get(base, f"/domsvalues?source=spurs&{_DOMS_WINDOW}")
+    assert status == 200
+    rows = json.loads(body)
+    assert len(rows) == 60  # full records, no parameter narrowing
+    assert {"id", "lat", "lon", "platform", "data"} <= set(rows[0])
+    assert "value" not in rows[0]
+
+
+def test_doms_metadata_route(doms_server):
+    base, _ = doms_server
+    status, meta = _get_status(base, "/domsmetadata?dataset=sst_a")
+    assert status == 200
+    assert meta["dataset"] == "sst_a" and meta["kind"] == "gridded"
+    assert meta["obs_cnt"] > 0 and meta["min_time"] <= meta["max_time"]
+
+
+def test_doms_stats_route(doms_server):
+    base, _ = doms_server
+    status, stats = _get_status(
+        base, "/domsstats?source=spurs&s=2013-10-01T00:00:00Z"
+              "&e=2013-10-31T23:59:59Z&b=-45,5,-25,25")
+    assert status == 200
+    assert stats["count"] == 60 and stats["source"] == "spurs"
+
+
+def test_doms_results_route(spark, doms_server):
+    base, eid = doms_server
+    status, _, body = _get(base, f"/domsresults?id={eid}")
+    assert status == 200
+    rows = json.loads(body)
+    assert rows and {"primary_id", "secondary_id", "dist_km",
+                     "p_value", "s_value"} <= set(rows[0])
+    status, _, body = _get(base, f"/domsresults?id={eid}&simpleResults=true")
+    simple = json.loads(body)
+    assert set(simple[0]) == {"primary_id", "secondary_id", "dist_km", "dt_s"}
+    assert len(simple) == len(rows)
+
+
+def test_doms_plot_route(doms_server):
+    base, eid = doms_server
+    for ptype in ("scatter", "map", "histogram"):
+        status, ctype, body = _get(base, f"/domsplot?id={eid}&type={ptype}")
+        assert (status, ctype) == (200, "image/png"), ptype
+        assert body.startswith(b"\x89PNG"), ptype
+
+
+@pytest.mark.parametrize("path,frag", [
+    ("/correlationMap?ds=sst_a", "Requires two datasets"),
+    ("/correlationMap?ds=sst_a,sst_b&res=0", "positive number"),
+    ("/domsvalues?" + _DOMS_WINDOW, "'source' argument is required"),
+    ("/domsvalues?source=nope&" + _DOMS_WINDOW, "unknown in situ source"),
+    ("/domsmetadata", "'dataset' parameter not specified"),
+    ("/domsmetadata?dataset=nope", "not found"),
+    ("/domsstats?s=1&e=2", "'source' argument is required"),
+    ("/domsstats?source=nope&s=1&e=2", "not found"),
+    ("/domsstats?source=spurs", "time arguments are required"),
+    ("/domsresults", "must be a valid uuid"),
+    ("/domsresults?id=not-a-uuid", "must be a valid uuid"),
+    ("/domsresults?id=00000000-0000-0000-0000-000000000000", "not found"),
+])
+def test_doms_400_table(doms_server, path, frag):
+    base, _ = doms_server
+    status, err = _get_status(base, path)
+    assert status == 400, (path, err)
+    assert frag in err["error"]
+
+
+def test_doms_plot_bad_type_400(doms_server):
+    base, eid = doms_server
+    status, err = _get_status(base, f"/domsplot?id={eid}&type=pie")
+    assert status == 400 and "Unsupported plot type" in err["error"]
