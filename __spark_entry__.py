@@ -4036,13 +4036,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # group B (2): group-1 entries deferred from the round-4 window ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
-    # group C (4): implementation changed in round 4 (robustness/perf) ---
+    # group C (6): implementation changed in round 4 (robustness/perf)
+    # or round 5 (bm25_topk TakeOrdered finisher feeds both retrieval
+    # entries) ---
     "d8_insitu_subset": q_d8_insitu_subset,
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "d_dedup_components": q_d_dedup_components,
     "d_cluster_stats": q_d_cluster_stats,
-    # group D (28): r03-checked refreshes (headline/family-central picks,
-    # oracled entries preferred over the no-oracle variants) ---
+    "text_bm25_topk": q_text_bm25,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
+    # group D (26): r03-checked refreshes (headline/family-central picks,
+    # oracled entries preferred over the no-oracle variants; the sampling
+    # and sliding-window families stay covered in-window via
+    # d_weighted_sample and the three executed-stream entries) ---
     "s1_time_series": q_s1_time_series,
     "s8_matchup_once": q_s8_matchup_once,
     "d_dedup_minhash_md5": q_d_minhash_md5,
@@ -4053,7 +4059,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
     "doms_list": q_doms_list,
-    "e_sliding_events": q_e_sliding_events,
     "s1_polygon_time_series": q_s1_polygon,
     "s2_time_avg_map": q_s2_time_avg_map,
     "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
@@ -4070,11 +4075,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
     "sim_knn_bruteforce": q_sim_knn,
-    "d_stratified_sample": q_d_stratified_sample,
-    # --- tail (entry 51+): rotates in for round 6. 16 r03-checked entries
+    # --- tail (entry 51+): rotates in for round 6. 18 r03-checked entries
     # (incl. the 4 no-oracle rows-only variants) will be exactly 2 rounds
     # stale after this round and must LEAD round 6's window: ---
     "f_lowpass": q_f_lowpass,
+    "d_stratified_sample": q_d_stratified_sample,
+    "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
@@ -4134,8 +4140,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_oov": q_text_vocab_oov,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    "text_bm25_topk": q_text_bm25,
-    "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "text_nb_classifier": q_text_nb_classifier,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,

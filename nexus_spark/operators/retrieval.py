@@ -117,19 +117,21 @@ def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...], k: int = 10,
               k1: float = K1, b: float = B, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Top-k documents by BM25. Deterministic tie-break on (rounded score
-    desc, doc id asc) — the same contract as similarity._topk. The window
-    is unpartitioned but runs over the ALREADY-aggregated per-doc score
-    table; at scale replace with ORDER BY ... LIMIT k (a TakeOrdered, no
-    single-partition sort) — semantics identical, kept as a window here so
-    the rank column survives into the fusion join.
+    desc, doc id asc) — the same contract as similarity._topk.
+
+    The selection is ORDER BY ... LIMIT k, which Catalyst plans as
+    TakeOrderedAndProject: per-partition top-k heaps reduced at the
+    driver, NO single-partition sort of the corpus-sized score table. The
+    rank column is then a window over the k-row result only — a bounded
+    constant-size frame at any corpus scale.
 
     Output: doc_id, n_terms_hit, bm25, lex_rank.
     """
-    scored = bm25_scores(docs, query_terms, k1, b, id_col, text_col)
-    w = Window.orderBy(F.round(F.col("bm25"), 6).desc(),
-                       F.col(id_col).asc())
-    return (scored.withColumn("lex_rank", F.row_number().over(w))
-            .where(F.col("lex_rank") <= k))
+    order = (F.round(F.col("bm25"), 6).desc(), F.col(id_col).asc())
+    picked = (bm25_scores(docs, query_terms, k1, b, id_col, text_col)
+              .orderBy(*order).limit(int(k)))
+    return picked.withColumn("lex_rank",
+                             F.row_number().over(Window.orderBy(*order)))
 
 
 def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
@@ -177,6 +179,8 @@ def hybrid_rrf(docs: DataFrame, embeddings: DataFrame,
     contrib = (
         F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
         + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)))
+    # Unpartitioned window over the fused list only: <= 2*depth rows by
+    # construction (full-outer of two k-row lists), bounded at any scale.
     w = Window.orderBy(F.round(contrib, 9).desc(), F.col(doc_id_col).asc())
     return (fused.withColumn("rrf_score", contrib)
             .withColumn("fused_rank", F.row_number().over(w))

@@ -50,6 +50,16 @@ def test_bm25_topk_rank_deterministic(tiny_docs):
     assert top[0]["doc_id"] == 0
 
 
+def test_bm25_topk_plans_take_ordered(tiny_docs):
+    """The k-selection must be TakeOrderedAndProject (per-partition heaps),
+    never a global single-partition sort of the score table."""
+    from nexus_spark.operators.retrieval import bm25_topk
+
+    plan = bm25_topk(tiny_docs, ("spark", "join"), k=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_hybrid_rrf_fuses_both_lists(spark, tiny_docs):
     from nexus_spark.operators.retrieval import hybrid_rrf
 
