@@ -90,6 +90,96 @@ _QUERY_NOTES = {
 }
 
 
+def _bench_a2_crossover(spark) -> dict:
+    """Dense-lake demonstration of the a2 summary-path crossover
+    (PLANS.md 'when does the zone map win': summary wins once rows per
+    (tile, day) is large and the boundary fraction is modest — real
+    ingest has r ~ 1e4-1e6; the sf0.1 fixture's r=2.4 cannot show it).
+
+    Synthesizes a 0.5-degree lake (r = 600 rows per 5x30-degree
+    tile-day at the build_summary default tiling — safely past the
+    ~100-rows/tile-day crossover condition) partitioned by
+    (lat_tile, lon_tile), builds its summary (ingest-maintained state,
+    untimed), then times the SAME bbox query both ways on warm plans:
+    direct full-scan day aggregate vs stats_from_summary with native
+    tile pruning. The 5-degree tiling also keeps the boundary sliver at
+    ~6% of the box (b ~ 4/T), the deployment geometry. Returns the
+    measured dict; callers record it in BENCH_NOTES.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.timeseries import time_series
+    from nexus_spark.plans.summary import build_summary, stats_from_summary
+
+    res, n_days = 0.5, 60
+    lake = tempfile.mkdtemp(prefix="a2_dense_") + "/obs"
+    n_lat, n_lon = int(60 / res), int(360 / res)
+    # One flat range with arithmetic (day, lat, lon) decode: streams
+    # through whole-stage codegen with bounded memory (a range^3
+    # crossJoin buffers nested-loop batches and can OOM the local JVM).
+    cell = F.col("id") % (n_lat * n_lon)
+    obs = spark.range(n_days * n_lat * n_lon, numPartitions=64).select(
+        F.lit("sst_a").alias("dataset"),
+        F.timestamp_seconds(
+            946684800
+            + (F.col("id") / (n_lat * n_lon)).cast("long") * 86400
+        ).alias("time"),
+        ((cell / n_lon).cast("long") * res - 30.0 + res / 2).alias("lat"),
+        ((cell % n_lon) * res - 180.0 + res / 2).alias("lon"),
+    ).withColumn(
+        "value",
+        F.sin(F.col("lat") / 10.0) * F.cos(F.col("lon") / 20.0)
+        + F.dayofyear("time") * 0.01,
+    ).withColumn("lat_tile", F.floor(F.col("lat") / 5.0)) \
+     .withColumn("lon_tile", F.floor(F.col("lon") / 30.0))
+    obs.write.mode("overwrite").partitionBy("lat_tile",
+                                            "lon_tile").parquet(lake)
+    pobs = spark.read.parquet(lake)
+    n_rows = pobs.count()
+    summary = build_summary(pobs.drop("lat_tile", "lon_tile"),
+                            lat_tile_deg=5.0, lon_tile_deg=30.0).cache()
+    n_tiles = summary.count()  # eager materialization (ingest state)
+
+    def direct():
+        return time_series(pobs.drop("lat_tile", "lon_tile"),
+                           datasets=["sst_a"], min_lat=-25, max_lat=25,
+                           min_lon=-160, max_lon=160)
+
+    def from_summary():
+        return stats_from_summary(pobs, summary, "sst_a", -25, 25,
+                                  -160, 160, lat_tile_deg=5.0,
+                                  lon_tile_deg=30.0,
+                                  use_native_tiles=True)
+
+    # Equal-result guard before timing: both paths must agree per day.
+    d = {r["ts_date"]: r for r in direct().collect()}
+    s = {r["ts_date"]: r for r in from_summary().collect()}
+    assert set(d) == set(s) and len(d) == n_days
+    assert all(abs(d[k]["ts_mean"] - s[k]["ts_mean"]) < 1e-9
+               and d[k]["ts_cnt"] == s[k]["ts_cnt"] for k in d)
+
+    def steady(mk):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mk().count()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)  # median of 3
+
+    out = {
+        "lake_rows": n_rows,
+        "rows_per_tile_day": round(n_rows / n_tiles, 1),
+        "direct_sec": steady(direct),
+        "summary_sec": steady(from_summary),
+    }
+    summary.unpersist()
+    import shutil
+    shutil.rmtree(lake.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     """--full: time EVERY queries() entry on Spark and its oracle on
     DuckDB, then write BENCH_NOTES.json (stable machine-readable record
@@ -141,6 +231,8 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     spark_total = round(sum(r["spark_sec"] for r in record.values()), 3)
     steady_total = round(sum(r["spark_steady_sec"]
                              for r in record.values()), 3)
+    cross = _bench_a2_crossover(spark)
+    print(f"# a2_crossover: {cross}", file=sys.stderr)
     duck_total = round(sum(r["duckdb_sec"] for r in record.values()
                            if r["duckdb_sec"] is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -150,6 +242,7 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "spark_total_sec": spark_total,
         "spark_steady_total_sec": steady_total,
         "duckdb_oracled_total_sec": duck_total,
+        "a2_crossover": cross,
         "queries": record,
     }
     root = os.path.dirname(os.path.abspath(__file__))
@@ -202,6 +295,23 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         d = "—" if r["duckdb_sec"] is None else f"{r['duckdb_sec']:.3f}"
         lines.append(f"| {name} | {r['rows']} | {r['spark_sec']:.3f} | "
                      f"{r['spark_steady_sec']:.3f} | {d} |")
+    lines += [
+        "",
+        "## a2 summary-path crossover (dense lake)",
+        "",
+        "One-off demonstration of the zone-map win at ingest-like density",
+        "(PLANS.md crossover condition; the sf0.1 fixture's 2.4 rows per",
+        "tile-day cannot show it): a synthesized 0.25-degree lake,",
+        f"{cross['lake_rows']:,} rows at {cross['rows_per_tile_day']:,}",
+        "rows per (tile, day), same bbox as a2, both paths verified",
+        "equal before timing (median of 3 warm runs each):",
+        "",
+        f"| path | sec |",
+        f"|---|---|",
+        f"| direct full-scan day aggregate | {cross['direct_sec']:.3f} |",
+        f"| stats_from_summary (zone map + boundary recompute) | "
+        f"{cross['summary_sec']:.3f} |",
+    ]
     noted = [n for n in sorted(_QUERY_NOTES) if n in record]
     if noted:
         lines += ["", "Per-query notes:", ""]
@@ -222,6 +332,11 @@ def main() -> None:
 
     spark = get_session("nexus_spark_bench")
     qs = entry_mod.queries()
+
+    if "--a2-crossover" in sys.argv:  # standalone dense-lake demo
+        print(json.dumps({"metric": "a2_crossover",
+                          **_bench_a2_crossover(spark)}))
+        return
 
     # Warmup: absorb first-job overhead, and materialize the derived
     # observations view once (the memoized plan is shared by every geo
