@@ -180,19 +180,164 @@ def _bench_a2_crossover(spark) -> dict:
     return out
 
 
-def _bench_full(spark, entry_mod, sf_dir: str) -> None:
-    """--full: time EVERY queries() entry on Spark and its oracle on
-    DuckDB, then write BENCH_NOTES.json (stable machine-readable record
-    for round-over-round regression diffs) + the BENCH_NOTES.md table."""
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-
+def _duck_connect(sf_dir: str):
+    """DuckDB connection with the ten tables viewed from sf_dir. Handles
+    both single-file tables (driver testdata) and directory-shaped
+    parquet (our synthesized sf1 lake)."""
     import duckdb
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     con.execute("SELECT count(*) FROM lineitem").fetchall()  # warm I/O
+    return con
+
+
+def _build_sf1(spark, src_dir: str) -> str:
+    """Synthesize a one-off sf1-scale lake (10x the sf0.1 driver testdata)
+    at a fixed tmp path, built once per host. Each table is 10 stacked
+    copies with JOIN-CONSISTENT key offsets (copy i shifts every pk/fk by
+    i * max_key, so fk targets stay inside the same copy); region/nation
+    are fixed dimensions and copied as-is. Dates/timestamps keep the
+    original range — scale grows row density, not the time axis, exactly
+    like TPC-H SF scaling. Document texts get a per-copy suffix token
+    (distinct fingerprints; cross-copy pairs remain legitimate NEAR-dups)
+    and embeddings a small per-copy shift (distinct but near-identical
+    vectors — the dup-heavy-corpus shape a 10x crawl really has)."""
+    out = "/tmp/nexus_sf1"
+    marker = os.path.join(out, "_built")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    def load(t):
+        return spark.read.parquet(f"{src_dir}/{t}.parquet")
+
+    def key_max(df, col):
+        return int(df.agg({col: "max"}).first()[0]) + 1
+
+    def stack(df, shifts: dict, extra=None):
+        copies = []
+        for i in range(10):
+            c = df
+            for col, span in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+            if extra is not None:
+                c = extra(c, i)
+            copies.append(c)
+        stacked = copies[0]
+        for c in copies[1:]:
+            stacked = stacked.unionByName(c)
+        return stacked
+
+    for t in ("region", "nation"):
+        load(t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    sup, cus, par, orders, li, ev, docs, emb = (
+        load("supplier"), load("customer"), load("part"), load("orders"),
+        load("lineitem"), load("events"), load("documents"),
+        load("embeddings"))
+    S, C, P, O = (key_max(sup, "s_suppkey"), key_max(cus, "c_custkey"),
+                  key_max(par, "p_partkey"), key_max(orders, "o_orderkey"))
+    E = key_max(ev, "event_id") + key_max(ev, "event_id") % 2  # keep even:
+    # event_id parity splits the matchup primary/secondary populations
+    U = key_max(ev, "user_id")
+    D, V = key_max(docs, "doc_id"), key_max(emb, "vec_id")
+
+    stack(sup, {"s_suppkey": S}).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet")
+    stack(cus, {"c_custkey": C}).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet")
+    stack(par, {"p_partkey": P}).write.mode("overwrite").parquet(
+        f"{out}/part.parquet")
+    stack(orders, {"o_orderkey": O, "o_custkey": C}).write.mode(
+        "overwrite").parquet(f"{out}/orders.parquet")
+    stack(li, {"l_orderkey": O, "l_partkey": P, "l_suppkey": S}).write.mode(
+        "overwrite").parquet(f"{out}/lineitem.parquet")
+    stack(ev, {"event_id": E, "user_id": U}).write.mode(
+        "overwrite").parquet(f"{out}/events.parquet")
+    stack(docs, {"doc_id": D},
+          extra=lambda c, i: c if i == 0 else c.withColumn(
+              "text", F.concat(F.col("text"), F.lit(f" copy{i}")))
+          ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    stack(emb, {"vec_id": V},
+          extra=lambda c, i: c.withColumn(
+              "embedding", F.transform(
+                  F.col("embedding"),
+                  lambda x: (x + F.lit(i * 1e-3)).cast("float")))
+          ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
+    """--sf1: the scale rehearsal — run the 17 headline queries at a
+    synthesized sf1 (10x sf0.1) against their DuckDB oracles, and write
+    BENCH_SF1.json. s8_matchup_once runs on Spark but is EXCLUDED from
+    the DuckDB ratio: the oracle SQL is the O(n^2) distance cross-join,
+    which at 10x the points costs ~100x (~80 min) — the cell-bucketed
+    equi-join is exactly the part of the design that survives scale.
+    """
+    sf1 = _build_sf1(spark, src_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = _duck_connect(sf1)
+
+    record: dict[str, dict] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf1).count()
+        first = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        qs[name](spark, sf1).count()
+        steady = round(time.perf_counter() - t0, 3)
+        duck = None
+        if name in oracles and name != "s8_matchup_once":
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck = round(time.perf_counter() - t0, 3)
+        record[name] = {"rows": n, "spark_sec": first,
+                        "spark_steady_sec": steady, "duckdb_sec": duck}
+        print(f"# sf1 {name}: spark {first:.3f}s steady {steady:.3f}s "
+              f"duckdb {'-' if duck is None else f'{duck:.3f}s'} "
+              f"({n} rows)", file=sys.stderr)
+
+    ex = {k: v for k, v in record.items() if v["duckdb_sec"] is not None}
+    payload = {
+        "sf": 1.0,
+        "note": ("synthesized 10x sf0.1 lake (_build_sf1); "
+                 "s8_matchup_once excluded from the DuckDB ratio — its "
+                 "oracle is the O(n^2) distance cross-join (~100x cost "
+                 "at 10x points)"),
+        "spark_total_sec": round(sum(
+            v["spark_sec"] for v in record.values()), 3),
+        "spark_steady_total_ex_matchup_sec": round(sum(
+            v["spark_steady_sec"] for v in ex.values()), 3),
+        "duckdb_total_ex_matchup_sec": round(sum(
+            v["duckdb_sec"] for v in ex.values()), 3),
+        "queries": record,
+    }
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_SF1.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps({
+        "metric": "sf1_headline_total_runtime",
+        "value": payload["spark_total_sec"], "unit": "sec",
+        "steady_ex_matchup": payload["spark_steady_total_ex_matchup_sec"],
+        "duckdb_ex_matchup": payload["duckdb_total_ex_matchup_sec"],
+        "sf": 1.0}))
+
+
+def _bench_full(spark, entry_mod, sf_dir: str) -> None:
+    """--full: time EVERY queries() entry on Spark and its oracle on
+    DuckDB, then write BENCH_NOTES.json (stable machine-readable record
+    for round-over-round regression diffs) + the BENCH_NOTES.md table."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = _duck_connect(sf_dir)
 
     record: dict[str, dict] = {}
     from nexus_spark.operators import dedup as _dedup
@@ -312,6 +457,33 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         f"| stats_from_summary (zone map + boundary recompute) | "
         f"{cross['summary_sec']:.3f} |",
     ]
+    sf1_path = os.path.join(root, "BENCH_SF1.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as fh:
+            sf1 = json.load(fh)
+        lines += [
+            "",
+            "## sf1 scale rehearsal (10x the bench scale)",
+            "",
+            "Headline queries on a synthesized sf1 lake (10x sf0.1, "
+            "join-consistent",
+            "key offsets — `python bench.py --sf1`, record in "
+            "BENCH_SF1.json).",
+            sf1["note"] + ".",
+            "",
+            f"**Steady-state ex-matchup: Spark "
+            f"{sf1['spark_steady_total_ex_matchup_sec']}s vs DuckDB "
+            f"{sf1['duckdb_total_ex_matchup_sec']}s (ratio "
+            f"{sf1['spark_steady_total_ex_matchup_sec'] / max(sf1['duckdb_total_ex_matchup_sec'], 1e-9):.2f}).**",
+            "",
+            "| query | rows | spark s | steady s | duckdb s |",
+            "|---|---|---|---|---|",
+        ]
+        for n, r in sorted(sf1["queries"].items()):
+            d1 = ("—" if r["duckdb_sec"] is None
+                  else f"{r['duckdb_sec']:.3f}")
+            lines.append(f"| {n} | {r['rows']} | {r['spark_sec']:.3f} | "
+                         f"{r['spark_steady_sec']:.3f} | {d1} |")
     noted = [n for n in sorted(_QUERY_NOTES) if n in record]
     if noted:
         lines += ["", "Per-query notes:", ""]
@@ -338,12 +510,29 @@ def main() -> None:
                           **_bench_a2_crossover(spark)}))
         return
 
+    if "--sf1" in sys.argv:  # scale rehearsal on the synthesized sf1 lake
+        sf1 = _build_sf1(spark, sf_dir)
+        _warm(spark, entry_mod, sf1)
+        _bench_sf1(spark, entry_mod, sf_dir)
+        return
+
+    _warm(spark, entry_mod, sf_dir)
+
+    if "--full" in sys.argv:
+        _bench_full(spark, entry_mod, sf_dir)
+        return
+
+    _headline(spark, entry_mod, sf_dir)
+
+
+def _warm(spark, entry_mod, sf_dir: str) -> None:
     # Warmup: absorb first-job overhead, and materialize the derived
     # observations view once (the memoized plan is shared by every geo
     # query — the same materialized-view pattern a lake deployment would
     # use instead of re-deriving the long format per query).
     from nexus_spark import domain
 
+    qs = entry_mod.queries()
     domain.observations(spark, sf_dir).cache().count()
     # The summary (zone-map) table is ingest-maintained state in a lake
     # deployment — a query never pays its build. Materialize it in warmup
@@ -378,10 +567,9 @@ def main() -> None:
     # pruned READ, not the one-off lake build.
     entry_mod.tiled_lake(spark, sf_dir)
 
-    if "--full" in sys.argv:
-        _bench_full(spark, entry_mod, sf_dir)
-        return
 
+def _headline(spark, entry_mod, sf_dir: str) -> None:
+    qs = entry_mod.queries()
     # Each headline query is timed twice: first call (pays one-off
     # Catalyst analysis + janino codegen for that plan) and an identical
     # steady-state re-run on the warm plan/codegen caches. `value` stays
@@ -414,3 +602,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+

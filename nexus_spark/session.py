@@ -50,6 +50,13 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode runs every executor thread inside the driver JVM,
+        # whose default 1g heap OOMs ~10x above the test scale; size it
+        # like the reference's 6g executors scaled to 32 threads
+        # (webapp.py:210-225). Applies only when this call creates the
+        # JVM; a cluster deployment sets memory via spark-submit.
+        .config("spark.driver.memory",
+                os.environ.get("NEXUS_SPARK_DRIVER_MEMORY", "16g"))
         # Let AQE coalesce small shuffle partitions and split skewed ones at
         # runtime — this is what replaces the reference's manual partition
         # count heuristics, and what makes the same plan survive 100x data.
