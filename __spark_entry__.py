@@ -3082,6 +3082,60 @@ GROUP BY ws, event_type
 """
 
 
+def q_e_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization executed as a REAL streaming query over
+    Spark's session_window state (the fourth executed-streaming pin:
+    after fixed-window, dedup and stream-stream join state, this checks
+    the MERGING-window state shape). Append mode + availableNow drain
+    emits exactly the sessions whose window end (last event + 30-min
+    gap) precedes the final watermark (max ts − 30 min); the oracle
+    rebuilds that set relationally: gaps-and-islands sessions with the
+    merge-on-touch break condition (delta > gap — per-event windows
+    merge when they touch, so an event exactly gap after the last still
+    EXTENDS the session) and the same emission cut."""
+    from nexus_spark.streaming.events import session_stats
+
+    watch = _staged_feed(spark, sf_dir, "events")
+    schema = spark.read.parquet(watch).schema
+    stream = spark.readStream.schema(schema).parquet(watch)
+    out = session_stats(stream, gap="30 minutes", watermark="30 minutes")
+    _STREAM_Q_N[0] += 1
+    name = f"stream_sess_out_{_STREAM_Q_N[0]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):  # False = timeout (no raise)
+        q.stop()
+        raise TimeoutError("streaming sessionize drain exceeded 300s")
+    return _finish(spark.table(name))
+
+
+SQL_E_STREAM_SESSIONS = f"""
+WITH x AS (SELECT user_id, value, ts FROM events),
+m AS (SELECT MAX(ts) AS mx FROM x),
+b AS (
+  SELECT user_id, value, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM b),
+g AS (
+  SELECT user_id, seq, COUNT(*) AS n_events,
+         MIN(ts) AS st, MAX(ts) AS en, SUM(value) AS sv
+  FROM s GROUP BY user_id, seq)
+SELECT user_id,
+       strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(en + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events, ROUND(sv, {ND}) AS session_value
+FROM g CROSS JOIN m
+WHERE en + INTERVAL 30 MINUTE <= mx - INTERVAL 30 MINUTE
+"""
+
+
 def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8's radius/time matchup executed as a REAL stream-stream join
     (the third executed-streaming pin, after stateful dedup and the
@@ -4035,6 +4089,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_cross_contamination": q_scrub_cross_contamination,
     "scrub_decontaminate": q_scrub_decontaminate,
     "e_stream_matchup": q_e_stream_matchup,
+    # group A2: NEW in round 5 (must be driver-checked this round) ---
+    "e_stream_sessionize": q_e_stream_sessionize,
     # group B (2): group-1 entries deferred from the round-4 window ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
@@ -4076,11 +4132,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "etl_regrid": q_etl_regrid,
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "sim_knn_bruteforce": q_sim_knn,
-    # --- tail (entry 51+): rotates in for round 6. 18 r03-checked entries
+    # --- tail (entry 51+): rotates in for round 6. 19 r03-checked entries
     # (incl. the 4 no-oracle rows-only variants) will be exactly 2 rounds
     # stale after this round and must LEAD round 6's window: ---
     "f_lowpass": q_f_lowpass,
+    "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
@@ -4263,6 +4319,7 @@ _ORACLES: dict[str, str] = {
     "d_kmeans_round": _sql_kmeans_round(),
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
     "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
+    "e_stream_sessionize": SQL_E_STREAM_SESSIONS,
     "d_importance_select": SQL_D_IMPORTANCE,
     "text_lang_segments": _sql_lang_segments(),
     "text_nb_confusion": _sql_nb_confusion(),

@@ -69,6 +69,43 @@ def windowed_stats(events: DataFrame, window: str = "1 hour",
     )
 
 
+def session_stats(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session-window aggregation (Structured Streaming
+    ``session_window``): a session extends while consecutive events are
+    at most `gap` apart; its window is [first_event, last_event + gap].
+    Per-event windows MERGE when they touch, so an event at exactly
+    last + gap still EXTENDS the session — the batch break condition is
+    delta > gap (verified empirically in test_streaming).
+
+    On a stream, watermarked append mode emits a session only once the
+    watermark passes its end (end already includes the gap, so no future
+    event can extend it) — with an availableNow drain the emitted set is
+    exactly the sessions whose end <= max(ts) − watermark delay, which is
+    the relational condition the batch oracle recomputes. On a static
+    frame the same code path yields ALL sessions (the full batch
+    equivalent). State per key is one open session row, bounded by the
+    watermark — the kappa-correct design for clickstream sessionization
+    at any scale (vs the batch gaps-and-islands double window,
+    sql_surface.sessionize).
+
+    Output: user_id, session_start, session_end, n_events, session_value.
+    """
+    ev = _normalize_ts(events)
+    if ev.isStreaming:
+        ev = ensure_event_time(ev, "ts").withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"),
+                   F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
                          name: str = "stream_out",
                          timeout_s: int = 120,

@@ -268,3 +268,60 @@ def test_streaming_text_curation_projection(spark, tmp_path):
         assert got_map[d].fingerprint == want[d].fingerprint
         assert got_map[d].quality == want[d].quality
         assert got_map[d].lang_pred == want[d].lang_pred
+
+
+def test_session_stats_streaming_matches_batch_cut(spark, tmp_path):
+    """session_window state shape: the append-mode emitted set equals the
+    batch gaps-and-islands sessions finalized by the final watermark
+    (end = last event + gap, emitted iff end <= max(ts) - delay); a
+    session spanning events across micro-batch files must MERGE, and an
+    event exactly `gap` after the last still EXTENDS the session
+    (per-event windows merge when they touch)."""
+    from nexus_spark.streaming.events import session_stats
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 40-min
+        # gap (new session), then one exactly 30 min later (EXTENDS —
+        # touching windows merge)
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:50:00", 4.0),
+        (1, "2024-01-01 01:20:00", 8.0),
+        # user 2: single early event; plus the stream's max-ts anchor so
+        # the watermark finalizes everything older
+        (2, "2024-01-01 00:05:00", 1.5),
+        (2, "2024-01-01 05:00:00", 9.9),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows],
+        "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    src = str(tmp_path / "sess_stream")
+    # two files -> the (1, 00:00) and (1, 00:10) events can land in
+    # different micro-batches; session_window must still merge them
+    ev.repartition(2).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = session_stats(stream, gap="30 minutes", watermark="30 minutes")
+    name = "t_sess_stream"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    got = {(r["user_id"], str(r["session_start"])):
+           (r["n_events"], r["session_value"], str(r["session_end"]))
+           for r in spark.table(name).collect()}
+    # final watermark = 05:00 - 30min = 04:30; every user-1 session ends
+    # (last+30min) before 04:30 -> emitted; user 2's 00:05 session too;
+    # the 05:00 anchor session is NOT finalized (end 05:30 > 04:30)
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (2, 3.0, "2024-01-01 00:40:00"),
+        (1, "2024-01-01 00:50:00"): (2, 12.0, "2024-01-01 01:50:00"),
+        (2, "2024-01-01 00:05:00"): (1, 1.5, "2024-01-01 00:35:00"),
+    }
+
+    # static path: same code yields ALL sessions (incl. the anchor)
+    batch = {(r["user_id"], str(r["session_start"]))
+             for r in session_stats(ev).collect()}
+    assert batch == set(got) | {(2, "2024-01-01 05:00:00")}
