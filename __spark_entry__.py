@@ -1142,6 +1142,90 @@ GROUP BY doc_id
 """
 
 
+def q_text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token frequencies + Zipf slope (corpus distributional
+    health check; operators/text.zipf_profile)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import zipf_profile
+
+    return _finish(zipf_profile(load_table(spark, sf_dir, "documents"),
+                                k=50))
+
+
+SQL_TEXT_ZIPF = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> ''
+      GROUP BY word),
+t AS (SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank
+      FROM c ORDER BY freq DESC, word ASC LIMIT 50),
+s AS (SELECT REGR_SLOPE(ln(freq), ln(rank)) AS zipf_slope FROM t)
+SELECT word, freq, rank, ROUND(zipf_slope, {ND}) AS zipf_slope
+FROM t CROSS JOIN s
+"""
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by PMI with min pair count 5
+    (operators/text.pmi_bigrams; Church & Hanks 1990)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import pmi_bigrams
+
+    return _finish(pmi_bigrams(load_table(spark, sf_dir, "documents"),
+                               k=20, min_count=5))
+
+
+SQL_TEXT_PMI = f"""
+WITH d AS (SELECT string_split(text, ' ') AS words
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM d, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)),
+uni AS (SELECT w, COUNT(*) AS c_u FROM
+        (SELECT unnest(words) AS w FROM d) GROUP BY w),
+nu AS (SELECT SUM(c_u) AS n_u FROM uni),
+nb AS (SELECT COUNT(*) AS n_b FROM big),
+cb AS (SELECT w1, w2, COUNT(*) AS c_p FROM big GROUP BY w1, w2
+       HAVING COUNT(*) >= 5),
+s AS (
+  SELECT w1, w2, c_p AS pair_count,
+         ln(CAST(c_p AS DOUBLE) / n_b)
+           - ln(CAST(u1.c_u AS DOUBLE) / n_u)
+           - ln(CAST(u2.c_u AS DOUBLE) / n_u) AS pmi
+  FROM cb JOIN uni u1 ON cb.w1 = u1.w
+          JOIN uni u2 ON cb.w2 = u2.w
+  CROSS JOIN nu CROSS JOIN nb),
+t AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(pmi, 6) DESC,
+                                   w1 ASC, w2 ASC) AS rank
+      FROM s ORDER BY ROUND(pmi, 6) DESC, w1 ASC, w2 ASC LIMIT 20)
+SELECT w1, w2, pair_count, ROUND(pmi, {ND}) AS pmi, rank FROM t
+"""
+
+
+def q_d_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution capping (domain-cap curation,
+    operators/sampling.cap_per_group): each source keeps its 40
+    hash-selected documents; output is the capped doc set with ranks."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", 40, id_col="doc_id")
+    return _finish(out.select("doc_id", "source", "group_rank"))
+
+
+SQL_D_SOURCE_CAPS = """
+SELECT doc_id, source, group_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) ASC,
+                            doc_id ASC) AS group_rank
+  FROM documents)
+WHERE group_rank <= 40
+"""
+
+
 def q_d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: docs overlapping a benchmark slice (every
     20th doc stands in for the eval corpus) by distinct 3-gram shingles.
@@ -4091,6 +4175,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_matchup": q_e_stream_matchup,
     # group A2: NEW in round 5 (must be driver-checked this round) ---
     "e_stream_sessionize": q_e_stream_sessionize,
+    "text_zipf_profile": q_text_zipf_profile,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
+    "d_source_caps": q_d_source_caps,
     # group B (2): group-1 entries deferred from the round-4 window ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
@@ -4113,7 +4200,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "d_near_dup_embedding": q_d_near_dup_embedding,
     "sim_ann_lsh": q_sim_ann_lsh,
-    "d_dedup_winnow": q_d_dedup_winnow,
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
     "doms_list": q_doms_list,
@@ -4127,16 +4213,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_daily_difference": q_s7_daily_difference,
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
-    "t_asof_doy": q_t_asof_doy,
-    "f_seasonal_filter": q_f_seasonal,
     "etl_regrid": q_etl_regrid,
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # --- tail (entry 51+): rotates in for round 6. 19 r03-checked entries
+    # --- tail (entry 51+): rotates in for round 6. 22 r03-checked entries
     # (incl. the 4 no-oracle rows-only variants) will be exactly 2 rounds
     # stale after this round and must LEAD round 6's window: ---
     "f_lowpass": q_f_lowpass,
     "sim_knn_bruteforce": q_sim_knn,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "t_asof_doy": q_t_asof_doy,
+    "f_seasonal_filter": q_f_seasonal,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
@@ -4320,6 +4407,9 @@ _ORACLES: dict[str, str] = {
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
     "e_stream_window_watermark": SQL_E_STREAM_WINDOW,
     "e_stream_sessionize": SQL_E_STREAM_SESSIONS,
+    "text_zipf_profile": SQL_TEXT_ZIPF,
+    "text_pmi_bigrams": SQL_TEXT_PMI,
+    "d_source_caps": SQL_D_SOURCE_CAPS,
     "d_importance_select": SQL_D_IMPORTANCE,
     "text_lang_segments": _sql_lang_segments(),
     "text_nb_confusion": _sql_nb_confusion(),

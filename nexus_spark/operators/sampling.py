@@ -168,6 +168,37 @@ def weighted_sample_topn(df: DataFrame, weight_col: str, n: int,
     return picked.withColumn("sample_rank", F.row_number().over(w))
 
 
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  order_col: str | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Cap each group's contribution at `n` rows — the domain-cap
+    curation step (a crawl corpus where one domain/source contributes
+    millions of near-identical pages gets bounded to its best/first n;
+    the standard guard against single-source dominance in a training
+    mix).
+
+    Selection within a group is deterministic: by `order_col` DESC when
+    given (keep the n highest-quality rows), else by the md5 content
+    hash (an unbiased stable draw — same discipline as every sampler
+    here); id tie-break either way. One shuffle on the group key; the
+    per-group sort happens inside the window partition. Under EXTREME
+    group skew (one domain = a whole executor's worth of rows) pre-prune
+    with salted two-phase capping: cap at n within (group, salt) first,
+    then re-cap the <= salts*n survivors — the second pass is tiny.
+    This single-window form is the right default below that regime.
+
+    Output: the input columns + group_rank (1..n).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    order = ([F.col(order_col).desc()] if order_col is not None
+             else [_hash_key(F.col(id_col)).asc()])
+    w = Window.partitionBy(group_col).orderBy(*order,
+                                              F.col(id_col).asc())
+    return (df.withColumn("group_rank", F.row_number().over(w))
+            .where(F.col("group_rank") <= n))
+
+
 def shuffle_shards(df: DataFrame, n_shards: int = 8, seed: str = "r4",
                    id_col: str = "doc_id") -> DataFrame:
     """Deterministic global shuffle + shard assignment — the training-

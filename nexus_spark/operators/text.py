@@ -453,6 +453,93 @@ def importance_scores(docs: DataFrame, target_pred,
                  F.avg("lr").alias("importance")))
 
 
+def zipf_profile(docs: DataFrame, k: int = 50,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency profile with a Zipf fit — the quick
+    distributional health check on an ingest batch (natural text follows
+    freq ~ rank^-s with s near 1; a slope far off, or a too-flat head,
+    flags boilerplate floods or template spam).
+
+    Plan: one explode+count per-term aggregate (map-side combined), then
+    ORDER BY freq LIMIT k — a TakeOrderedAndProject, never a global
+    sort — and the OLS slope of ln(freq) on ln(rank) computed over just
+    those k rows (regr_slope) and broadcast back onto them. Corpus-size
+    work is exactly one narrow aggregate; everything after is k rows.
+
+    Output: word, freq, rank, zipf_slope (same value on every row).
+    """
+    from pyspark.sql import Window
+
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    words = (ensure_parallelism(docs)
+             .select(F.explode(F.split(F.col(text_col), " "))
+                     .alias("word"))
+             .where(F.col("word") != ""))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    order = (F.col("freq").desc(), F.col("word").asc())
+    top = counts.orderBy(*order).limit(int(k))
+    ranked = top.withColumn("rank",
+                            F.row_number().over(Window.orderBy(*order)))
+    slope = ranked.agg(
+        F.regr_slope(F.log("freq"), F.log("rank")).alias("zipf_slope"))
+    return ranked.crossJoin(F.broadcast(slope)) \
+        .select("word", "freq", "rank", "zipf_slope")
+
+
+def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5,
+                text_col: str = "text") -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi(a,b) = ln(p(ab) / (p(a) p(b))), with
+    unigram probabilities over the token stream and bigram probabilities
+    over the adjacent-pair stream. `min_count` drops the rare-pair PMI
+    pathology (a hapax pair maximizes PMI by definition).
+
+    Plan: the bigram stream is one arrays_zip of the word array with its
+    own 1-shifted slice — no self-join; unigram and bigram counts are
+    two map-side-combined aggregates. The probability joins run on the
+    min_count-PRUNED pair table (top-k pruning can't happen earlier —
+    pmi needs the unigram joins first), and the final selection is
+    ORDER BY ... LIMIT k (TakeOrdered). At any scale the heavy stream
+    is the one explode.
+
+    Output: w1, w2, pair_count, pmi, rank.
+    """
+    from pyspark.sql import Window
+
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    words = (ensure_parallelism(docs)
+             .select(F.split(F.col(text_col), " ").alias("ws"))
+             .where(F.size("ws") >= 2))
+    pairs = words.select(F.explode(F.arrays_zip(
+        F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+        F.slice("ws", 2, F.size("ws") - 1).alias("w2"))).alias("p")) \
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (words.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_u")))
+    n_uni = uni.agg(F.sum("c_u").alias("n_u"))
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_p"))
+           .where(F.col("c_p") >= min_count))
+    n_big = pairs.agg(F.count(F.lit(1)).alias("n_b"))
+    scored = (big
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c_u").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c_u").alias("c2")), "w2")
+              .crossJoin(F.broadcast(n_uni))
+              .crossJoin(F.broadcast(n_big))
+              .select("w1", "w2", F.col("c_p").alias("pair_count"),
+                      (F.log(F.col("c_p") / F.col("n_b"))
+                       - F.log(F.col("c1") / F.col("n_u"))
+                       - F.log(F.col("c2") / F.col("n_u"))).alias("pmi")))
+    order = (F.round(F.col("pmi"), 6).desc(),
+             F.col("w1").asc(), F.col("w2").asc())
+    return (scored.orderBy(*order).limit(int(k))
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order))))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Snapshot diff between two corpus versions — the ingest-monitoring

@@ -423,3 +423,36 @@ def test_write_shard_manifest(spark, tmp_path):
     assert all(r["n_tokens"] == 3 * r["n_rows"] for r in m.values())
     # the _-prefixed manifest dir is skipped by shard reads
     assert spark.read.json(path).count() == 200
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.sampling import cap_per_group
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") % 7).cast("double").alias("quality"))
+
+    capped = cap_per_group(df, "source", 10)
+    rows = capped.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"0", "1", "2"}
+    assert all(len(v) == 10 for v in per.values())  # bounded per group
+    assert all(sorted(r["group_rank"] for r in v) == list(range(1, 11))
+               for v in per.values())
+    # deterministic: identical selection on re-run
+    again = {(r["doc_id"], r["group_rank"])
+             for r in cap_per_group(df, "source", 10).collect()}
+    assert again == {(r["doc_id"], r["group_rank"]) for r in rows}
+
+    # order_col keeps the HIGHEST-quality rows
+    by_q = cap_per_group(df, "source", 5, order_col="quality")
+    assert all(r["quality"] == 6.0 for r in by_q.collect())
+
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "source", 0)

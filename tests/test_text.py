@@ -210,3 +210,45 @@ def test_language_segments_detects_code_switching(spark):
     assert got[2]["n_langs"] == 1 and got[2]["dom_lang"] == "es"
     assert got[1]["n_langs"] == 2
     assert got[1]["minority_frac"] > 0.0
+
+
+def test_zipf_profile_hand_computed(spark):
+    from nexus_spark.operators.text import zipf_profile
+
+    # corpus counts: a=4, b=2, c=1 -> ranks 1,2,3
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a")], ["doc_id", "text"])
+    rows = {r["rank"]: r for r in zipf_profile(docs, k=3).collect()}
+    assert [(rows[i]["word"], rows[i]["freq"]) for i in (1, 2, 3)] == \
+        [("a", 4), ("b", 2), ("c", 1)]
+    # OLS slope of ln(freq) on ln(rank) over the 3 points
+    import math
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+             / sum((x - mx) ** 2 for x in xs))
+    assert abs(rows[1]["zipf_slope"] - slope) < 1e-9
+    assert len({r["zipf_slope"] for r in rows.values()}) == 1
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from nexus_spark.operators.text import pmi_bigrams
+
+    # "x y" always adjacent; "p"/"q" never adjacent to each other
+    docs = spark.createDataFrame(
+        [(i, "x y p") for i in range(5)] + [(10, "q p x y")],
+        ["doc_id", "text"])
+    rows = pmi_bigrams(docs, k=10, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    # bigram stream: 5x (x,y)+(y,p) + (q,p)+(p,x)+(x,y) -> n_b = 13
+    # unigrams: x=6 y=6 p=6 q=1 -> n_u = 19
+    assert got[("x", "y")]["pair_count"] == 6
+    exp = math.log((6 / 13) / ((6 / 19) * (6 / 19)))
+    assert abs(got[("x", "y")]["pmi"] - exp) < 1e-9
+    # min_count prunes the single-occurrence pairs
+    assert ("q", "p") not in got and ("p", "x") not in got
+    # ranks are 1..n by pmi desc
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
