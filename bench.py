@@ -56,8 +56,10 @@ _QUERY_NOTES = {
         "verification harness: runs BOTH hash families' full LSH "
         "pipelines to compare their verified pair sets",
     "d8_insitu_subset":
-        "network-adapter simulation: per-record Python parse of paged "
-        "EDGE responses is the reference-parity contract",
+        "network-adapter simulation: paged EDGE responses normalized "
+        "with vectorized pandas ops inside each page task (round-5 "
+        "change; the row-wise reference parser remains the semantic "
+        "contract, parity-pinned in test_edge)",
     "d_dedup_components":
         "iterative log-diameter convergence, paid per query per the "
         "warm-state policy (DuckDB pays its recursive CTE likewise)",
