@@ -351,6 +351,32 @@ def build_routes(spark: SparkSession, sf_dir: str,
     def r_insitu_subset(p: Params):
         return _fetch_insitu(p, p.get("parameter"))
 
+    def r_stats_summary(p: Params):
+        # /statsSolr (A2, reference algorithms/TimeSeriesSolr.py:284-329):
+        # metadata-accelerated area stats — interior tiles from the
+        # ingest-maintained summary table, boundary slivers recomputed.
+        from nexus_spark import domain as _domain
+        from nexus_spark.plans.summary import stats_from_summary
+        box = p.get_bbox()
+        return stats_from_summary(
+            obs(),
+            _domain.summary_table(spark, sf_dir,
+                                  lat_tile_deg=10.0, lon_tile_deg=60.0),
+            p.get_dataset(), box["min_lat"], box["max_lat"],
+            box["min_lon"], box["max_lon"],
+            lat_tile_deg=10.0, lon_tile_deg=60.0)
+
+    def r_delay(p: Params):
+        # /delay (reference DelayTest.py:11-29 sleeps a fixed 10 s); the
+        # optional `t` param keeps the route testable without the wait.
+        import time as _time
+        _time.sleep(min(p.get_float("t", 10.0), 10.0))
+        return ""
+
+    def r_makeerror(p: Params):
+        # /makeerror (ErrorTosserTest.py:8-23): unhandled error -> 500.
+        return 100 / 0.0
+
     def r_correlation_map(p: Params):
         # /correlationMap (reference algorithms/CorrelationMap.py:16-129):
         # gridded two-dataset correlation at a user resolution (`res`,
@@ -458,14 +484,22 @@ def build_routes(spark: SparkSession, sf_dir: str,
     return {
         "/timeSeriesSpark": r_time_series,
         "/stats": r_time_series,
+        "/statsSolr": r_stats_summary,
         "/timeAvgMapSpark": r_time_avg_map,
+        "/timeAvgMap": r_time_avg_map,
         "/climMapSpark": r_clim_map,
         "/corrMapSpark": r_corr_map,
         "/longitudeLatitudeMap": r_lonlat_map,
         "/latitudeTimeHofMoellerSpark": r_hofmoeller("lat"),
         "/longitudeTimeHofMoellerSpark": r_hofmoeller("lon"),
+        "/latitudeTimeHofMoeller": r_hofmoeller("lat"),
+        "/longitudeTimeHofMoeller": r_hofmoeller("lon"),
         "/dailydifferenceaverage_spark": r_daily_difference,
+        "/dailydifferenceaverage": r_daily_difference,
         "/match_spark": r_matchup,
+        "/domsmatchup": r_matchup,
+        "/delay": r_delay,
+        "/makeerror": r_makeerror,
         "/datainbounds": r_data_in_bounds,
         "/standardDeviation": r_nearest,
         "/tiles": r_tiles,

@@ -342,3 +342,43 @@ def test_doms_plot_bad_type_400(doms_server):
     base, eid = doms_server
     status, err = _get_status(base, f"/domsplot?id={eid}&type=pie")
     assert status == 400 and "Unsupported plot type" in err["error"]
+
+
+def test_reference_alias_routes(spark, server):
+    """Route-table parity with the reference's full path list
+    (webapp.py:169-256): non-Spark aliases serve the same handlers,
+    /statsSolr is the summary fast path, /delay and /makeerror mirror
+    the reference's debug handlers."""
+    # aliases answer like their Spark twins
+    s1, _, b1 = _get(server, "/timeAvgMap?ds=sst_a")
+    s2, _, b2 = _get(server, "/timeAvgMapSpark?ds=sst_a")
+    assert (s1, s2) == (200, 200) and json.loads(b1) == json.loads(b2)
+    s1, _, b1 = _get(server, "/latitudeTimeHofMoeller?ds=sst_a")
+    assert s1 == 200 and json.loads(b1)
+    s1, _, b1 = _get(server, "/dailydifferenceaverage?ds=sst_a")
+    assert s1 == 200 and json.loads(b1)
+    s1, _, b1 = _get(server, "/domsmatchup?rt=500000&tt=432000")
+    assert s1 == 200 and json.loads(b1)
+
+    # /statsSolr: summary fast path equals the direct time series per day
+    status, _, body = _get(server, "/statsSolr?ds=sst_a&b=-160,-25,160,25")
+    assert status == 200
+    from nexus_spark import domain
+    from nexus_spark.operators.timeseries import time_series
+    rows = json.loads(body)
+    rnd = lambda v: None if v is None else round(v, 6)
+    direct = {str(r["ts_date"]): (r["ts_cnt"], rnd(r["ts_mean"]))
+              for r in time_series(
+                  domain.observations(spark, SF_DIR), datasets=["sst_a"],
+                  min_lat=-25, max_lat=25, min_lon=-160,
+                  max_lon=160).collect()
+              if r["ts_cnt"] > 0}  # summary path drops empty days
+    got = {r["ts_date"][:10]: (r["ts_cnt"], rnd(r["ts_mean"]))
+           for r in rows}
+    assert got == direct and len(got) > 0
+
+    # debug handlers
+    status, _, _ = _get(server, "/delay?t=0.01")
+    assert status == 200
+    status, err = _get_status(server, "/makeerror")
+    assert status == 500 and "ZeroDivision" in err["error"]
