@@ -194,6 +194,98 @@ def incremental_dedup(new_docs: DataFrame, spark, store_path: str,
     return batch.drop("fingerprint")
 
 
+def write_minhash_index(docs: DataFrame, store_path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 32, hash_fn: str = "xxhash64",
+                        mode: str = "append") -> None:
+    """Append a batch's MinHash signatures to the persistent signature
+    store — the near-dup analog of write_fingerprints: the state an
+    ingest pipeline maintains so each NEW shard can be checked for
+    near-duplicates against ALL history without re-shingling it.
+    Signatures are tiny (k numbers per doc) and banding is derived at
+    read time, so the store layout is hash-parameter-stable."""
+    (minhash_signatures(docs, id_col, text_col, k, hash_fn=hash_fn)
+     .write.mode(mode).parquet(store_path))
+
+
+def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 32, bands: int = 8,
+                         threshold: float = 0.5,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """Production ingest near-dup step: LSH-match the new batch's
+    documents against the persistent signature store (all history) AND
+    within the batch itself, without touching historical text.
+
+    History's text is gone — only its signatures remain — so candidate
+    verification uses the SIGNATURE-estimated Jaccard (matching
+    components / k, the unbiased MinHash estimator) instead of exact
+    shingle Jaccard; `threshold` applies to that estimate. Banded
+    equi-join only, never a cross join: new-batch bands join the union
+    of store bands and own bands on (band_idx, band_hash).
+
+    Output: id_new, id_matched, est_jaccard, match_source
+    ('store' | 'batch'); id_new < id_matched for within-batch pairs.
+    Call write_minhash_index on the batch afterwards to commit it.
+    """
+    import os
+
+    rows_per_band = k // bands
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, k,
+                                  hash_fn=hash_fn)
+    store_sigs = (spark.read.parquet(store_path)
+                  if os.path.exists(store_path) else None)
+
+    def band(sigs: DataFrame) -> DataFrame:
+        return (sigs.withColumn("band_idx", F.explode(
+            F.sequence(F.lit(0), F.lit(bands - 1))))
+            .withColumn("band_hash", F.md5(F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"),
+                            F.col("band_idx") * rows_per_band + 1,
+                            rows_per_band),
+                    lambda x: x.cast("string")))))
+            .select("id", "band_idx", "band_hash"))
+
+    nb = band(new_sigs)
+
+    def matches(other_bands: DataFrame, other_sigs: DataFrame,
+                source: str, within_batch: bool) -> DataFrame:
+        cand = (nb.select("band_idx", "band_hash",
+                          F.col("id").alias("id_new"))
+                .join(other_bands.select(
+                    "band_idx", "band_hash",
+                    F.col("id").alias("id_matched")),
+                    ["band_idx", "band_hash"])
+                .where(F.col("id_new") < F.col("id_matched")
+                       if within_batch
+                       else F.col("id_new") != F.col("id_matched"))
+                .select("id_new", "id_matched").distinct())
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, x: acc + x) / F.lit(float(k))
+        return (cand
+                .join(new_sigs.select(F.col("id").alias("id_new"),
+                                      F.col("signature").alias("sig_a")),
+                      "id_new")
+                .join(other_sigs.select(F.col("id").alias("id_matched"),
+                                        F.col("signature").alias("sig_b")),
+                      "id_matched")
+                .withColumn("est_jaccard", est)
+                .where(F.col("est_jaccard") >= threshold)
+                .select("id_new", "id_matched", "est_jaccard",
+                        F.lit(source).alias("match_source")))
+
+    out = matches(nb, new_sigs, "batch", within_batch=True)
+    if store_sigs is not None:
+        out = out.unionByName(
+            matches(band(store_sigs), store_sigs, "store",
+                    within_batch=False))
+    return out
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         threshold: float = 0.8,

@@ -110,6 +110,52 @@ def delete_partitions(spark: SparkSession, path: str, dataset: str,
     return removed
 
 
+def compact_partitions(spark: SparkSession, path: str,
+                       target_bytes: int = 128 * 1024 * 1024,
+                       min_files: int = 2) -> dict[str, int]:
+    """Small-file compaction pass for a partitioned lake — the
+    maintenance job every streaming-ingested table needs (each
+    micro-batch append leaves one file per trigger per partition; at
+    100 TB a year of 5-minute triggers is millions of kilobyte files
+    whose open/footer cost dwarfs the data read).
+
+    Per leaf partition directory holding >= `min_files` parquet files:
+    read the partition, coalesce to ceil(bytes / target_bytes) files,
+    write to a sibling tmp dir, then atomically swap directories. Only
+    rewrites partitions that need it — an already-compacted partition
+    (or one actively small) is untouched, so the pass is incremental
+    and re-runnable. Row contents are preserved exactly (coalesce, no
+    shuffle, no reordering guarantee needed by the layout contract).
+
+    Returns {partition_relpath: files_before} for the rewritten
+    partitions.
+    """
+    import math
+
+    done: dict[str, int] = {}
+    for dirpath, _dirnames, filenames in os.walk(path):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if len(parts) < min_files or os.path.basename(
+                dirpath).startswith("_"):
+            continue
+        size = sum(os.path.getsize(os.path.join(dirpath, f))
+                   for f in parts)
+        n_out = max(1, math.ceil(size / target_bytes))
+        if n_out >= len(parts):
+            continue
+        tmp = dirpath + "._compact_tmp"
+        (spark.read.parquet(dirpath).coalesce(n_out)
+         .write.mode("overwrite").parquet(tmp))
+        old = dirpath + "._compact_old"
+        os.rename(dirpath, old)
+        os.rename(tmp, dirpath)
+        shutil.rmtree(old)
+        done[os.path.relpath(dirpath, path)] = len(parts)
+    if done:
+        _invalidate_views(path)
+    return done
+
+
 def _invalidate_views(path: str) -> None:
     """Drop any session-memoized derived frames built over this directory —
     a rewritten/deleted lake path must never be served from a stale cache."""

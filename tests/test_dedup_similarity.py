@@ -257,3 +257,51 @@ def test_mean_pool_and_reassemble(spark):
     vecs = {r["doc_id"]: r["embedding"]
             for r in pool_to_vectors(pooled, "doc_id").collect()}
     assert vecs[0] == [2.0, 3.0, 4.0] and vecs[1] == [10.0, 0.0, -2.0]
+
+
+def test_incremental_near_dup_store_and_batch(spark, tmp_path):
+    """LSH near-dup against a persistent signature store: history's text
+    never re-read; within-batch and vs-store matches labeled; estimated
+    jaccard is 1.0 for exact duplicates and high for near-dups."""
+    from nexus_spark.operators.dedup import (incremental_near_dup,
+                                             write_minhash_index)
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank while the sun sets slowly behind the hills")
+    store = str(tmp_path / "sig_store")
+
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "a completely different document about spark "
+                        "query planning and shuffle exchange behavior")],
+        "doc_id long, text string")
+    # empty store: only within-batch checks, none here
+    assert incremental_near_dup(batch1, spark, store).count() == 0
+    write_minhash_index(batch1, store)
+
+    batch2 = spark.createDataFrame(
+        [(10, base),                                  # exact dup of 1
+         (11, base.replace("slowly", "quickly")),     # near-dup of 1
+         (12, "entirely novel text with no relation to anything stored "
+              "before in the persistent signature index at all"),
+         (13, "entirely novel text with no relation to anything stored "
+              "before in the persistent signature index at all")],
+        "doc_id long, text string")                    # 12~13 in-batch dup
+    got = incremental_near_dup(batch2, spark, store, threshold=0.5)
+    rows = {(r["id_new"], r["id_matched"], r["match_source"]): r
+            for r in got.collect()}
+    assert (10, 1, "store") in rows
+    assert rows[(10, 1, "store")]["est_jaccard"] == 1.0  # exact dup
+    assert (11, 1, "store") in rows                      # near-dup found
+    assert rows[(11, 1, "store")]["est_jaccard"] >= 0.5
+    assert (12, 13, "batch") in rows
+    assert rows[(12, 13, "batch")]["est_jaccard"] == 1.0
+    # novel docs match nothing in the store
+    assert not any(i in (12, 13) and s == "store"
+                   for (i, _, s) in rows)
+    # commit batch2, then a doc near batch2's content matches history
+    write_minhash_index(batch2, store)
+    batch3 = spark.createDataFrame(
+        [(20, base.replace("slowly", "quickly"))], "doc_id long, text string")
+    got3 = {(r["id_new"], r["id_matched"], r["match_source"])
+            for r in incremental_near_dup(batch3, spark, store).collect()}
+    assert (20, 11, "store") in got3 and (20, 1, "store") in got3

@@ -227,3 +227,37 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left.withColumn("_salt", F.lit(0)), right, ["k"])
     with pytest.raises(ValueError, match="_salt"):
         salted_join(left, right.withColumn("_salt", F.lit(0)), ["k"])
+
+
+def test_compact_partitions_preserves_rows(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nexus_spark.sources.lake import compact_partitions
+
+    path = str(tmp_path / "lake")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).alias("p"),
+        (F.col("id") * 1.5).alias("v"))
+    # simulate streaming-append fragmentation: 8 appends of 8 files each
+    for _ in range(8):
+        df.repartition(8).write.mode("append").partitionBy("p").parquet(path)
+    before = spark.read.parquet(path)
+    n_before, sum_before = before.count(), \
+        before.agg(F.sum("v")).first()[0]
+
+    def files_in(rel):
+        d = os.path.join(path, rel)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("p=0")) == 64
+    done = compact_partitions(spark, path, target_bytes=1 << 30)
+    assert set(done) == {"p=0", "p=1"} and done["p=0"] == 64
+    assert len(files_in("p=0")) == 1  # tiny partition -> one file
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert abs(after.agg(F.sum("v")).first()[0] - sum_before) < 1e-6
+    assert set(after.columns) == set(before.columns)
+    # idempotent: second pass rewrites nothing
+    assert compact_partitions(spark, path, target_bytes=1 << 30) == {}
