@@ -48,7 +48,9 @@ _QUERY_NOTES = {
     "d_semantic_dedup":
         "first-call Catalyst+codegen over the widest plan in the suite "
         "(64-col IVF pair stage) plus the per-policy unmemoized CC "
-        "convergence; steady-state ~1s with a warm CC memo",
+        "convergence; the recorded `steady s` column shows the "
+        "compile-free cost (CC memo still cleared per the warm-state "
+        "policy)",
     "d_near_dup_embedding":
         "declared O(n^2) brute baseline (labeled); GEMM and IVF are the "
         "routed alternatives",
@@ -64,12 +66,13 @@ _QUERY_NOTES = {
         "iterative log-diameter convergence, paid per query per the "
         "warm-state policy (DuckDB pays its recursive CTE likewise)",
     "d_near_dup_embedding_ivf":
-        "sweep time is dominated by first-call Catalyst analysis + "
-        "janino codegen of the 64-column pair plan; measured steady "
-        "state 1.2s warm (0.67s plan build + 0.49s execute at sf0.1)",
+        "first-call time is dominated by Catalyst analysis + janino "
+        "codegen of the 64-column pair plan — the recorded `steady s` "
+        "column (same query, warm caches) is the recurring cost and "
+        "shows the gap directly",
     "sim_ann_int8":
-        "steady state ~1.2s warm; the sweep's single execution pays "
-        "one-off codegen of the 64-column dequantize projection",
+        "first call pays one-off codegen of the 64-column dequantize "
+        "projection; see the recorded `steady s` column",
     "text_nb_classifier":
         "critical path of ~10 tiny sequential aggregate stages (NB fit "
         "grid -> score -> argmax); per-stage scheduling floor dominates "
