@@ -4217,10 +4217,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_cluster_stats": q_d_cluster_stats,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
-    # group D (26): r03-checked refreshes (headline/family-central picks,
-    # oracled entries preferred over the no-oracle variants; the sampling
-    # and sliding-window families stay covered in-window via
-    # d_weighted_sample and the three executed-stream entries) ---
+    # group D (22): r03-checked refreshes (headline/family-central picks,
+    # oracled entries preferred over the no-oracle variants; the sampling,
+    # knn, winnow, as-of and seasonal families ceded their slots to the
+    # four new round-5 queries and stay covered by in-window siblings —
+    # they lead round 6's rotation with the other r03 tail entries) ---
     "s1_time_series": q_s1_time_series,
     "s8_matchup_once": q_s8_matchup_once,
     "d_dedup_minhash_md5": q_d_minhash_md5,
