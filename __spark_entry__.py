@@ -3059,13 +3059,27 @@ def _stream_job_conf(spark: SparkSession, partitions: str = "8"):
     constant overhead (measured: stream-stream matchup 9.3s -> 5.3s,
     watermark window 2.6s -> 1.3s at 8 partitions, identical results);
     a production feed with large state raises the number back. The
-    session value is restored after the drain completes."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+    session value is restored after the drain completes.
+
+    Also spaces out the state-store maintenance cadence: each drained
+    availableNow query leaves loaded providers whose 60s-default
+    snapshot/cleanup passes contend with LATER queries in a long
+    session (observed as a mid-sweep 3x inflation of one stream's
+    steady run); hourly maintenance is correct for drain-and-exit jobs
+    whose state dirs are temp-scoped anyway."""
+    conf = {"spark.sql.shuffle.partitions": partitions,
+            "spark.sql.streaming.stateStore.maintenanceInterval": "3600s"}
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
