@@ -1203,6 +1203,66 @@ SELECT w1, w2, pair_count, ROUND(pmi, {ND}) AS pmi, rank FROM t
 """
 
 
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, first 3 merges learned from the documents
+    corpus (operators/text.learn_bpe_merges; Sennrich ACL'16): per round
+    the most frequent frequency-weighted adjacent symbol pair (ties:
+    lexicographic) merges across the whole vocabulary. The oracle
+    replays the identical loop in SQL using a delimiter-string replace:
+    applying merge (l, r) to a '\\x1f\\x1f'-delimited symbolization via
+    global replace('\\x1fl\\x1f\\x1fr\\x1f' -> '\\x1flr\\x1f') IS
+    left-to-right non-overlapping BPE (SQL replace rescans after each
+    substitution, and the half-separator boundary keeps back-to-back
+    matches intact — 'a a a a' under (a,a) becomes [aa, aa])."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import learn_bpe_merges
+
+    merges = learn_bpe_merges(load_table(spark, sf_dir, "documents"),
+                              n_merges=3)
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, "
+                "pair_count long")
+
+
+def _sql_bpe_learn(rounds: int = 3) -> str:
+    """Generate the DuckDB replay of learn_bpe_merges: `rounds` chained
+    (pair-count -> argmax -> replace-apply) CTE rounds over the
+    unit-separator-delimited vocabulary (see q_text_bpe_learn for why
+    the replace trick is exact)."""
+    sep = "\x1f"
+    s2 = sep + sep
+    parts = [f"""
+WITH w0 AS (
+  SELECT '{s2}' || array_to_string(regexp_extract_all(word, '.'),
+                                   '{s2}') || '{s2}' AS s, f
+  FROM (SELECT word, COUNT(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word))"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT cs[j] AS l, cs[j + 1] AS r, f
+  FROM (SELECT list_filter(string_split(s, '{s2}'),
+                           x -> x <> '') AS cs, f
+        FROM w{i - 1}),
+       LATERAL unnest(generate_series(1, len(cs) - 1)) AS t(j)),
+c{i} AS (SELECT l, r, SUM(f) AS pc FROM p{i} GROUP BY l, r),
+m{i} AS (SELECT l, r, pc FROM c{i} ORDER BY pc DESC, l, r LIMIT 1),
+w{i} AS (
+  SELECT replace(s,
+                 '{sep}' || (SELECT l FROM m{i}) || '{s2}'
+                         || (SELECT r FROM m{i}) || '{sep}',
+                 '{sep}' || (SELECT l FROM m{i})
+                         || (SELECT r FROM m{i}) || '{sep}') AS s, f
+  FROM w{i - 1})""")
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left_sym, "
+        f"r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, rounds + 1)]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_d_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contribution capping (domain-cap curation,
     operators/sampling.cap_per_group): each source keeps its 40
@@ -4219,6 +4279,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
+    "text_bpe_learn": q_text_bpe_learn,
     # group B (2): group-1 entries deferred from the round-4 window ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
@@ -4255,7 +4316,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_daily_difference": q_s7_daily_difference,
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
-    "etl_regrid": q_etl_regrid,
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
     # --- tail (entry 51+): rotates in for round 6. 22 r03-checked entries
@@ -4266,6 +4326,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "f_seasonal_filter": q_f_seasonal,
+    "etl_regrid": q_etl_regrid,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
@@ -4452,6 +4513,7 @@ _ORACLES: dict[str, str] = {
     "text_zipf_profile": SQL_TEXT_ZIPF,
     "text_pmi_bigrams": SQL_TEXT_PMI,
     "d_source_caps": SQL_D_SOURCE_CAPS,
+    "text_bpe_learn": _sql_bpe_learn(),
     "d_importance_select": SQL_D_IMPORTANCE,
     "text_lang_segments": _sql_lang_segments(),
     "text_nb_confusion": _sql_nb_confusion(),

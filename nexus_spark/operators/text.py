@@ -540,6 +540,91 @@ def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5,
             .withColumn("rank", F.row_number().over(Window.orderBy(*order))))
 
 
+def _bpe_word_symbols(docs: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table with char-level symbolization — the state BPE
+    training iterates on. Corpus-size work happens once here (one
+    explode+count); every merge round then touches only the VOCABULARY
+    (distinct words), which is bounded regardless of corpus size."""
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    return (ensure_parallelism(docs)
+            .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+            .select(F.split(F.col("word"), "").alias("symbols"), "f"))
+
+
+def bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over a
+    (symbols, f) word table — one BPE statistics round (overlapping
+    adjacent pairs, the Sennrich & al. counting convention).
+
+    Output: left_sym, right_sym, pair_count."""
+    pairs = (wf.where(F.size("symbols") >= 2)
+             .select("f", F.explode(F.arrays_zip(
+                 F.slice("symbols", 1, F.size("symbols") - 1).alias("l"),
+                 F.slice("symbols", 2, F.size("symbols") - 1).alias("r")))
+                 .alias("p")))
+    return (pairs.groupBy(F.col("p.l").alias("left_sym"),
+                          F.col("p.r").alias("right_sym"))
+            .agg(F.sum("f").alias("pair_count")))
+
+
+def _bpe_apply_merge(symbols, left: str, right: str):
+    """Left-to-right non-overlapping merge of (left, right) in a symbol
+    array, as a single fold (F.aggregate) — no UDF. Standard BPE apply:
+    'aaaa' under (a,a) -> [aa, aa]; a symbol produced by a merge in this
+    round does not re-merge within the round."""
+    return F.aggregate(
+        symbols, F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.concat(acc, F.array(x)))
+        .otherwise(
+            F.when((F.element_at(acc, F.size(acc)) == F.lit(left))
+                   & (x == F.lit(right)),
+                   F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(left + right))))
+            .otherwise(F.concat(acc, F.array(x)))))
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
+                     text_col: str = "text") -> list[tuple]:
+    """Learn the first `n_merges` BPE merges from the corpus — tokenizer
+    TRAINING at scale (Sennrich, Haddow & Birch, ACL'16): per round,
+    count frequency-weighted adjacent symbol pairs over the vocabulary,
+    take the most frequent (ties: lexicographic (left, right) — a
+    deterministic convention so training is reproducible across runs
+    and engines), and rewrite every word's symbolization with the merge.
+
+    Scale shape: the corpus is scanned ONCE (word-frequency table);
+    each round is one map-side-combined aggregate over the vocabulary +
+    a TakeOrdered top-1 + a fold projection — all bounded by |vocab|,
+    never corpus size. The driver holds one (left, right, count) scalar
+    per round (the same bounded-probe pattern as connected_components'
+    convergence check); localCheckpoint truncates the per-round plan
+    lineage.
+
+    Returns [(rank, left, right, pair_count), ...].
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    wf = _bpe_word_symbols(docs, text_col).localCheckpoint()
+    merges: list[tuple] = []
+    for i in range(n_merges):
+        top = (bpe_pair_counts(wf)
+               .orderBy(F.col("pair_count").desc(),
+                        F.col("left_sym").asc(), F.col("right_sym").asc())
+               .limit(1).collect())
+        if not top:
+            break  # vocabulary fully merged
+        left, right, cnt = (top[0]["left_sym"], top[0]["right_sym"],
+                            top[0]["pair_count"])
+        merges.append((i + 1, left, right, int(cnt)))
+        wf = (wf.select(_bpe_apply_merge(F.col("symbols"), left, right)
+                        .alias("symbols"), "f")
+              .localCheckpoint())
+    return merges
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Snapshot diff between two corpus versions — the ingest-monitoring

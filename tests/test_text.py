@@ -252,3 +252,59 @@ def test_pmi_bigrams_hand_computed(spark):
     assert ("q", "p") not in got and ("p", "x") not in got
     # ranks are 1..n by pmi desc
     assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_learn_bpe_merges_matches_reference_algorithm(spark):
+    """learn_bpe_merges must equal a pure-Python Sennrich-style BPE on a
+    corpus exercising repeats ('aaaa' -> [aa, aa] under (a,a)),
+    frequency weighting, and the lexicographic tie-break."""
+    from nexus_spark.operators.text import learn_bpe_merges
+
+    texts = ["low low low lower", "aaaa aaaa", "newer newer low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    def ref_bpe(corpus, n):
+        wf = {}
+        for t in corpus:
+            for w in t.split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        vocab = {w: [c for c in w] for w in wf}
+        out = []
+        for rank in range(1, n + 1):
+            counts = {}
+            for w, sym in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + wf[w]
+            if not counts:
+                break
+            (l, r), c = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            out.append((rank, l, r, c))
+            for w, sym in vocab.items():
+                new, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym) and sym[i] == l
+                            and sym[i + 1] == r):
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                vocab[w] = new
+        return out
+
+    want = ref_bpe(texts, 5)
+    got = learn_bpe_merges(docs, n_merges=5)
+    assert got == want, (got, want)
+    # sanity on the fixture itself: (a,a) wins round 1 — 'aaaa' x2 has
+    # 3 overlapping (a,a) positions each -> count 6, beating 'lo' at 5;
+    # round 2 must count pairs over the MERGED [aa,aa] symbols
+    assert got[0] == (1, "a", "a", 6)
+    assert got[1] == (2, "l", "o", 5)
+    assert (5, "aa", "aa", 2) in got  # round 5 counts the MERGED symbols
+
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        learn_bpe_merges(docs, n_merges=0)
