@@ -4292,7 +4292,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_cluster_stats": q_d_cluster_stats,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
-    # group D (22): r03-checked refreshes (headline/family-central picks,
+    # group D (21): r03-checked refreshes (headline/family-central picks,
     # oracled entries preferred over the no-oracle variants; the sampling,
     # knn, winnow, as-of and seasonal families ceded their slots to the
     # four new round-5 queries and stay covered by in-window siblings —
@@ -4318,9 +4318,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # --- tail (entry 51+): rotates in for round 6. 22 r03-checked entries
-    # (incl. the 4 no-oracle rows-only variants) will be exactly 2 rounds
-    # stale after this round and must LEAD round 6's window: ---
+    # --- tail (entry 51+): rotates in for round 6. The 23 r03-checked
+    # entries below (incl. the 4 no-oracle rows-only variants) will be
+    # exactly 2 rounds stale after this round and must LEAD round 6's
+    # window; the remaining slots refresh the stalest r04-checked
+    # entries (the former group-1 block, r04 window) plus anything new
+    # or changed in round 6: ---
     "f_lowpass": q_f_lowpass,
     "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
