@@ -1224,16 +1224,17 @@ def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count long")
 
 
-def _sql_bpe_learn(rounds: int = 3) -> str:
-    """Generate the DuckDB replay of learn_bpe_merges: `rounds` chained
-    (pair-count -> argmax -> replace-apply) CTE rounds over the
-    unit-separator-delimited vocabulary (see q_text_bpe_learn for why
-    the replace trick is exact)."""
-    sep = "\x1f"
-    s2 = sep + sep
+def _bpe_rounds_cte(rounds: int) -> str:
+    """Shared CTE text for the DuckDB replay of BPE training: `rounds`
+    chained (pair-count -> argmax -> replace-apply) rounds over the
+    unit-separator-delimited vocabulary, `word` key carried through so
+    the apply side can join back (see q_text_bpe_learn for why the
+    replace trick is exact)."""
+    sep, s2 = "\x1f", "\x1f\x1f"
     parts = [f"""
 WITH w0 AS (
-  SELECT '{s2}' || array_to_string(regexp_extract_all(word, '.'),
+  SELECT word,
+         '{s2}' || array_to_string(regexp_extract_all(word, '.'),
                                    '{s2}') || '{s2}' AS s, f
   FROM (SELECT word, COUNT(*) AS f
         FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -1250,17 +1251,59 @@ p{i} AS (
 c{i} AS (SELECT l, r, SUM(f) AS pc FROM p{i} GROUP BY l, r),
 m{i} AS (SELECT l, r, pc FROM c{i} ORDER BY pc DESC, l, r LIMIT 1),
 w{i} AS (
-  SELECT replace(s,
+  SELECT word,
+         replace(s,
                  '{sep}' || (SELECT l FROM m{i}) || '{s2}'
                          || (SELECT r FROM m{i}) || '{sep}',
                  '{sep}' || (SELECT l FROM m{i})
                          || (SELECT r FROM m{i}) || '{sep}') AS s, f
   FROM w{i - 1})""")
+    return "".join(parts)
+
+
+def _sql_bpe_learn(rounds: int = 3) -> str:
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS rank, l AS left_sym, "
         f"r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM m{i}"
         for i in range(1, rounds + 1)]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_rounds_cte(rounds) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _sql_bpe_apply(rounds: int = 3) -> str:
+    """DuckDB replay of bpe_apply_counts: the same training rounds, then
+    per-doc token counts via the final vocabulary symbolization."""
+    s2 = "\x1f\x1f"
+    return _bpe_rounds_cte(rounds) + f""",
+wl AS (SELECT doc_id, word
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+       WHERE word <> ''),
+tok AS (SELECT word,
+               len(list_filter(string_split(s, '{s2}'),
+                               x -> x <> '')) AS w_tokens
+        FROM w{rounds})
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(w_tokens) AS BIGINT) AS n_tokens_bpe
+FROM wl JOIN tok USING (word)
+GROUP BY doc_id"""
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize end to end: learn 3 BPE merges from the
+    corpus (q_text_bpe_learn's loop), apply them in order over the
+    vocabulary, and count per-document BPE tokens
+    (operators/text.bpe_apply_counts). The oracle replays training AND
+    application with the same delimiter-replace rounds, joining the
+    final vocabulary symbolization back onto the per-doc word stream."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import (bpe_apply_counts,
+                                            learn_bpe_merges)
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=3)
+    out = bpe_apply_counts(docs, merges)
+    return _finish(out.withColumnRenamed("id", "doc_id"))
 
 
 def q_d_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4280,6 +4323,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
     "text_bpe_learn": q_text_bpe_learn,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
     # group B (2): group-1 entries deferred from the round-4 window ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
@@ -4316,7 +4360,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_daily_difference": q_s7_daily_difference,
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
-    "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
     # --- tail (entry 51+): rotates in for round 6. The 23 r03-checked
     # entries below (incl. the 4 no-oracle rows-only variants) will be
@@ -4330,6 +4373,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_asof_doy": q_t_asof_doy,
     "f_seasonal_filter": q_f_seasonal,
     "etl_regrid": q_etl_regrid,
+    "d_dedup_exact": q_d_dedup_exact,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
@@ -4517,6 +4561,7 @@ _ORACLES: dict[str, str] = {
     "text_pmi_bigrams": SQL_TEXT_PMI,
     "d_source_caps": SQL_D_SOURCE_CAPS,
     "text_bpe_learn": _sql_bpe_learn(),
+    "text_bpe_tokenize": _sql_bpe_apply(),
     "d_importance_select": SQL_D_IMPORTANCE,
     "text_lang_segments": _sql_lang_segments(),
     "text_nb_confusion": _sql_nb_confusion(),

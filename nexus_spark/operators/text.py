@@ -625,6 +625,40 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
     return merges
 
 
+def bpe_apply_counts(docs: DataFrame, merges: list[tuple],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge list (the APPLY half
+    of tokenizer training): per document, the number of BPE tokens after
+    running the merges in learned order over each word's char
+    symbolization.
+
+    Plan: merges apply on the DISTINCT-word table (k chained fold
+    projections over the vocabulary — bounded work regardless of corpus
+    size), then the per-word token length joins back onto the exploded
+    word stream and sums per document. The join side is the vocabulary:
+    at 100 TB it broadcasts or buckets; the corpus-sized work is one
+    explode + one per-doc aggregate.
+
+    `merges` is learn_bpe_merges output ([(rank, left, right, count)]).
+    Output: id, n_words, n_tokens_bpe.
+    """
+    words = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(F.split(F.col(text_col), " "))
+                         .alias("word"))
+             .where(F.col("word") != ""))
+    vocab = words.select("word").distinct() \
+        .withColumn("symbols", F.split(F.col("word"), ""))
+    sym = F.col("symbols")
+    for _rank, left, right, _cnt in merges:
+        sym = _bpe_apply_merge(sym, left, right)
+    per_word = vocab.select("word", F.size(sym).alias("w_tokens"))
+    return (words.join(per_word, "word")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("w_tokens").alias("n_tokens_bpe")))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Snapshot diff between two corpus versions — the ingest-monitoring

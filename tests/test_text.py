@@ -308,3 +308,24 @@ def test_learn_bpe_merges_matches_reference_algorithm(spark):
     import pytest
     with pytest.raises(ValueError, match="positive"):
         learn_bpe_merges(docs, n_merges=0)
+
+
+def test_bpe_apply_counts_hand_computed(spark):
+    from nexus_spark.operators.text import (bpe_apply_counts,
+                                            learn_bpe_merges)
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "lower"), (3, "aaaa")], ["doc_id", "text"])
+    merges = learn_bpe_merges(docs, n_merges=2)
+    # pair counts: (l,o)=3 (o,w)=3 (a,a)=3 (w,e)=1 (e,r)=1 ->
+    # round 1 tie-break picks (a,a); round 2 picks (l,o)
+    assert [(m[1], m[2]) for m in merges] == [("a", "a"), ("l", "o")]
+    got = {r["id"]: (r["n_words"], r["n_tokens_bpe"])
+           for r in bpe_apply_counts(docs, merges).collect()}
+    # 'low' -> [lo, w] (2); 'lower' -> [lo, w, e, r] (4);
+    # 'aaaa' -> [aa, aa] (2)
+    assert got == {1: (2, 4), 2: (1, 4), 3: (1, 2)}
+    # no merges: pure char counts
+    got0 = {r["id"]: r["n_tokens_bpe"]
+            for r in bpe_apply_counts(docs, []).collect()}
+    assert got0 == {1: 6, 2: 5, 3: 4}
