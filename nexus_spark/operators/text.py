@@ -462,8 +462,11 @@ def zipf_profile(docs: DataFrame, k: int = 50,
 
     Plan: one explode+count per-term aggregate (map-side combined), then
     ORDER BY freq LIMIT k — a TakeOrderedAndProject, never a global
-    sort — and the OLS slope of ln(freq) on ln(rank) computed over just
-    those k rows (regr_slope) and broadcast back onto them. Corpus-size
+    sort — and the OLS slope of ln(freq) on ln(rank) as a WINDOW
+    aggregate over the already-selected k rows (unpartitioned, but the
+    frame is k rows by construction — and crucially the k-row subtree is
+    computed ONCE; a separate agg + crossJoin would make Catalyst
+    re-derive the corpus aggregate for the slope branch). Corpus-size
     work is exactly one narrow aggregate; everything after is k rows.
 
     Output: word, freq, rank, zipf_slope (same value on every row).
@@ -479,12 +482,15 @@ def zipf_profile(docs: DataFrame, k: int = 50,
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     order = (F.col("freq").desc(), F.col("word").asc())
     top = counts.orderBy(*order).limit(int(k))
-    ranked = top.withColumn("rank",
-                            F.row_number().over(Window.orderBy(*order)))
-    slope = ranked.agg(
-        F.regr_slope(F.log("freq"), F.log("rank")).alias("zipf_slope"))
-    return ranked.crossJoin(F.broadcast(slope)) \
-        .select("word", "freq", "rank", "zipf_slope")
+    wall = (Window.orderBy(F.lit(1))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (top.withColumn("rank",
+                           F.row_number().over(Window.orderBy(*order)))
+            .withColumn("zipf_slope",
+                        F.regr_slope(F.log("freq"),
+                                     F.log("rank")).over(wall))
+            .select("word", "freq", "rank", "zipf_slope"))
 
 
 def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5,
@@ -497,11 +503,17 @@ def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5,
 
     Plan: the bigram stream is one arrays_zip of the word array with its
     own 1-shifted slice — no self-join; unigram and bigram counts are
-    two map-side-combined aggregates. The probability joins run on the
-    min_count-PRUNED pair table (top-k pruning can't happen earlier —
-    pmi needs the unigram joins first), and the final selection is
-    ORDER BY ... LIMIT k (TakeOrdered). At any scale the heavy stream
-    is the one explode.
+    two map-side-combined aggregates, each localCheckpoint'ed because
+    both have MULTIPLE consumers (the two probability joins + the n_u
+    scalar; the min_count filter + the n_b scalar) and Catalyst would
+    otherwise re-derive the corpus-sized explode once per consumer —
+    the checkpointed frames are vocabulary-bounded, so this is the
+    bounded-intermediate materialization pattern, not a corpus cache.
+    The probability joins run on the min_count-PRUNED pair table (top-k
+    pruning can't happen earlier — pmi needs the unigram joins first),
+    and the final selection is ORDER BY ... LIMIT k (TakeOrdered). At
+    any scale the corpus is scanned exactly twice (unigram stream,
+    bigram stream).
 
     Output: w1, w2, pair_count, pmi, rank.
     """
@@ -517,12 +529,14 @@ def pmi_bigrams(docs: DataFrame, k: int = 20, min_count: int = 5,
         F.slice("ws", 2, F.size("ws") - 1).alias("w2"))).alias("p")) \
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     uni = (words.select(F.explode("ws").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_u")))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_u"))
+           .localCheckpoint(eager=False))
     n_uni = uni.agg(F.sum("c_u").alias("n_u"))
-    big = (pairs.groupBy("w1", "w2")
-           .agg(F.count(F.lit(1)).alias("c_p"))
-           .where(F.col("c_p") >= min_count))
-    n_big = pairs.agg(F.count(F.lit(1)).alias("n_b"))
+    cb_all = (pairs.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("c_p"))
+              .localCheckpoint(eager=False))
+    big = cb_all.where(F.col("c_p") >= min_count)
+    n_big = cb_all.agg(F.sum("c_p").alias("n_b"))
     scored = (big
               .join(uni.select(F.col("w").alias("w1"),
                                F.col("c_u").alias("c1")), "w1")
