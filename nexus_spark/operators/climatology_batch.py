@@ -67,23 +67,30 @@ def gaussian_interp(grid: DataFrame, lat_step: float, lon_step: float,
     w = exp(vfactor · ((Δlat/slat)² + (Δlon/slon)²)), Δ in cell units.
     Output: lat, lon, gi_mean, gi_wsum.
     """
-    offsets = [(dy, dx) for dy in range(-wlat, wlat + 1)
-               for dx in range(-wlon, wlon + 1)]
     import math
 
-    contribs = []
-    for dy, dx in offsets:
-        w = math.exp(vfactor * ((dy / slat) ** 2 + (dx / slon) ** 2))
-        contribs.append(
-            grid.select(
-                F.round(F.col("lat") + dy * lat_step, 6).alias("lat"),
-                F.round(F.col("lon") + dx * lon_step, 6).alias("lon"),
-                (F.col(value_col) * F.lit(w)).alias("wv"),
-                F.when(F.col(value_col).isNotNull(), F.lit(w)).alias("w"),
-            ))
-    scattered = contribs[0]
-    for c in contribs[1:]:
-        scattered = scattered.unionByName(c)
+    # Single-subtree scatter: explode one literal array of (dy, dx, w)
+    # structs instead of unioning (2w+1)^2 copies of the grid subtree —
+    # the weights are compile-time constants of the offset, so the whole
+    # neighborhood is one generate over one scan (same rewrite as
+    # spatial_smooth below; the union form planned the aggregation
+    # subtree 9x and lost exchange reuse on re-execution).
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+                 F.lit(math.exp(vfactor * ((dy / slat) ** 2
+                                           + (dx / slon) ** 2))).alias("w"))
+        for dy in range(-wlat, wlat + 1)
+        for dx in range(-wlon, wlon + 1)])
+    scattered = (
+        grid.select(value_col, "lat", "lon",
+                    F.explode(offsets).alias("_o"))
+        .select(
+            F.round(F.col("lat") + F.col("_o.dy") * lat_step, 6).alias("lat"),
+            F.round(F.col("lon") + F.col("_o.dx") * lon_step, 6).alias("lon"),
+            (F.col(value_col) * F.col("_o.w")).alias("wv"),
+            F.when(F.col(value_col).isNotNull(),
+                   F.col("_o.w")).alias("w"),
+        ))
     cells = grid.select(F.round("lat", 6).alias("lat"),
                         F.round("lon", 6).alias("lon")).distinct()
     return (
