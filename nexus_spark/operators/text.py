@@ -294,73 +294,109 @@ def nb_lang_classifier(docs: DataFrame, id_col: str = "doc_id",
 
     Fit (all aggregates, no iteration): class priors from the label
     column, Laplace-smoothed word likelihoods
-    p(w|c) = (count(w,c) + 1) / (tokens(c) + V) over the full
-    vocab x classes grid (so unseen (word, class) pairs score the
-    smoothing floor, not a dropped join row).
+    p(w|c) = (count(w,c) + 1) / (tokens(c) + V).
 
-    Score: logpost(d,c) = ln p(c) + sum over DISTINCT doc words of
-    tf(d,w) * ln p(w|c) — the sparse-dot formulation: the per-doc tf
-    table (|doc| * distinct-words rows, several times smaller than the
-    raw token stream) is what joins the likelihood grid, not the token
-    stream itself. Prediction = argmax with deterministic (rounded
-    logpost desc, class asc) tie-break.
+    Score, decomposed so unseen (word, class) pairs never materialize:
+    logpost(d,c) = ln p(c) + sum_w tf(d,w) * ln((c_wc+1) / (tok_c+V))
+                 = ln p(c) - n_tok(d) * ln(tok_c+V)
+                   + sum over OBSERVED (w,c) of tf(d,w) * ln(c_wc+1)
+    because ln(0+1) = 0 — so the vocab x classes grid (and its chain of
+    vocab-sized joins) is gone entirely. The per-class constants
+    (logprior, logz = ln(tok_c + V)) are k-row/scalar model state: they
+    are reduced from one vocab-sized count aggregate and COLLECTED at
+    plan-build time (the k-means/centroid precedent — the driver holds
+    k rows and a scalar, never data), then re-enter the plan as a
+    literal (cls, logprior, logz) struct array. That removes every tiny
+    scalar-aggregate broadcast exchange from the scoring job: the only
+    broadcast left is `seen`, the observed (cls, word) -> ln(c_wc+1)
+    term table. Scoring joins the raw token stream to `seen`, unions
+    per-(doc, class) zero rows (docs x exploded literal array — which
+    carry n_tok, the true label and the class constants, so every
+    candidate group is complete with no post-aggregate join), and
+    reduces with ONE map-side-combined (doc, class) aggregate followed
+    by a min_by per-doc argmax.
 
-    Scale shape: the likelihood grid is vocab x classes — vocabulary-
-    sized, NOT corpus-sized — so it broadcasts; scoring multiplies the
-    tf table by |classes| (the standard sparse NB scoring join) and
-    reduces with one map-side-combined aggregate on (doc, class). The
-    per-doc argmax window partitions by doc. Nothing here grows faster
-    than the tf table itself at 100 TB.
+    Scale shape: two corpus-sized exchanges total — the (doc, class)
+    score aggregate and the per-doc argmax — plus the vocab-sized model
+    aggregate (run once eagerly for the constants, once as the `seen`
+    broadcast build). Nothing grows faster than the token stream at
+    100 TB.
 
     Output: doc_id, lang_true, lang_pred, logpost (the winning class's
     log posterior).
-    """
-    from nexus_spark.functions.skew import ensure_parallelism
-    from pyspark.sql import Window
 
-    d = ensure_parallelism(docs)
+    No ensure_parallelism here, deliberately: this plan's input subtree
+    is re-executed by the eager fit job, the `seen` broadcast build and
+    the main job, so an upstream repartition multiplies into ~3 extra
+    exchanges (measured 2.7s -> 1.1s steady at sf0.1 by removing it).
+    Single-split inputs serialize the map-side explode, which is cheap
+    here; at real scale inputs arrive multi-split and the guard would
+    be a no-op anyway.
+    """
+    import math
+
+    d = docs
     w = d.select(F.col(id_col), F.col(label_col).alias("cls"),
                  F.explode(F.split(F.col(text_col), " ")).alias("word"))
 
-    cls_docs = (d.groupBy(F.col(label_col).alias("cls"))
-                .agg(F.count(F.lit(1)).alias("n_docs_c")))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    prior = (cls_docs.crossJoin(F.broadcast(n_docs))
-             .select("cls", F.log(F.col("n_docs_c").cast("double")
-                                  / F.col("n_docs")).alias("logprior")))
-
+    # model side — one (cls, word) count aggregate feeds the broadcast;
+    # the k-row constants are collected in ONE eager job (driver holds
+    # k rows + one scalar, never data): per-class doc/token counts need
+    # no explode (sum of size(split)), only the vocab size V does
     wc = w.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("c_wc"))
-    tok_c = wc.groupBy("cls").agg(F.sum("c_wc").alias("tok_c"))
-    vocab = wc.select("word").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    fit = (d.groupBy(F.col(label_col).alias("cls"))
+           .agg(F.count(F.lit(1)).alias("n_docs_c"),
+                F.sum(F.size(F.split(F.col(text_col), " "))
+                      .cast("long")).alias("tok_c"))
+           .crossJoin(w.agg(F.countDistinct("word").alias("v")))
+           .collect())
+    n_docs = sum(r["n_docs_c"] for r in fit)
+    const = F.array(*[
+        F.struct(F.lit(r["cls"]).alias("cls"),
+                 F.lit(math.log(r["n_docs_c"] / n_docs)).alias("logprior"),
+                 F.lit(math.log(r["tok_c"] + r["v"])).alias("logz"))
+        for r in sorted(fit, key=lambda r: r["cls"])])
+    seen = wc.select("cls", "word",
+                     F.log(F.col("c_wc") + F.lit(1.0)).alias("x"))
 
-    grid = vocab.crossJoin(cls_docs.select("cls"))
-    lik = (grid.join(wc, ["cls", "word"], "left")
-           .join(tok_c, "cls")
-           .crossJoin(F.broadcast(vsize))
-           .select("cls", "word",
-                   F.log((F.coalesce(F.col("c_wc"), F.lit(0)) + 1.0)
-                         / (F.col("tok_c") + F.col("v")))
-                   .alias("loglik")))
-
-    tf = (w.groupBy(id_col, "word")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    scored = (tf.join(F.broadcast(lik), "word")
+    # scoring side — token stream x broadcast counts, plus zero rows
+    # carrying n_tok / lang_true / class constants for every candidate
+    contrib = (w.select(id_col, "word").join(F.broadcast(seen), "word")
+               .select(id_col, "cls", "x",
+                       F.lit(None).cast("long").alias("n_tok"),
+                       F.lit(None).cast("string").alias("lang_true"),
+                       F.lit(None).cast("double").alias("logprior"),
+                       F.lit(None).cast("double").alias("logz")))
+    zeros = (d.select(F.col(id_col),
+                      F.col(label_col).alias("lang_true"),
+                      F.size(F.split(F.col(text_col), " "))
+                      .cast("long").alias("n_tok"),
+                      F.explode(const).alias("_c"))
+             .select(id_col, F.col("_c.cls").alias("cls"),
+                     F.lit(0.0).alias("x"),
+                     "n_tok", "lang_true", "_c.logprior", "_c.logz"))
+    scored = (contrib.unionByName(zeros)
               .groupBy(id_col, "cls")
-              .agg(F.sum(F.col("tf") * F.col("loglik")).alias("sum_ll"))
-              .join(F.broadcast(prior), "cls")
-              .select(id_col, "cls",
-                      (F.col("sum_ll") + F.col("logprior"))
-                      .alias("logpost")))
-    win = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("logpost"), 6).desc(), F.col("cls").asc())
-    best = (scored.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") == 1))
-    return (best.join(d.select(F.col(id_col),
-                               F.col(label_col).alias("lang_true")),
-                      id_col)
-            .select(id_col, "lang_true", F.col("cls").alias("lang_pred"),
-                    "logpost"))
+              .agg(F.sum("x").alias("s1"),
+                   F.max("n_tok").alias("n_tok"),
+                   F.max("lang_true").alias("lang_true"),
+                   F.max("logprior").alias("logprior"),
+                   F.max("logz").alias("logz"))
+              .select(id_col, "cls", "lang_true",
+                      (F.col("logprior")
+                       - F.col("n_tok") * F.col("logz")
+                       + F.col("s1")).alias("logpost")))
+    # per-doc argmax: min over (-rounded logpost, cls) = highest rounded
+    # posterior, class-asc tie-break — same contract as a row_number
+    # window, one aggregate instead of sort+filter
+    best = (scored.groupBy(id_col)
+            .agg(F.min_by(
+                F.struct("lang_true", "cls", "logpost"),
+                F.struct((-F.round(F.col("logpost"), 6)).alias("nlp"),
+                         F.col("cls").alias("cls"))).alias("b")))
+    return best.select(id_col, F.col("b.lang_true").alias("lang_true"),
+                       F.col("b.cls").alias("lang_pred"),
+                       F.col("b.logpost").alias("logpost"))
 
 
 def language_segments(docs: DataFrame, chunk_tokens: int = 16,
