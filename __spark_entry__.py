@@ -3593,21 +3593,34 @@ def q_d_lsh_xx_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-variant membership flags; the oracle rebuilds the md5 set exactly
     (DuckDB-reproducible hashes) and asserts both flags TRUE — a recall
     miss in EITHER family surfaces as a flag flip / extra row, turning
-    the previously-unverifiable xx variant into a driver-checked one."""
+    the previously-unverifiable xx variant into a driver-checked one.
+
+    Plan note: both families share ONE exact-jaccard verify over the
+    union of their candidate sets (a pair's jaccard is hash-family-
+    independent) — the flags are candidate-set membership, which is
+    equivalent to membership in the per-family verified sets for every
+    row that survives the threshold. Verifying per family doubled the
+    postings-index consumers, which is what made this query degrade
+    when sweep-wide memory pressure evicted the postings cache."""
     from nexus_spark.catalog import load_table
-    from nexus_spark.operators.dedup import minhash_lsh_pairs
+    from nexus_spark.operators.dedup import (distinct_postings,
+                                             jaccard_verify,
+                                             minhash_lsh_candidates)
 
     docs = load_table(spark, sf_dir, "documents")
-    kw = dict(k=_MH_K, bands=_MH_BANDS, threshold=_JACCARD_T)
-    xx = (minhash_lsh_pairs(docs, hash_fn="xxhash64", **kw)
-          .select("id_a", "id_b", F.col("jaccard").alias("j_xx")))
-    md = (minhash_lsh_pairs(docs, hash_fn="md5", **kw)
-          .select("id_a", "id_b", F.col("jaccard").alias("j_md")))
-    out = (xx.join(md, ["id_a", "id_b"], "full_outer")
-           .select("id_a", "id_b",
-                   F.coalesce("j_xx", "j_md").alias("jaccard"),
-                   F.col("j_xx").isNotNull().alias("in_xx"),
-                   F.col("j_md").isNotNull().alias("in_md5")))
+    kw = dict(k=_MH_K, bands=_MH_BANDS)
+    xx = (minhash_lsh_candidates(docs, hash_fn="xxhash64", **kw)
+          .withColumn("c_xx", F.lit(True)))
+    md = (minhash_lsh_candidates(docs, hash_fn="md5", **kw)
+          .withColumn("c_md", F.lit(True)))
+    cand = (xx.join(md, ["id_a", "id_b"], "full_outer")
+            .select("id_a", "id_b",
+                    F.coalesce("c_xx", F.lit(False)).alias("in_xx"),
+                    F.coalesce("c_md", F.lit(False)).alias("in_md5")))
+    ver = jaccard_verify(cand.select("id_a", "id_b"),
+                         distinct_postings(docs), _JACCARD_T)
+    out = (ver.join(cand, ["id_a", "id_b"])
+           .select("id_a", "id_b", "jaccard", "in_xx", "in_md5"))
     return _finish(out)
 
 

@@ -55,8 +55,12 @@ _QUERY_NOTES = {
         "declared O(n^2) brute baseline (labeled); GEMM and IVF are the "
         "routed alternatives",
     "d_dedup_lsh_xx_parity":
-        "verification harness: runs BOTH hash families' full LSH "
-        "pipelines to compare their verified pair sets",
+        "verification harness: runs BOTH hash families' LSH banding, "
+        "then ONE shared exact-jaccard verify over the candidate union "
+        "(round-6 rewrite — the per-family verify doubled the postings-"
+        "index consumers, which degraded 4x when sweep-wide memory "
+        "pressure evicted the postings cache; flags are candidate-set "
+        "membership, equivalent post-threshold)",
     "d8_insitu_subset":
         "network-adapter simulation: paged EDGE responses normalized "
         "with vectorized pandas ops inside each page task (round-5 "
@@ -74,9 +78,10 @@ _QUERY_NOTES = {
         "first call pays one-off codegen of the 64-column dequantize "
         "projection; see the recorded `steady s` column",
     "text_nb_classifier":
-        "critical path of ~10 tiny sequential aggregate stages (NB fit "
-        "grid -> score -> argmax); per-stage scheduling floor dominates "
-        "at toy scale, join volume is the sparse tf formulation",
+        "round-6 collapse: log-likelihood decomposition removed the "
+        "vocab x classes grid; k-row constants collected eagerly, one "
+        "(doc, class) aggregate + min_by argmax (steady 3.1s -> 0.9s "
+        "at sf0.1 on the round-6 host)",
     "e_stream_dedup_exact":
         "executes a REAL streaming query (readStream + availableNow "
         "drain): ~1-2s of fixed stream startup/commit cost independent "

@@ -349,8 +349,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # postings stream feeds the aggregation directly — no distinct pass.
     if hash_fn == "xxhash64":
         # seeded re-hash of the 64-bit shingle hash: equally uniform, and
-        # the string never needs to leave the scan projection
-        post = shingle_postings(docs, id_col, text_col, with_string=False)
+        # the string never needs to leave the scan projection. When the
+        # session already holds the memoized distinct-postings index,
+        # consume IT instead of re-shingling — min over the distinct set
+        # is identical, and the banding + verify stages of an LSH call
+        # then share one cached scan.
+        key = (_session_key(docs.sparkSession), docs.semanticHash(),
+               id_col, text_col)
+        hit = _POSTINGS_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(docs):
+            post = hit[1]
+        else:
+            post = shingle_postings(docs, id_col, text_col,
+                                    with_string=False)
         sig_cols = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
                     for i in range(k)]
     elif hash_fn == "md5":
@@ -368,15 +379,16 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 32, bands: int = 8,
-                      threshold: float = 0.5,
-                      hash_fn: str = "xxhash64") -> DataFrame:
-    """MinHash+LSH near-dup pairs: band the k-row signature into `bands`
-    buckets, equi-join on (band_idx, band_hash), then verify with exact
-    shingle Jaccard on the (small) candidate set.
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 32,
+                           bands: int = 8,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """UNVERIFIED MinHash+LSH candidate pairs: band the k-row signature
+    into `bands` buckets and equi-join on (band_idx, band_hash).
+    Callers that compare several hash families (the xx/md5 parity check)
+    union candidate sets first and pay the exact-jaccard verify ONCE.
 
-    Output: id_a, id_b, jaccard (verified).
+    Output: id_a, id_b (a < b), distinct.
     """
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, hash_fn=hash_fn)
@@ -398,11 +410,25 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     la = bands_df.select("band_idx", "band_hash", F.col("id").alias("id_a"))
     lb = bands_df.select("band_idx", "band_hash", F.col("id").alias("id_b"))
-    candidates = (
+    return (
         la.join(lb, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 32, bands: int = 8,
+                      threshold: float = 0.5,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded candidates
+    (minhash_lsh_candidates), then verify with exact shingle Jaccard on
+    the (small) candidate set.
+
+    Output: id_a, id_b, jaccard (verified).
+    """
+    candidates = minhash_lsh_candidates(docs, id_col, text_col, k, bands,
+                                        hash_fn=hash_fn)
     # Verify candidates with exact jaccard over the shared postings index —
     # only candidate pairs are scored.
     return jaccard_verify(candidates,
