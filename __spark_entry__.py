@@ -3544,8 +3544,10 @@ def q_f_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Butterworth low-pass over the daily-mean series (reference
     Filtering.applyLowPassFilter). The filter is inherently sequential over
     one already-aggregated series — the one legitimate driver-side numpy
-    step (no SQL oracle; numpy kernel golden-tested in
-    tests/test_filtering.py)."""
+    step. No SQL oracle for THIS full-length variant (the filter design
+    depends on n); the pinned-length sibling f_lowpass_checked replays
+    the whole chain in DuckDB and is the driver-checked row. numpy
+    kernel also golden-tested in tests/test_filtering.py."""
     from nexus_spark.functions.filtering import low_pass_filter
     from nexus_spark.operators.timeseries import time_series
 
@@ -3565,6 +3567,142 @@ def q_f_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(str(r["ts_date"]), float(v)) for r, v in zip(ts, smooth)],
         "ts_date string, lowpass double")
     return _finish(out)
+
+
+_LP_N, _LP_PAD = 365, 30  # pinned series length -> fixed filter design
+
+
+def q_f_lowpass_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-CHECKABLE sibling of f_lowpass: the same Butterworth
+    filtfilt chain (reference Filtering.py:87-97) over the FIRST
+    {_LP_N} days of the sst_a daily series. Pinning n fixes the filter
+    design (wn = 12 / (n/2)), so the oracle can embed the (b, a, zi)
+    coefficient literals — whose derivation is behavior-pinned by the
+    golden tests in test_filtering.py (unity DC gain, half-power
+    cutoff) — and independently recompute EVERYTHING else in SQL: the
+    daily aggregation, null interpolation, odd-extension padding, both
+    directional IIR recurrences (recursive CTE carrying the DF2T state
+    vector), reversal and slicing. Closes the last rows-only §2 row."""
+    import numpy as np
+
+    from nexus_spark.functions.filtering import low_pass_filter
+    from nexus_spark.operators.timeseries import time_series
+
+    obs = domain.observations(spark, sf_dir)
+    ts = _finish(time_series(obs, datasets=["sst_a"])
+                 .select("ts_date", "ts_mean"))
+    rows = ts.orderBy("ts_date").limit(_LP_N).collect()
+    vals = np.array([r["ts_mean"] if r["ts_mean"] is not None else np.nan
+                     for r in rows])
+    idx = np.arange(len(vals))
+    good = ~np.isnan(vals)
+    filled = np.interp(idx, idx[good], vals[good])
+    smooth = low_pass_filter(filled, cutoff=12.0, order=9)
+    out = spark.createDataFrame(
+        [(r["ts_date"], float(v)) for r, v in zip(rows, smooth)],
+        "ts_date string, lowpass double")
+    return _finish(out)
+
+
+def _sql_lowpass_checked() -> str:
+    """DuckDB replay of the pinned-length filtfilt (see
+    q_f_lowpass_checked). The two lfilter passes are recursive CTEs
+    stepping the direct-form-II-transposed state vector with the SAME
+    floating-point operation order as functions/filtering.lfilter, so
+    the recurrence is bit-reproducible; b/a/zi enter as literals."""
+    import numpy as np
+
+    from nexus_spark.functions.filtering import _lfilter_zi, butter_lowpass
+
+    n, pad, order = _LP_N, _LP_PAD, 9
+    wn = min(12.0 / (0.5 * n), 0.99)
+    b, a = butter_lowpass(order, wn)
+    bn = np.asarray(b, dtype=float) / a[0]
+    an = np.asarray(a, dtype=float) / a[0]
+    zi = _lfilter_zi(bn, an)
+    big_l = n + 2 * pad
+
+    def dlist(vs):
+        return ("[" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)"
+                                for v in vs) + "]")
+
+    # DF2T state update, same op order as filtering.lfilter:
+    #   y  = b[0]*x + z[0]
+    #   z'[j] = b[j+1]*x + z[j+1] - a[j+1]*y   (j = 0..order-2)
+    #   z'[order-1] = b[order]*x - a[order]*y
+    znew = ", ".join(
+        [f"cb[{j + 2}]*xi + z[{j + 2}] - ca[{j + 2}]*yi"
+         for j in range(order - 1)]
+        + [f"cb[{order + 1}]*xi - ca[{order + 1}]*yi"])
+
+    def pass_cte(name: str, src: str) -> str:
+        # src must expose: xs (input list), dates, cb, ca
+        return f"""
+{name} AS (
+  SELECT 0 AS t, [zz * xs[1] FOR zz IN {dlist(zi)}] AS z,
+         CAST([] AS DOUBLE[]) AS acc, xs, dates, cb, ca
+  FROM {src}
+  UNION ALL
+  SELECT t + 1, [{znew}], list_append(acc, yi), xs, dates, cb, ca
+  FROM (SELECT t, z, acc, xs, dates, cb, ca, xs[t+1] AS xi,
+               cb[1]*xs[t+1] + z[1] AS yi
+        FROM {name} WHERE t < {big_l})
+)"""
+
+    return f"""
+WITH RECURSIVE {OBS},
+ts AS (
+  SELECT strftime(time, '%Y-%m-%d') AS ts_date,
+         ROUND({WMEAN}, {ND}) AS m
+  FROM obs WHERE dataset = 'sst_a'
+  GROUP BY strftime(time, '%Y-%m-%d')
+  ORDER BY ts_date LIMIT {n}
+),
+idx AS (SELECT ts_date, m, ROW_NUMBER() OVER (ORDER BY ts_date) AS i
+        FROM ts),
+pn AS (
+  SELECT ts_date, i, m,
+    LAST_VALUE(CASE WHEN m IS NOT NULL THEN i END IGNORE NULLS)
+      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS pi,
+    LAST_VALUE(m IGNORE NULLS)
+      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS pm,
+    FIRST_VALUE(CASE WHEN m IS NOT NULL THEN i END IGNORE NULLS)
+      OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS ni,
+    FIRST_VALUE(m IGNORE NULLS)
+      OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS nm
+  FROM idx),
+fill AS (
+  SELECT ts_date, i,
+    CASE WHEN m IS NOT NULL THEN m
+         WHEN pi IS NULL THEN nm
+         WHEN ni IS NULL THEN pm
+         ELSE pm + (CAST(i AS DOUBLE) - pi) * (nm - pm) / (ni - pi)
+    END AS v
+  FROM pn),
+base AS (SELECT LIST(v ORDER BY i) AS x,
+                LIST(ts_date ORDER BY i) AS dates,
+                {dlist(bn)} AS cb, {dlist(an)} AS ca
+         FROM fill),
+padded AS (
+  SELECT list_concat(list_concat(
+           [2*x[1] - x[{pad + 2} - k] FOR k IN generate_series(1, {pad})],
+           x),
+           [2*x[{n}] - x[{n} - k] FOR k IN generate_series(1, {pad})])
+         AS xs, dates, cb, ca
+  FROM base),
+{pass_cte('fwd', 'padded')},
+rev AS (SELECT list_reverse(acc) AS xs, dates, cb, ca
+        FROM fwd WHERE t = {big_l}),
+{pass_cte('bwd', 'rev')},
+fin AS (SELECT list_reverse(acc) AS y2, dates
+        FROM bwd WHERE t = {big_l})
+SELECT dates[k] AS ts_date, ROUND(y2[{pad} + k], {ND}) AS lowpass
+FROM fin, (SELECT unnest(generate_series(1, {n})) AS k)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -4381,6 +4519,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries (the former group-1 block, r04 window) plus anything new
     # or changed in round 6: ---
     "f_lowpass": q_f_lowpass,
+    "f_lowpass_checked": q_f_lowpass_checked,
     "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
@@ -4477,6 +4616,7 @@ _ORACLES: dict[str, str] = {
     "t_asof_doy": SQL_T_ASOF,
     "t_distinct_bboxes": SQL_T_BBOXES,
     "f_seasonal_filter": SQL_F_SEASONAL,
+    "f_lowpass_checked": _sql_lowpass_checked(),
     "etl_transforms": SQL_ETL,
     "etl_regrid": SQL_REGRID,
     "d_dedup_exact": SQL_D_EXACT,
