@@ -3209,6 +3209,13 @@ def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
             "overwrite").parquet(f"{base}/p")
         domain.matchup_secondary(spark, sf_dir).write.mode(
             "overwrite").parquet(f"{base}/s")
+    elif kind == "neardup_feed":
+        # the INCOMING two-thirds of documents, written as 4 files so a
+        # maxFilesPerTrigger=1 drain exercises multi-micro-batch commits
+        from nexus_spark.catalog import load_table
+        (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 3 != 0).repartition(4)
+         .write.mode("overwrite").parquet(base))
     else:
         table = {"docs": "documents", "events": "events"}[kind]
         src = os.path.join(sf_dir, f"{table}.parquet")
@@ -3257,6 +3264,99 @@ def q_e_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_E_STREAM_DEDUP = """
 SELECT DISTINCT md5(text) AS content_hash FROM documents
+"""
+
+
+def q_e_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup as a REAL executed stream — the production
+    loop the round-5 incremental MinHash store (dedup.write_minhash_index
+    / incremental_near_dup) was built for: history docs (doc_id%3==0)
+    seed a persistent signature store; the remaining docs arrive as a
+    4-file stream drained one file per micro-batch; each micro-batch is
+    LSH-banded against the store AND itself, its matches are emitted,
+    and its signatures are committed to the store before the next batch.
+
+    Oracle-checkable because the emitted PAIR SET is batching-
+    independent: any band-sharing pair with estimated jaccard >= t is
+    caught exactly once — within a micro-batch if both docs share one,
+    else via the store when the later one arrives. The oracle recomputes
+    the full-batch md5-MinHash banding + the matching-components/k
+    estimator over every pair with >= 1 incoming endpoint. Store is
+    re-seeded per invocation (one tiny history-signature job), so the
+    query is replay-idempotent; the feed directory is session-staged
+    like the other e_stream_* entries.
+
+    Output: id_a, id_b (unordered pair, a < b), est_jaccard."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (incremental_near_dup,
+                                             write_minhash_index)
+
+    feed = _staged_feed(spark, sf_dir, "neardup_feed")
+    history = (load_table(spark, sf_dir, "documents")
+               .where(F.col("doc_id") % 3 == 0))
+    work = tempfile.mkdtemp(prefix="nexus_neardup_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store, out_dir, ckpt = (f"{work}/store", f"{work}/out", f"{work}/ckpt")
+    write_minhash_index(history, store, k=_MH_K, hash_fn="md5",
+                        mode="overwrite")
+
+    kw = dict(k=_MH_K, bands=_MH_BANDS, threshold=0.5, hash_fn="md5")
+
+    def step(batch_df, _batch_id):
+        # one signature job per micro-batch: localCheckpoint feeds the
+        # banding, both estimator joins AND the store commit (else the
+        # k-seeded md5 aggregation re-executes ~5x per batch)
+        from nexus_spark.operators.dedup import minhash_signatures
+        sigs = minhash_signatures(batch_df, k=_MH_K,
+                                  hash_fn="md5").localCheckpoint()
+        (incremental_near_dup(batch_df, spark, store, signatures=sigs,
+                              **kw)
+         .select(F.least("id_new", "id_matched").alias("id_a"),
+                 F.greatest("id_new", "id_matched").alias("id_b"),
+                 "est_jaccard")
+         .write.mode("append").parquet(out_dir))
+        sigs.write.mode("append").parquet(store)
+
+    schema = spark.read.parquet(feed).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(feed))
+    with _stream_job_conf(spark):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming near-dup drain exceeded 300s")
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, est_jaccard double")
+    # a within-batch pair can ALSO resurface as a store pair on replay
+    # runs; the canonical unordered-pair surface is distinct by design
+    return _finish(spark.read.parquet(out_dir).distinct())
+
+
+def _sql_stream_near_dup() -> str:
+    est = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_K))
+    # reuse the md5-MinHash signature + banding CTEs, swap the verify
+    # stage for the signature-component estimator and keep only pairs
+    # with >= 1 incoming (streamed, doc_id%3<>0) endpoint
+    head = _sql_minhash_md5().split("ver AS (")[0].rstrip().rstrip(",")
+    return f"""{head},
+est AS (
+  SELECT id_a, id_b,
+         CAST({est} AS DOUBLE) / {_MH_K} AS est_jaccard
+  FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+  WHERE id_a % 3 <> 0 OR id_b % 3 <> 0)
+SELECT id_a, id_b, ROUND(est_jaccard, {ND}) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.5
 """
 
 
@@ -4470,6 +4570,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_matchup": q_e_stream_matchup,
     # group A2: NEW in round 5 (must be driver-checked this round) ---
     "e_stream_sessionize": q_e_stream_sessionize,
+    "e_stream_near_dup": q_e_stream_near_dup,
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
@@ -4721,6 +4822,7 @@ _ORACLES: dict[str, str] = {
     "scrub_cross_contamination": SQL_SCRUB_CROSS_CONTAM,
     "scrub_decontaminate": SQL_SCRUB_DECONTAMINATE,
     "e_stream_matchup": _sql_matchup(False),
+    "e_stream_near_dup": _sql_stream_near_dup(),
 }
 
 

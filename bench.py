@@ -91,6 +91,13 @@ _QUERY_NOTES = {
     "e_stream_window_watermark":
         "same executed-stream fixed cost as e_stream_dedup_exact, plus "
         "the watermark flush batch; staged feed memoized likewise",
+    "e_stream_near_dup":
+        "executes a REAL 4-micro-batch incremental stream: per batch it "
+        "LSH-matches against the persisted signature store AND itself, "
+        "then commits the batch's signatures (one localCheckpointed "
+        "signature job per batch) — 8 sequential Spark jobs plus stream "
+        "startup and the per-invocation store re-seed are the floor; "
+        "state is signatures only, never history text",
     "e_stream_matchup":
         "stream startup on top of the cell-equi/event-time range join; "
         "both feeds staged once per session (memoized). NOTE its oracle "

@@ -212,7 +212,8 @@ def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
                          id_col: str = "doc_id", text_col: str = "text",
                          k: int = 32, bands: int = 8,
                          threshold: float = 0.5,
-                         hash_fn: str = "xxhash64") -> DataFrame:
+                         hash_fn: str = "xxhash64",
+                         signatures: DataFrame | None = None) -> DataFrame:
     """Production ingest near-dup step: LSH-match the new batch's
     documents against the persistent signature store (all history) AND
     within the batch itself, without touching historical text.
@@ -227,12 +228,19 @@ def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
     Output: id_new, id_matched, est_jaccard, match_source
     ('store' | 'batch'); id_new < id_matched for within-batch pairs.
     Call write_minhash_index on the batch afterwards to commit it.
+
+    signatures: optionally pass the batch's PRE-MATERIALIZED signature
+    frame (minhash_signatures output, e.g. localCheckpointed inside a
+    foreachBatch step) — the signature subtree otherwise re-executes
+    for each of its ~5 consumers (bands x 2, estimator joins x 2, and
+    the caller's store commit).
     """
     import os
 
     rows_per_band = k // bands
-    new_sigs = minhash_signatures(new_docs, id_col, text_col, k,
-                                  hash_fn=hash_fn)
+    new_sigs = (signatures if signatures is not None
+                else minhash_signatures(new_docs, id_col, text_col, k,
+                                        hash_fn=hash_fn))
     store_sigs = (spark.read.parquet(store_path)
                   if os.path.exists(store_path) else None)
 
