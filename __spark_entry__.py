@@ -4549,78 +4549,11 @@ FROM ranked WHERE rank <= {_KNN_K}
 # "done = green" was an explicit round-3 task) = the 50-entry window;
 # see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-5 window (first 50): executes the rotation planned in the
-    # round-4 tail comment.
-    # group A (16): never driver-checked — the round-4 tail head ---
-    "d_weighted_sample": q_d_weighted_sample,
-    "sim_ann_int8": q_sim_ann_int8,
-    "d_corpus_diff": q_d_corpus_diff,
-    "sim_mean_pool": q_sim_mean_pool,
-    "sim_int8_recall_at_k": q_sim_int8_recall,
-    "d_export_pipeline": q_d_export_pipeline,
-    "d_topic_clusters": q_d_topic_clusters,
-    "d_kmeans_round": q_d_kmeans_round,
-    "e_stream_dedup_exact": q_e_stream_dedup_exact,
-    "e_stream_window_watermark": q_e_stream_window_watermark,
-    "d_importance_select": q_d_importance_select,
-    "text_lang_segments": q_text_lang_segments,
-    "text_nb_confusion": q_text_nb_confusion,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "e_stream_matchup": q_e_stream_matchup,
-    # group A2: NEW in round 5 (must be driver-checked this round) ---
-    "e_stream_sessionize": q_e_stream_sessionize,
-    "e_stream_near_dup": q_e_stream_near_dup,
-    "text_zipf_profile": q_text_zipf_profile,
-    "text_pmi_bigrams": q_text_pmi_bigrams,
-    "d_source_caps": q_d_source_caps,
-    "text_bpe_learn": q_text_bpe_learn,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
-    # group B (2): group-1 entries deferred from the round-4 window ---
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
-    # group C (6): implementation changed in round 4 (robustness/perf)
-    # or round 5 (bm25_topk TakeOrdered finisher feeds both retrieval
-    # entries) ---
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "text_bm25_topk": q_text_bm25,
-    "sim_hybrid_rrf": q_sim_hybrid_rrf,
-    # group D (21): r03-checked refreshes (headline/family-central picks,
-    # oracled entries preferred over the no-oracle variants; the sampling,
-    # knn, winnow, as-of and seasonal families ceded their slots to the
-    # four new round-5 queries and stay covered by in-window siblings —
-    # they lead round 6's rotation with the other r03 tail entries) ---
-    "s1_time_series": q_s1_time_series,
-    "s8_matchup_once": q_s8_matchup_once,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding": q_d_near_dup_embedding,
-    "sim_ann_lsh": q_sim_ann_lsh,
-    "d_corpus_mix": q_d_corpus_mix,
-    "d_contamination": q_d_contamination,
-    "doms_list": q_doms_list,
-    "s1_polygon_time_series": q_s1_polygon,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "a10_dataset_list": q_a10_dataset_list,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
-    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # --- tail (entry 51+): rotates in for round 6. The 23 r03-checked
-    # entries below (incl. the 4 no-oracle rows-only variants) will be
-    # exactly 2 rounds stale after this round and must LEAD round 6's
-    # window; the remaining slots refresh the stalest r04-checked
-    # entries (the former group-1 block, r04 window) plus anything new
-    # or changed in round 6: ---
+    # --- round-6 window (first 50): executes the rotation planned in
+    # the round-5 tail comment.
+    # group A (24): last driver-checked in round 3 — the stalest rows,
+    # leading per the round-5 VERDICT ask ---
     "f_lowpass": q_f_lowpass,
-    "f_lowpass_checked": q_f_lowpass_checked,
     "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
@@ -4644,11 +4577,48 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # --- tail: r04-checked (freshest; rotate last) ---
-    "text_stats": q_text_stats,
+    # group B (2): NEW in round 6 (must be driver-checked this round):
+    # the pinned-length Butterworth oracle and the executed
+    # incremental-near-dup stream ---
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "e_stream_near_dup": q_e_stream_near_dup,
+    # group C (5): implementation changed in round 6 (gaussian_interp
+    # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
+    # minhash candidates refactor) ---
+    "g_gaussian_interp": q_gauss_interp,
+    "text_nb_classifier": q_text_nb_classifier,
+    "text_nb_confusion": q_text_nb_confusion,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    # group D (19): r04-checked refreshes — family-central/expensive
+    # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
+    # simhash recall, warc, tiled lake, multimodal five, drift,
+    # temperature mix, filtered knn, recall@k) ---
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_span_apply": q_scrub_span_apply,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "sketch_profile": q_sketch_profile,
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "warc_ingest": q_warc_ingest,
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
     "m_frame_sample": q_m_frame_sample,
     "m_multimodal_features": q_m_features,
+    "m_resize_features": q_m_resize_features,
+    "m_resample_audio": q_m_resample_audio,
+    "corpus_drift_psi": q_corpus_drift,
+    "d_temperature_mix": q_d_temperature_mix,
+    "sim_filtered_knn": q_sim_filtered_knn,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    # --- tail (entry 51+): rotates in for round 7. The 26 r04-checked
+    # entries below will be exactly 2 rounds stale after this round and
+    # must LEAD round 7's window; then the r05/r06-checked block (the
+    # round-6 window above refreshes groups A-D, so after this round
+    # the stalest surviving rows are exactly these 26): ---
+    "text_stats": q_text_stats,
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
     "sql_regional_revenue": q_sql_regional,
@@ -4658,7 +4628,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
-    "g_gaussian_interp": q_gauss_interp,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
@@ -4669,30 +4638,61 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_topk_per_group": q_sql_topk,
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_span_apply": q_scrub_span_apply,
     "text_bpe_tokens": q_text_bpe_tokens,
-    "warc_ingest": q_warc_ingest,
-    "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "m_resize_features": q_m_resize_features,
-    "m_resample_audio": q_m_resample_audio,
-    "corpus_drift_psi": q_corpus_drift,
-    "d_temperature_mix": q_d_temperature_mix,
     "text_bigram_nll": q_text_bigram_nll,
     "d_chunking": q_d_chunking,
     "text_vocab_oov": q_text_vocab_oov,
-    "sim_filtered_knn": q_sim_filtered_knn,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    "text_nb_classifier": q_text_nb_classifier,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
-    "sketch_profile": q_sketch_profile,
-    "d_semantic_dedup": q_d_semantic_dedup,
+    # --- tail: checked in round 5 (freshest; rotate last) ---
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
+    "d_export_pipeline": q_d_export_pipeline,
+    "d_topic_clusters": q_d_topic_clusters,
+    "d_kmeans_round": q_d_kmeans_round,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "e_stream_matchup": q_e_stream_matchup,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "text_zipf_profile": q_text_zipf_profile,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
+    "d_source_caps": q_d_source_caps,
+    "text_bpe_learn": q_text_bpe_learn,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    "text_bm25_topk": q_text_bm25,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
+    "s1_time_series": q_s1_time_series,
+    "s8_matchup_once": q_s8_matchup_once,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
+    "doms_list": q_doms_list,
+    "s1_polygon_time_series": q_s1_polygon,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "a10_dataset_list": q_a10_dataset_list,
+    "s4_corr_map": q_s4_corr_map,
+    "s7_daily_difference": q_s7_daily_difference,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
 }
 
 _ORACLES: dict[str, str] = {

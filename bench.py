@@ -292,20 +292,44 @@ def _build_sf1(spark, src_dir: str) -> str:
     return out
 
 
+SF1_EXTRA = (
+    # round-6 extension: the most expensive non-headline shapes, so the
+    # scale story for scrub/text/CC/retrieval/streaming rests on recorded
+    # numbers, not design argument (round-5 VERDICT ask)
+    "scrub_span_dedup",
+    "scrub_decontaminate",
+    "text_nb_classifier",
+    "text_nb_confusion",
+    "d_cluster_stats",
+    "d_dedup_components",
+    "sim_hybrid_rrf",
+    "e_stream_sessionize",
+)
+
+
 def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
-    """--sf1: the scale rehearsal — run the 17 headline queries at a
-    synthesized sf1 (10x sf0.1) against their DuckDB oracles, and write
-    BENCH_SF1.json. s8_matchup_once runs on Spark but is EXCLUDED from
-    the DuckDB ratio: the oracle SQL is the O(n^2) distance cross-join,
-    which at 10x the points costs ~100x (~80 min) — the cell-bucketed
-    equi-join is exactly the part of the design that survives scale.
+    """--sf1: the scale rehearsal — run the 17 headline queries plus the
+    SF1_EXTRA expensive shapes at a synthesized sf1 (10x sf0.1) against
+    their DuckDB oracles, and write BENCH_SF1.json with per-query
+    sf0.1->sf1 steady scaling factors (read from the latest
+    BENCH_NOTES.json; 10x data -> factor <= ~10 is linear-or-better).
+    s8_matchup_once runs on Spark but is EXCLUDED from the DuckDB ratio:
+    the oracle SQL is the O(n^2) distance cross-join, which at 10x the
+    points costs ~100x (~80 min) — the cell-bucketed equi-join is
+    exactly the part of the design that survives scale.
     """
     sf1 = _build_sf1(spark, src_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     con = _duck_connect(sf1)
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "BENCH_NOTES.json")) as fh:
+            sf01 = json.load(fh)["queries"]
+    except Exception:
+        sf01 = {}
 
     record: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + SF1_EXTRA:
         t0 = time.perf_counter()
         n = qs[name](spark, sf1).count()
         first = round(time.perf_counter() - t0, 3)
@@ -317,19 +341,27 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             duck = round(time.perf_counter() - t0, 3)
+        base = (sf01.get(name) or {}).get("spark_steady_sec")
+        scale = round(steady / base, 2) if base else None
         record[name] = {"rows": n, "spark_sec": first,
-                        "spark_steady_sec": steady, "duckdb_sec": duck}
+                        "spark_steady_sec": steady, "duckdb_sec": duck,
+                        "scale_vs_sf01_steady": scale}
         print(f"# sf1 {name}: spark {first:.3f}s steady {steady:.3f}s "
               f"duckdb {'-' if duck is None else f'{duck:.3f}s'} "
-              f"({n} rows)", file=sys.stderr)
+              f"scale x{scale} ({n} rows)", file=sys.stderr)
 
     ex = {k: v for k, v in record.items() if v["duckdb_sec"] is not None}
     payload = {
         "sf": 1.0,
-        "note": ("synthesized 10x sf0.1 lake (_build_sf1); "
-                 "s8_matchup_once excluded from the DuckDB ratio — its "
-                 "oracle is the O(n^2) distance cross-join (~100x cost "
-                 "at 10x points)"),
+        "note": ("synthesized 10x sf0.1 lake (_build_sf1); 17 headline + "
+                 f"{len(SF1_EXTRA)} expensive extra shapes; "
+                 "scale_vs_sf01_steady = sf1 steady / sf0.1 steady from "
+                 "the latest BENCH_NOTES.json (10x data -> <=~10 is "
+                 "linear-or-better; sub-second sf0.1 entries overstate "
+                 "the factor because the per-stage floor does not "
+                 "scale). s8_matchup_once excluded from the DuckDB "
+                 "ratio — its oracle is the O(n^2) distance cross-join "
+                 "(~100x cost at 10x points)"),
         "spark_total_sec": round(sum(
             v["spark_sec"] for v in record.values()), 3),
         "spark_steady_total_ex_matchup_sec": round(sum(
