@@ -329,10 +329,16 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
         sf01 = {}
 
     record: dict[str, dict] = {}
+    from nexus_spark.operators import dedup as _dedup
     for name in HEADLINE + SF1_EXTRA:
+        # same warm-state policy as --full: the CC memo is a QUERY-RESULT
+        # cache — cleared per timed call so cluster_stats/components pay
+        # their own convergence (else their sf1 rows record memo hits)
+        _dedup._CC_CACHE.clear()
         t0 = time.perf_counter()
         n = qs[name](spark, sf1).count()
         first = round(time.perf_counter() - t0, 3)
+        _dedup._CC_CACHE.clear()
         t0 = time.perf_counter()
         qs[name](spark, sf1).count()
         steady = round(time.perf_counter() - t0, 3)
@@ -359,7 +365,14 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
                  "the latest BENCH_NOTES.json (10x data -> <=~10 is "
                  "linear-or-better; sub-second sf0.1 entries overstate "
                  "the factor because the per-stage floor does not "
-                 "scale). s8_matchup_once excluded from the DuckDB "
+                 "scale). The dedup-pair family's factors exceed 10x "
+                 "because the synthesized lake stacks 10 near-copies of "
+                 "every doc, so the PAIR workload grows ~quadratically "
+                 "in cluster size, not linearly in rows: ngram pair "
+                 "OUTPUT grows ~979x (time x54 — strongly sub-linear "
+                 "vs workload), and components/cluster_stats consume "
+                 "that ~1000x-denser edge graph (x15/x14). "
+                 "s8_matchup_once excluded from the DuckDB "
                  "ratio — its oracle is the O(n^2) distance cross-join "
                  "(~100x cost at 10x points)"),
         "spark_total_sec": round(sum(
