@@ -151,22 +151,30 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
     optional language filter → exact dedup on the normalized fingerprint
     (lowest id survives, copies counted).
 
-    The whole pipeline is ONE projection + one fingerprint aggregate —
-    the scan computes every per-doc statistic in a single pass, the only
-    shuffle is the dedup groupBy on the content hash, and everything is
-    JVM-side expression code (the shape that survives a 100 TB corpus).
+    The whole pipeline is ONE projection + one fingerprint-partitioned
+    window — the scan computes every per-doc statistic in a single
+    pass, the only shuffle is the window exchange on the content hash
+    (the same shuffle a dedup groupBy would pay, but WITHOUT the
+    groupBy-then-self-join shape that re-executes the stats projection
+    for each side), and everything is JVM-side expression code (the
+    shape that survives a 100 TB corpus). Fingerprint groups are
+    duplicate clusters — small by construction — so the window carries
+    no skew risk the aggregate would not.
 
     Output: doc_id, n_tokens, quality, lang_pred, fingerprint, dup_cnt
     (copies collapsed among quality-passing docs).
     """
+    from pyspark.sql import Window
+
     stats = text_stats(docs, id_col, text_col)
     gated = stats.where(F.col("quality") >= min_quality)
     if langs:
         gated = gated.where(F.col("lang_pred").isin(list(langs)))
-    kept = (gated.groupBy("fingerprint")
-            .agg(F.min(id_col).alias(id_col),
-                 F.count(F.lit(1)).alias("dup_cnt")))
-    return (gated.join(kept, ["fingerprint", id_col])
+    w = Window.partitionBy("fingerprint")
+    return (gated
+            .withColumn("_min_id", F.min(id_col).over(w))
+            .withColumn("dup_cnt", F.count(F.lit(1)).over(w))
+            .where(F.col(id_col) == F.col("_min_id"))
             .select(id_col, "n_tokens", "quality", "lang_pred",
                     "fingerprint", "dup_cnt"))
 

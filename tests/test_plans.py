@@ -287,3 +287,36 @@ def test_a2_rejects_mismatched_native_tiling(spark, tmp_path):
                               **kwargs)
     flat = stats_from_summary(obs, summary, **kwargs)
     assert canon(safe) == canon(flat)
+
+
+def test_curation_dedup_is_window_not_self_join(spark):
+    """Round-6 rewrite gate: curate's fingerprint dedup is a window over
+    ONE execution of the stats projection — the plan must contain a
+    Window node and NO join at all (the old groupBy-then-self-join shape
+    executed the expensive stats projection twice)."""
+    plan = _plan(spark, "d_curation_pipeline")
+    tree = _final_tree(plan)
+    assert "Window" in tree
+    assert "Join" not in tree  # matches SortMergeJoin/BroadcastHashJoin/...
+
+
+def test_gaussian_interp_single_subtree_scatter(spark):
+    """Round-6 rewrite gate: the 3x3 gaussian scatter is ONE generate
+    (explode of the literal offset array) over ONE aggregation subtree —
+    no unionByName fan-out replanning the grid aggregate 9x."""
+    plan = _plan(spark, "g_gaussian_interp")
+    tree = _final_tree(plan)
+    assert "Union" not in tree
+    assert len(re.findall(r"\bGenerate\b", tree)) == 1
+
+
+def test_nb_classifier_no_vocab_grid_join(spark):
+    """Round-6 rewrite gate: the NB scoring plan joins the token stream
+    to the broadcast observed-(cls, word) terms ONCE — there is no
+    vocab x classes grid, so the plan has exactly one broadcast hash
+    join, one union (contrib + zero rows) and no sort-merge join."""
+    plan = _plan(spark, "text_nb_classifier")
+    tree = _final_tree(plan)
+    assert len(re.findall(r"BroadcastHashJoin", tree)) == 1
+    assert len(re.findall(r"\bUnion\b", tree)) == 1
+    assert "SortMergeJoin" not in tree
