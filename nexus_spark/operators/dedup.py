@@ -82,6 +82,29 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
 _POSTINGS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
+def _bounded_put(cache: dict, key, value, cap: int = 6,
+                 frame_idx: int | None = 1) -> None:
+    """Insert into an insertion-ordered memo and evict the OLDEST entries
+    beyond `cap`, unpersisting the evicted frame (tuple position
+    `frame_idx`; None = nothing persisted, just drop the reference).
+
+    Why bounded: a long-lived session (or a 124-query sweep) otherwise
+    accumulates one storage-cached frame per distinct input plan, and
+    the unified memory manager answers the pressure by evicting cache
+    blocks mid-query — which is how round 5's two steady-state
+    inversions happened. A handful of live corpora per cache is the
+    working set; anything older is cheaper to rebuild than to squat on
+    executor storage."""
+    cache[key] = value
+    while len(cache) > cap:
+        old = cache.pop(next(iter(cache)))  # dicts are insertion-ordered
+        if frame_idx is not None:
+            try:
+                old[frame_idx].unpersist()
+            except Exception:
+                pass
+
+
 def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Distinct (id, shingle-hash) postings with per-doc distinct-shingle
@@ -97,7 +120,7 @@ def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
            .withColumn("n_shingles",
                        F.count(F.lit(1)).over(Window.partitionBy("id"))))
     got = got.cache()
-    _POSTINGS_CACHE[key] = (docs, got)
+    _bounded_put(_POSTINGS_CACHE, key, (docs, got))
     return got
 
 
@@ -726,7 +749,8 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         return hit[2]
     got = _connected_components(pairs, nodes, id_col, src_col,
                                 dst_col, max_rounds)
-    _CC_CACHE[key] = (pairs, nodes, got)
+    _bounded_put(_CC_CACHE, key, (pairs, nodes, got), cap=4,
+                 frame_idx=None)  # localCheckpointed; no unpersist handle
     return got
 
 

@@ -79,7 +79,8 @@ def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
     # partition count (1 task would serialize every n^2 score).
     got = ensure_parallelism(
         _flat(df, id_col, vec_col, dim, prefix)).cache()
-    _FLAT_CACHE[key] = (df, got)
+    from nexus_spark.operators.dedup import _bounded_put
+    _bounded_put(_FLAT_CACHE, key, (df, got))
     return got
 
 
@@ -110,7 +111,8 @@ def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
              .withColumn("crank", F.row_number().over(w))
              .where(F.col("crank") <= nprobe)
              .select("id", "cent_id").cache())
-    _CELLS_CACHE[key] = (corpus, cells)
+    from nexus_spark.operators.dedup import _bounded_put
+    _bounded_put(_CELLS_CACHE, key, (corpus, cells))
     return cells
 
 
