@@ -256,3 +256,52 @@ def test_bm25_matches_reference_formula(spark, texts):
             assert got[i] == pytest.approx(want, rel=1e-9)
         else:
             assert i not in got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["en", "de", "fr"]),
+              st.lists(st.sampled_from(list("abcdefg")),
+                       min_size=1, max_size=6)),
+    min_size=2, max_size=10))
+def test_nb_decomposition_equals_naive_grid(spark, docs):
+    """The round-6 decomposed NB plan (observed-pairs join + n_tok*logz
+    correction, no vocab x classes grid) must score EXACTLY like the
+    naive grid formulation — same argmax and same logpost to 1e-9 — on
+    arbitrary tiny corpora, including docs sharing no word with some
+    class and single-class corpora."""
+    import math
+    from collections import Counter, defaultdict
+
+    from nexus_spark.operators import text as text_ops
+
+    rows = [(i, lang, " ".join(words))
+            for i, (lang, words) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    text_ops.clear_nb_fit_cache()
+    got = {r["doc_id"]: r for r in
+           text_ops.nb_lang_classifier(df).collect()}
+
+    # naive grid reference in pure python
+    classes = sorted({lang for _, lang, _ in rows})
+    n_docs = len(rows)
+    cls_docs = Counter(lang for _, lang, _ in rows)
+    wc = defaultdict(Counter)
+    for _, lang, text in rows:
+        wc[lang].update(text.split(" "))
+    vocab = sorted({w for c in wc.values() for w in c})
+    v = len(vocab)
+    tok_c = {c: sum(wc[c].values()) for c in classes}
+    for i, lang, text in rows:
+        posts = {}
+        for c in classes:
+            lp = math.log(cls_docs[c] / n_docs)
+            for w in text.split(" "):
+                lp += math.log((wc[c][w] + 1.0) / (tok_c[c] + v))
+            posts[c] = lp
+        best = min(classes, key=lambda c: (-round(posts[c], 6), c))
+        r = got[i]
+        assert r["lang_pred"] == best, (i, posts, dict(r.asDict()))
+        assert abs(r["logpost"] - posts[best]) < 1e-9
+        assert r["lang_true"] == lang
