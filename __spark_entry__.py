@@ -3297,13 +3297,28 @@ def q_e_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              write_minhash_index)
 
     feed = _staged_feed(spark, sf_dir, "neardup_feed")
-    history = (load_table(spark, sf_dir, "documents")
-               .where(F.col("doc_id") % 3 == 0))
+    # The seed store (history's signatures) is write-time ingest state —
+    # computed ONCE per session into a staged directory, then restored
+    # into each run's store by file copy so the stream's own commits
+    # never leak between invocations (replay-idempotence with a flat,
+    # non-growing store).
+    seed_key = (sf_dir, "neardup_seed")
+    seed = _STREAM_STAGE.get(seed_key)
+    if seed is None or not os.path.isdir(seed):
+        seed = tempfile.mkdtemp(prefix="nexus_neardup_seed_")
+        history = (load_table(spark, sf_dir, "documents")
+                   .where(F.col("doc_id") % 3 == 0))
+        write_minhash_index(history, seed, k=_MH_K, hash_fn="md5",
+                            mode="overwrite")
+        _STREAM_STAGE[seed_key] = seed
+        atexit.register(shutil.rmtree, seed, ignore_errors=True)
     work = tempfile.mkdtemp(prefix="nexus_neardup_run_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     store, out_dir, ckpt = (f"{work}/store", f"{work}/out", f"{work}/ckpt")
-    write_minhash_index(history, store, k=_MH_K, hash_fn="md5",
-                        mode="overwrite")
+    os.makedirs(store)
+    for f in os.listdir(seed):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(seed, f), store)
 
     kw = dict(k=_MH_K, bands=_MH_BANDS, threshold=0.5, hash_fn="md5")
 
