@@ -3738,7 +3738,13 @@ def _sql_lowpass_checked() -> str:
     big_l = n + 2 * pad
 
     def dlist(vs):
-        return ("[" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)"
+        # QUOTED-string casts: a bare numeric literal inside CAST(x AS
+        # DOUBLE) is parsed as DECIMAL first and loses ulps; the string
+        # form goes through strtod and round-trips the double exactly.
+        # One ulp matters here: the order-9 direct-form transient
+        # amplifies a 1-ulp state perturbation ~1e7x (measured 5.7e-14
+        # -> 5.4e-7 over the 425-step backward pass).
+        return ("[" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)"
                                 for v in vs) + "]")
 
     # DF2T state update, same op order as filtering.lfilter:
@@ -3795,7 +3801,11 @@ fill AS (
     CASE WHEN m IS NOT NULL THEN m
          WHEN pi IS NULL THEN nm
          WHEN ni IS NULL THEN pm
-         ELSE pm + (CAST(i AS DOUBLE) - pi) * (nm - pm) / (ni - pi)
+         -- np.interp op order exactly: slope*(x - x_lo) + y_lo, so the
+         -- filled series is bit-identical and the IIR replay cannot
+         -- amplify an interpolation ulp into a 6th-decimal flip
+         ELSE ((nm - pm) / (CAST(ni AS DOUBLE) - pi))
+              * (CAST(i AS DOUBLE) - pi) + pm
     END AS v
   FROM pn),
 base AS (SELECT LIST(v ORDER BY i) AS x,

@@ -40,3 +40,24 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_lowpass_checked_matches_oracle_with_null_days(spark):
+    """sf0.001's daily series has ~36 NULL days inside the pinned 365-day
+    window (sf0.01 has none), so this is the only gate on the
+    null-interpolation leg of the f_lowpass_checked oracle — and a
+    regression pin on two bit-exactness requirements the round-6 debug
+    established: np.interp's exact op order in the fill CTE, and
+    QUOTED-string double literals (a bare numeric inside CAST(x AS
+    DOUBLE) parses as DECIMAL first and loses the ulp that the order-9
+    transient amplifies ~1e7x)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    mod = _entry_module()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'")
+    sdf = mod.queries()["f_lowpass_checked"](spark, SF_DIR)
+    assert_frames_match(sdf, con.sql(mod.oracle_sql()["f_lowpass_checked"]))
