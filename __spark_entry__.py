@@ -4553,6 +4553,92 @@ FROM ranked WHERE rank <= {_KNN_K}
 """
 
 
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jegou et al. TPAMI 2011) — the
+    third compression point of the index family after float32 and int8
+    SQ: m=8 one-byte codes per 64-dim vector (32x scan-byte reduction),
+    scored by per-query lookup tables instead of full dot products.
+    Deterministic trainer (md5-ordered seeds, one rounded-argmin Lloyd
+    round), so codebook, codes and ADC scores are all oracle-checked."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_pq(emb, queries_df, k=_KNN_K,
+                          m=_PQ_M, ksub=_PQ_KSUB))
+
+
+_PQ_M = 8       # subspaces (dim 64 -> 8 dims each)
+_PQ_KSUB = 16   # centroids per subspace
+
+
+def _sql_sim_pq() -> str:
+    """PQ trainer + encoder + ADC replay: md5-ordered seed codebook, one
+    Lloyd round with ROUND(d2,6)+code argmin and empty-cell carry-over,
+    re-encode, per-query LUT join, reconstruction-norm cosine."""
+    dsub = 64 // _PQ_M
+    d2 = ("list_dot_product(sv, sv) - 2*list_dot_product(sv, tv)"
+          " + list_dot_product(tv, tv)")
+    mv = "[" + ", ".join(f"avg(sv[{i + 1}])" for i in range(dsub)) + "]"
+    return f"""
+WITH {_VECS},
+subs AS (
+  SELECT vec_id, CAST(s.sub AS INT) AS sub,
+         vec[CAST(s.sub*{dsub}+1 AS INT):CAST(s.sub*{dsub}+{dsub} AS INT)]
+           AS sv
+  FROM v, (SELECT UNNEST(range({_PQ_M})) AS sub) s),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1
+           AS code
+  FROM (SELECT vec_id FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KSUB})),
+cb0 AS (SELECT s.sub, seeds.code, s.sv AS tv
+        FROM subs s JOIN seeds USING (vec_id)),
+a1 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb0.code, {d2} AS d2
+    FROM subs JOIN cb0 USING (sub))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY ROUND(d2, 6), code) = 1),
+means AS (
+  SELECT sub, code, {mv} AS mv
+  FROM subs JOIN a1 USING (vec_id, sub) GROUP BY sub, code),
+cb AS (
+  SELECT cb0.sub, cb0.code,
+         CASE WHEN m.code IS NULL THEN cb0.tv ELSE m.mv END AS tv
+  FROM cb0 LEFT JOIN means m ON cb0.sub = m.sub AND cb0.code = m.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb.code, {d2} AS d2
+    FROM subs JOIN cb USING (sub))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY ROUND(d2, 6), code) = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         list_dot_product(q.sv, cb.tv) AS pdot,
+         list_dot_product(cb.tv, cb.tv) AS cn2
+  FROM (SELECT * FROM subs WHERE vec_id < {_KNN_QUERIES}) q
+       JOIN cb USING (sub)),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         SUM(l.pdot) AS adot, SUM(l.cn2) AS rn2
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id),
+fin AS (
+  SELECT s.query_id, s.neighbor_id,
+         s.adot / (n.nrm * sqrt(s.rn2)) AS cosine
+  FROM scored s JOIN n ON n.vec_id = s.query_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank,
+       ROUND(cosine, {ND}) AS cosine
+FROM fin QUALIFY rank <= {_KNN_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4602,11 +4688,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (2): NEW in round 6 (must be driver-checked this round):
-    # the pinned-length Butterworth oracle and the executed
-    # incremental-near-dup stream ---
+    # group B (3): NEW in round 6 (must be driver-checked this round):
+    # the pinned-length Butterworth oracle, the executed
+    # incremental-near-dup stream, and PQ/ADC compressed search ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
+    "sim_ann_pq": q_sim_ann_pq,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -4615,10 +4702,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (19): r04-checked refreshes — family-central/expensive
+    # group D (18): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # simhash recall, warc, tiled lake, multimodal five, drift,
-    # temperature mix, filtered knn, recall@k) ---
+    # simhash recall, warc, tiled lake, multimodal four, drift,
+    # temperature mix, filtered knn, recall@k; m_frame_sample displaced
+    # to the tail by sim_ann_pq — it joins the round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -4630,7 +4718,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
-    "m_frame_sample": q_m_frame_sample,
     "m_multimodal_features": q_m_features,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
@@ -4638,11 +4725,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_temperature_mix": q_d_temperature_mix,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 26 r04-checked
-    # entries below will be exactly 2 rounds stale after this round and
-    # must LEAD round 7's window; then the r05/r06-checked block (the
-    # round-6 window above refreshes groups A-D, so after this round
-    # the stalest surviving rows are exactly these 26): ---
+    # --- tail (entry 51+): rotates in for round 7. The 27 r04-checked
+    # entries below (26 planned + m_frame_sample, displaced from the
+    # window by sim_ann_pq) will be exactly 2 rounds stale after this
+    # round and must LEAD round 7's window; then the r05/r06-checked
+    # block (the round-6 window above refreshes groups A-D, so after
+    # this round the stalest surviving rows are exactly these 27): ---
+    "m_frame_sample": q_m_frame_sample,
     "text_stats": q_text_stats,
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
@@ -4827,6 +4916,7 @@ _ORACLES: dict[str, str] = {
     "sim_quantize_int8": SQL_SIM_QUANTIZE,
     "d_weighted_sample": SQL_D_WEIGHTED_SAMPLE,
     "sim_ann_int8": SQL_SIM_ANN_INT8,
+    "sim_ann_pq": _sql_sim_pq(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -698,3 +698,166 @@ def pool_to_vectors(pooled: DataFrame, group_col: str) -> DataFrame:
                 F.array_sort(F.collect_list(
                     F.struct(F.col("pos"), F.col("pooled")))),
                 lambda s: s.getField("pooled")).alias("embedding")))
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — codebook training, encoding, ADC search
+# --------------------------------------------------------------------------
+
+def _pq_subspaces(flat: DataFrame, dim: int, m: int,
+                  prefix: str) -> DataFrame:
+    """Long-format subspace view of a `_flat` frame: one row per
+    (id, sub) with the sub-vector as flat doubles s0..s{dsub-1}. Built
+    with a single explode over an m-element literal struct array (the
+    single-subtree scatter pattern — the source is planned once)."""
+    dsub = dim // m
+    structs = [
+        F.struct(F.lit(s).alias("sub"),
+                 *[F.col(f"{prefix}{s * dsub + i}").alias(f"s{i}")
+                   for i in range(dsub)])
+        for s in range(m)]
+    return (flat.select("id", F.explode(F.array(*structs)).alias("e"))
+            .select("id", "e.*"))
+
+
+def _pq_d2(dsub: int):
+    """Squared L2 distance between sub-vector s* and centroid t* as the
+    three-sequential-dot decomposition (ss - 2*st + tt, each sum
+    left-to-right) — the same engine-portable form quantize_int8 uses,
+    so the oracle's list_dot_product arithmetic matches term-for-term."""
+    ss = " + ".join(f"s{i} * s{i}" for i in range(dsub))
+    st = " + ".join(f"s{i} * t{i}" for i in range(dsub))
+    tt = " + ".join(f"t{i} * t{i}" for i in range(dsub))
+    return F.expr(f"({ss}) - 2 * ({st}) + ({tt})")
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame,
+               dsub: int) -> DataFrame:
+    """Nearest-centroid code per (id, sub): broadcast the O(m*ksub)-row
+    codebook, equi-join on sub, min_by over (rounded d2, code) — one
+    map-side-combined aggregate, no window."""
+    return (subs.join(F.broadcast(codebook.drop("cn2")), "sub")
+            .withColumn("d2", _pq_d2(dsub))
+            .groupBy("id", "sub")
+            .agg(F.min_by(
+                "code",
+                F.struct(F.round(F.col("d2"), 6).alias("d"),
+                         F.col("code").alias("c"))).alias("code")))
+
+
+def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = DIM, m: int = 8,
+             ksub: int = 16, iters: int = 1) -> DataFrame:
+    """Train a product-quantization codebook (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the dim-d space into m orthogonal subspaces of dim/m dims and
+    learn ksub centroids per subspace by Lloyd refinement.
+
+    Deterministic end-to-end, so the whole trainer is oracle-checkable:
+    the initial codebook is the sub-vectors of the ksub md5-ordered seed
+    vectors (code = 0-based rank in that order — the same fixed-k
+    TakeOrdered seed rule as ann_ivf), each Lloyd round assigns by
+    ROUND(d2,6)+code tie-broken argmin and re-centres by member mean,
+    and a cell that loses all members keeps its previous centroid.
+
+    Scale: each round is ONE corpus pass (the m-way subspace explode
+    keeps row volume at n*m scalar-struct rows = the vector volume
+    itself) against an O(m*ksub)-row broadcast, followed by an
+    O(m*ksub)-group aggregate — O(n*m*ksub) compute with driver state
+    that never exceeds the m*ksub codebook rows. At 100 TB the trainer
+    runs on a fixed-size sample; encoding (pq_encode) streams the full
+    corpus against the same broadcast codebook.
+
+    Returns (sub, code, t0..t{dim/m-1}, cn2) where cn2 is the centroid's
+    squared norm — the reconstruction-norm term ADC search needs.
+    """
+    dsub = dim // m
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    subs = _pq_subspaces(corpus, dim, m, "c")
+    seed_ids = [r[0] for r in
+                (corpus.select("id")
+                 .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+                 .limit(ksub).collect())]
+    spark = embeddings.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(i), c) for c, i in enumerate(seed_ids)], "id long, code int")
+    codebook = (subs.join(F.broadcast(seeds), "id")
+                .select("sub", "code",
+                        *[f"s{i}" for i in range(dsub)])
+                .toDF("sub", "code", *[f"t{i}" for i in range(dsub)]))
+    tt = " + ".join(f"t{i} * t{i}" for i in range(dsub))
+    codebook = codebook.withColumn("cn2", F.expr(tt))
+    for _ in range(int(iters)):
+        assign = _pq_assign(subs, codebook, dsub)
+        means = (subs.join(assign, ["id", "sub"])
+                 .groupBy("sub", "code")
+                 .agg(*[F.avg(f"s{i}").alias(f"m{i}")
+                        for i in range(dsub)]))
+        mm = " + ".join(f"t{i} * t{i}" for i in range(dsub))
+        codebook = (codebook.join(means, ["sub", "code"], "left")
+                    .select("sub", "code",
+                            *[F.coalesce(F.col(f"m{i}"), F.col(f"t{i}"))
+                              .alias(f"t{i}") for i in range(dsub)])
+                    .withColumn("cn2", F.expr(mm)))
+        # materialize the m*ksub-row state (broadcast-sized by
+        # construction) so each round's plan does not nest the previous
+        # round's join tree — same policy as kmeans_refine
+        codebook = spark.createDataFrame(codebook.collect(),
+                                         codebook.schema)
+    return codebook
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = DIM, m: int = 8) -> DataFrame:
+    """Encode every vector as m one-byte codes against a trained
+    codebook: (id, sub, code) long format — dim float32 components
+    become m codes (32x compression at dim=64/m=8 plus the shared
+    m*ksub-row codebook). One corpus pass against the broadcast
+    codebook; no shuffle beyond the per-(id,sub) argmin combine."""
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    return _pq_assign(_pq_subspaces(corpus, dim, m, "c"), codebook,
+                      dim // m)
+
+
+def ann_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           dim: int = DIM, m: int = 8, ksub: int = 16,
+           iters: int = 1) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    the PQ-compressed corpus — the third compression point of the index
+    family (float32 -> int8 SQ (ann_int8) -> m-byte PQ codes): the scan
+    reads m bytes per vector instead of 4*dim, and each query scores a
+    candidate with m table lookups instead of a dim-term dot product.
+
+    Per query, the dot product against every sub-centroid is
+    precomputed once (the LUT — nq*m*ksub rows, broadcast-sized), then
+    ONE pass over the code table joins (sub, code) and sums the m
+    looked-up partial dots per (query, candidate). The approximate
+    cosine divides by the query norm and the RECONSTRUCTION norm
+    sqrt(sum_sub ||centroid||^2) — fully deterministic given the
+    deterministic trainer, hence oracle-checkable end-to-end, unlike
+    sampled-training PQ.
+
+    Output: query_id, neighbor_id, rank, cosine (ADC approximation).
+    """
+    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
+    codes = pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+    dsub = dim // m
+    qflat = _flat(queries, id_col, vec_col, dim, "c")
+    qsubs = _pq_subspaces(qflat, dim, m, "c")
+    st = " + ".join(f"s{i} * t{i}" for i in range(dsub))
+    lut = (qsubs.join(F.broadcast(codebook), "sub")
+           .select(F.col("id").alias("query_id"), "sub", "code",
+                   F.expr(st).alias("pdot"), "cn2"))
+    scored = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .where(F.col("id") != F.col("query_id"))
+              .groupBy("query_id", F.col("id").alias("neighbor_id"))
+              .agg(F.sum("pdot").alias("adot"),
+                   F.sum("cn2").alias("rn2")))
+    qn = qflat.select(F.col("id").alias("query_id"),
+                      F.col("nrm").alias("q_nrm"))
+    return _topk(
+        scored.join(F.broadcast(qn), "query_id")
+        .withColumn("cosine",
+                    F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)

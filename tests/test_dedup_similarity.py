@@ -305,3 +305,70 @@ def test_incremental_near_dup_store_and_batch(spark, tmp_path):
     got3 = {(r["id_new"], r["id_matched"], r["match_source"])
             for r in incremental_near_dup(batch3, spark, store).collect()}
     assert (20, 11, "store") in got3 and (20, 1, "store") in got3
+
+
+def test_pq_codebook_shape_and_determinism(spark):
+    from nexus_spark.operators.similarity import pq_train
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_train(emb, m=8, ksub=16)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert {(r["sub"], r["code"]) for r in rows} == {
+        (s, c) for s in range(8) for c in range(16)}
+    # deterministic trainer: a second run returns the identical codebook
+    again = {(r["sub"], r["code"]): tuple(r)[2:]
+             for r in pq_train(emb, m=8, ksub=16).collect()}
+    for r in rows:
+        assert again[(r["sub"], r["code"])] == tuple(r)[2:]
+
+
+def test_pq_codes_valid_and_complete(spark):
+    from nexus_spark.operators.similarity import pq_encode, pq_train
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    codes = pq_encode(emb, pq_train(emb, m=8, ksub=16), m=8)
+    assert codes.count() == n * 8  # one code per (vector, subspace)
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert 0 <= rng[0] and rng[1] <= 15
+
+
+def test_pq_lloyd_round_reduces_quantization_error(spark):
+    from nexus_spark.operators.similarity import (_flat_cached, _pq_d2,
+                                                  _pq_subspaces, pq_train)
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    subs = _pq_subspaces(
+        _flat_cached(emb, "vec_id", "embedding", 64, "c"), 64, 8, "c")
+
+    def err(cb):
+        return (subs.join(F.broadcast(cb.drop("cn2")), "sub")
+                .withColumn("d2", _pq_d2(8))
+                .groupBy("id", "sub").agg(F.min("d2").alias("d"))
+                .agg(F.avg("d")).collect()[0][0])
+
+    assert err(pq_train(emb, iters=1)) <= err(pq_train(emb, iters=0))
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    from nexus_spark.operators.similarity import ann_pq, knn_bruteforce
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in ann_pq(emb, queries, k=5).collect()}
+    # 8-byte codes on an unclustered synthetic corpus: recall is far
+    # above the 1% random floor but below SQ8's (which keeps 64 codes);
+    # measured 0.22 at sf0.01 with 20 queries
+    assert len(exact & pq) / len(exact) >= 0.1
