@@ -4573,17 +4573,30 @@ _PQ_M = 8       # subspaces (dim 64 -> 8 dims each)
 _PQ_KSUB = 16   # centroids per subspace
 
 
-def _sql_sim_pq() -> str:
-    """PQ trainer + encoder + ADC replay: md5-ordered seed codebook, one
-    Lloyd round with ROUND(d2,6)+code argmin and empty-cell carry-over,
-    re-encode, per-query LUT join, reconstruction-norm cosine."""
+def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined search (the FAISS IVFPQ layout): md5-seeded
+    coarse cells bound the candidate set to nprobe partitions, PQ codes
+    bound the bytes per candidate to m lookups — the billion-vector
+    configuration. Both stages reuse their standalone deterministic
+    machinery, so the composition is oracle-checked end-to-end."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_ivf_pq(emb, queries_df, k=_KNN_K,
+                              m=_PQ_M, ksub=_PQ_KSUB))
+
+
+def _sql_pq_ctes() -> str:
+    """Shared PQ CTE block (assumes v/n from _VECS are in scope): seed
+    codebook -> one Lloyd round -> re-encode -> per-query ADC LUT.
+    Ends at `lut`; callers add their own candidate/scored/rank tail."""
     dsub = 64 // _PQ_M
     d2 = ("list_dot_product(sv, sv) - 2*list_dot_product(sv, tv)"
           " + list_dot_product(tv, tv)")
     mv = "[" + ", ".join(f"avg(sv[{i + 1}])" for i in range(dsub)) + "]"
-    return f"""
-WITH {_VECS},
-subs AS (
+    return f"""subs AS (
   SELECT vec_id, CAST(s.sub AS INT) AS sub,
          vec[CAST(s.sub*{dsub}+1 AS INT):CAST(s.sub*{dsub}+{dsub} AS INT)]
            AS sv
@@ -4620,14 +4633,10 @@ lut AS (
          list_dot_product(q.sv, cb.tv) AS pdot,
          list_dot_product(cb.tv, cb.tv) AS cn2
   FROM (SELECT * FROM subs WHERE vec_id < {_KNN_QUERIES}) q
-       JOIN cb USING (sub)),
-scored AS (
-  SELECT l.query_id, c.vec_id AS neighbor_id,
-         SUM(l.pdot) AS adot, SUM(l.cn2) AS rn2
-  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-  WHERE c.vec_id <> l.query_id
-  GROUP BY l.query_id, c.vec_id),
-fin AS (
+       JOIN cb USING (sub))"""
+
+
+_SQL_PQ_RANK_TAIL = f"""fin AS (
   SELECT s.query_id, s.neighbor_id,
          s.adot / (n.nrm * sqrt(s.rn2)) AS cosine
   FROM scored s JOIN n ON n.vec_id = s.query_id)
@@ -4637,6 +4646,59 @@ SELECT query_id, neighbor_id,
        ROUND(cosine, {ND}) AS cosine
 FROM fin QUALIFY rank <= {_KNN_K}
 """
+
+
+def _sql_sim_pq() -> str:
+    """PQ trainer + encoder + ADC replay: md5-ordered seed codebook, one
+    Lloyd round with ROUND(d2,6)+code argmin and empty-cell carry-over,
+    re-encode, per-query LUT join, reconstruction-norm cosine."""
+    return f"""
+WITH {_VECS},
+{_sql_pq_ctes()},
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         SUM(l.pdot) AS adot, SUM(l.cn2) AS rn2
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id),
+{_SQL_PQ_RANK_TAIL}"""
+
+
+def _sql_sim_ivf_pq() -> str:
+    """IVF+PQ replay: SQL_SIM_IVF's md5-seeded cells bound the candidate
+    pairs, the shared PQ CTEs supply codes and the per-query ADC LUT."""
+    return f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+assign AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c WHERE n.vec_id < {_KNN_QUERIES}) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 2),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assign USING (cent_id)
+  WHERE query_id <> neighbor_id),
+{_sql_pq_ctes()},
+scored AS (
+  SELECT ca.query_id, ca.neighbor_id,
+         SUM(l.pdot) AS adot, SUM(l.cn2) AS rn2
+  FROM cand ca
+       JOIN codes c ON c.vec_id = ca.neighbor_id
+       JOIN lut l ON l.query_id = ca.query_id
+                 AND l.sub = c.sub AND l.code = c.code
+  GROUP BY ca.query_id, ca.neighbor_id),
+{_SQL_PQ_RANK_TAIL}"""
 
 
 # --------------------------------------------------------------------------
@@ -4688,12 +4750,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (3): NEW in round 6 (must be driver-checked this round):
+    # group B (4): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
-    # incremental-near-dup stream, and PQ/ADC compressed search ---
+    # incremental-near-dup stream, and PQ/ADC + IVF+PQ compressed
+    # search ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -4702,11 +4766,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (18): r04-checked refreshes — family-central/expensive
+    # group D (17): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
     # simhash recall, warc, tiled lake, multimodal four, drift,
-    # temperature mix, filtered knn, recall@k; m_frame_sample displaced
-    # to the tail by sim_ann_pq — it joins the round-7 leading set) ---
+    # filtered knn, recall@k; m_frame_sample and d_temperature_mix
+    # displaced to the tail by sim_ann_pq / sim_ann_ivf_pq — they join
+    # the round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -4722,16 +4787,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
     "corpus_drift_psi": q_corpus_drift,
-    "d_temperature_mix": q_d_temperature_mix,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 27 r04-checked
-    # entries below (26 planned + m_frame_sample, displaced from the
-    # window by sim_ann_pq) will be exactly 2 rounds stale after this
-    # round and must LEAD round 7's window; then the r05/r06-checked
-    # block (the round-6 window above refreshes groups A-D, so after
-    # this round the stalest surviving rows are exactly these 27): ---
+    # --- tail (entry 51+): rotates in for round 7. The 28 r04-checked
+    # entries below (26 planned + m_frame_sample and d_temperature_mix,
+    # displaced from the window by sim_ann_pq / sim_ann_ivf_pq) will be
+    # exactly 2 rounds stale after this round and must LEAD round 7's
+    # window; then the r05/r06-checked block (the round-6 window above
+    # refreshes groups A-D, so after this round the stalest surviving
+    # rows are exactly these 28): ---
     "m_frame_sample": q_m_frame_sample,
+    "d_temperature_mix": q_d_temperature_mix,
     "text_stats": q_text_stats,
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
@@ -4917,6 +4983,7 @@ _ORACLES: dict[str, str] = {
     "d_weighted_sample": SQL_D_WEIGHTED_SAMPLE,
     "sim_ann_int8": SQL_SIM_ANN_INT8,
     "sim_ann_pq": _sql_sim_pq(),
+    "sim_ann_ivf_pq": _sql_sim_ivf_pq(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -861,3 +861,64 @@ def ann_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         scored.join(F.broadcast(qn), "query_id")
         .withColumn("cosine",
                     F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)
+
+
+def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_centroids: int = 32, nprobe: int = 2, dim: int = DIM,
+               m: int = 8, ksub: int = 16, iters: int = 1) -> DataFrame:
+    """IVF+PQ: coarse cells bound the CANDIDATE SET (a query touches
+    nprobe cells, not the corpus) and PQ codes bound the BYTES PER
+    CANDIDATE (m byte lookups, not a dim-term dot) — the combined
+    billion-vector layout (FAISS IVFPQ; Jegou et al. TPAMI 2011 §V). At
+    100 TB the cell is the write-time partition column and the code
+    table is the only per-vector payload the search reads: nprobe
+    partition scans of m-byte rows against a broadcast LUT.
+
+    Both stages reuse their standalone deterministic machinery
+    (ann_ivf's md5-seeded cells and rounded tie-breaks; pq_train's
+    seeded Lloyd codebook), so the composition stays oracle-checkable.
+
+    Output: query_id, neighbor_id, rank, cosine (ADC approximation).
+    """
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    assign = (_cell_scores(corpus, cents, dim, "c")
+              .groupBy(F.col("id").alias("neighbor_id"))
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t")))
+                  .alias("cent_id")))
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (_cell_scores(qflat, cents, dim, "q")
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+    cand = (F.broadcast(probes).join(assign, "cent_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+
+    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
+    codes = pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+    dsub = dim // m
+    qsubs = _pq_subspaces(qflat, dim, m, "q")
+    st = " + ".join(f"s{i} * t{i}" for i in range(dsub))
+    lut = (qsubs.join(F.broadcast(codebook), "sub")
+           .select(F.col("id").alias("query_id"), "sub", "code",
+                   F.expr(st).alias("pdot"), "cn2"))
+    scored = (cand
+              .join(codes.withColumnRenamed("id", "neighbor_id"),
+                    "neighbor_id")
+              .join(F.broadcast(lut), ["query_id", "sub", "code"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("pdot").alias("adot"),
+                   F.sum("cn2").alias("rn2")))
+    qn = qflat.select(F.col("id").alias("query_id"),
+                      F.col("nrm").alias("q_nrm"))
+    return _topk(
+        scored.join(F.broadcast(qn), "query_id")
+        .withColumn("cosine",
+                    F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)

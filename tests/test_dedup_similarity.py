@@ -372,3 +372,27 @@ def test_ann_pq_recall_vs_exact(spark):
     # above the 1% random floor but below SQ8's (which keeps 64 codes);
     # measured 0.22 at sf0.01 with 20 queries
     assert len(exact & pq) / len(exact) >= 0.1
+
+
+def test_ann_ivf_pq_prunes_to_probed_cells_and_keeps_adc_scores(spark):
+    from nexus_spark.operators.similarity import (ann_ivf, ann_ivf_pq,
+                                                  ann_pq)
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    ivfpq = ann_ivf_pq(emb, queries, k=5).collect()
+    # candidate restriction: every returned pair lies in the IVF probe
+    # graph (same cells/probes as ann_ivf, scored exactly there)
+    ivf_pairs = {(r["query_id"], r["neighbor_id"])
+                 for r in ann_ivf(emb, queries, k=10**6).collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in ivfpq} <= ivf_pairs
+    # ADC scores are independent of the candidate restriction: any pair
+    # both searches return carries the same approximate cosine
+    pq_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                 for r in ann_pq(emb, queries, k=10**6).collect()}
+    for r in ivfpq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pq_scores:
+            assert abs(r["cosine"] - pq_scores[key]) < 1e-9
