@@ -922,3 +922,92 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         scored.join(F.broadcast(qn), "query_id")
         .withColumn("cosine",
                     F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)
+
+
+def ivf_write_pq(embeddings: DataFrame, path: str, n_centroids: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = DIM, m: int = 8, ksub: int = 16,
+                 iters: int = 1) -> None:
+    """IVF + product quantization as ONE persistent index (the FAISS
+    IVFPQ architecture): the cell-partitioned layout of ivf_write, but
+    each row stores only m one-byte PQ codes — 32x smaller rows than
+    the float32 layout (vs SQ8's 4x), while probes still prune to
+    nprobe partition directories. The m*ksub-row codebook and the
+    coarse centroids are sidecar tables; at 100 TB the code table is
+    the ONLY per-vector payload the search scans.
+
+    Same deterministic cell assignment as ivf_write (md5-seeded
+    centroids, rounded-cosine max_by); codes are pq_train/pq_encode's
+    seeded-Lloyd contract, packed sub-major into one array<tinyint>.
+    """
+    corpus = _flat(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    assign = (_cell_scores(corpus, cents, dim, "c")
+              .groupBy("id")
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t")))
+                  .alias("cell_id")))
+    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
+    packed = (pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+              .groupBy("id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct(F.col("sub"), F.col("code")))),
+                  lambda s: s.getField("code").cast("tinyint"))
+                  .alias("pq_codes")))
+    (packed.join(assign, "id")
+     .write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/_codebook")
+
+
+def ivf_search_pq(spark, path: str, queries: DataFrame, k: int = 5,
+                  nprobe: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = DIM,
+                  m: int = 8) -> DataFrame:
+    """Probe a persisted IVFPQ index: nprobe partition pruning on
+    cell_id, then ADC scoring of the scanned m-byte codes against the
+    per-query LUT built from the sidecar codebook — ann_ivf_pq's math
+    over the write-time layout. Output contract matches ann_ivf."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    codebook = spark.read.parquet(f"{path}/_codebook")
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (_cell_scores(qflat, cents, dim, "q")
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+    probe_rows = probes.collect()
+    cells = sorted({r.cent_id for r in probe_rows})
+
+    dsub = dim // m
+    qsubs = _pq_subspaces(qflat, dim, m, "q")
+    st = " + ".join(f"s{i} * t{i}" for i in range(dsub))
+    lut = (qsubs.join(F.broadcast(codebook), "sub")
+           .select(F.col("id").alias("query_id"), "sub", "code",
+                   F.expr(st).alias("pdot"), "cn2"))
+
+    # Partition-pruned scan ships m tinyints per row; unpack sub-major.
+    raw = (spark.read.parquet(path)
+           .where(F.col("cell_id").isin(cells))
+           .select("cell_id", F.col("id").alias("neighbor_id"),
+                   F.posexplode("pq_codes").alias("sub", "code"))
+           .withColumn("code", F.col("code").cast("int")))
+    probe_df = F.broadcast(spark.createDataFrame(
+        [(r.query_id, r.cent_id) for r in probe_rows],
+        "query_id long, cell_id long"))
+    scored = (probe_df.join(raw, "cell_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .join(F.broadcast(lut), ["query_id", "sub", "code"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("pdot").alias("adot"),
+                   F.sum("cn2").alias("rn2")))
+    qn = qflat.select(F.col("id").alias("query_id"),
+                      F.col("nrm").alias("q_nrm"))
+    return _topk(
+        scored.join(F.broadcast(qn), "query_id")
+        .withColumn("cosine",
+                    F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)

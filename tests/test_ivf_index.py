@@ -141,3 +141,41 @@ def test_ivf_q8_prunes_partitions(spark, tmp_path):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_ivf_pq_layout_matches_in_memory_and_prunes(spark, tmp_path):
+    """The persisted IVFPQ index returns exactly ann_ivf_pq's results
+    (same deterministic cells, codebook and ADC scores), stores only
+    m tinyint codes per row, and the probe scan partition-prunes."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.similarity import (ann_ivf_pq,
+                                                  ivf_search_pq,
+                                                  ivf_write_pq)
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq")
+    ivf_write_pq(emb, path)
+
+    got = ivf_search_pq(spark, path, queries, k=5)
+    want = {(r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["cosine"], 9))
+            for r in ann_ivf_pq(emb, queries, k=5).collect()}
+    assert {(r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["cosine"], 9)) for r in got.collect()} == want
+
+    # row payload is m tinyint codes
+    stored = spark.read.parquet(path)
+    row = stored.select("pq_codes").first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c <= 15 for c in row["pq_codes"])
+
+    # probe scan partition-prunes on cell_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln and "cell_id" in ln]
+    assert any("[]" not in ln.split("PartitionFilters:")[-1][:40]
+               for ln in scan_lines)
