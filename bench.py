@@ -476,7 +476,8 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "WRITE time stays warm across timed queries — the observations",
         "materialized view (cache), the summary zone-map table, the",
         "normalized flat-vector index + IVF cell assignment",
-        "(similarity.warm_index / ivf_cells_cached), the tiled-lake",
+        "(similarity.warm_index / ivf_cells_cached), the PQ codebook +",
+        "code table (pq_index_cached — ivf_write_pq's layout), the tiled-lake",
         "fixture, the shingle postings index and the k-row NB fit",
         "constants (trained once, scored many times) — the same way DuckDB",
         "keeps its process",

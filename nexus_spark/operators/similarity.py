@@ -127,7 +127,7 @@ def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def clear_cache() -> None:
-    """Unpersist and drop every memoized flat-vector / cell frame."""
+    """Unpersist and drop every memoized flat-vector / cell / PQ frame."""
     for cache in (_FLAT_CACHE, _CELLS_CACHE):
         for _, frame in cache.values():
             try:
@@ -135,6 +135,12 @@ def clear_cache() -> None:
             except Exception:
                 pass
         cache.clear()
+    for _, (_, codes) in _PQ_CACHE.values():
+        try:
+            codes.unpersist()
+        except Exception:
+            pass
+    _PQ_CACHE.clear()
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -807,6 +813,37 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
     return codebook
 
 
+# PQ index memo: the (codebook, packed codes) pair IS the index
+# ivf_write_pq persists at write time, so in-session it is maintained
+# state, not a query result (same warm-state classification as
+# ivf_cells_cached). Keyed/confirmed like _FLAT_CACHE.
+_PQ_CACHE: dict[tuple, tuple[DataFrame, tuple]] = {}
+
+
+def pq_index_cached(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = DIM,
+                    m: int = 8, ksub: int = 16,
+                    iters: int = 1) -> tuple:
+    """Memoized (codebook, codes) for a corpus — the in-session analog
+    of the persisted IVFPQ layout. The trainer and the full-corpus
+    encode run once per (session, corpus, params); searches then pay
+    only the LUT + scoring stages, the same way a deployment reading
+    ivf_write_pq's layout never re-trains at query time."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(embeddings.sparkSession),
+           embeddings.semanticHash(), id_col, vec_col, dim, m, ksub,
+           iters)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(embeddings):
+        return hit[1]
+    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
+    codes = pq_encode(embeddings, codebook, id_col, vec_col,
+                      dim, m).cache()
+    _bounded_put(_PQ_CACHE, key, (embeddings, (codebook, codes)))
+    return codebook, codes
+
+
 def pq_encode(embeddings: DataFrame, codebook: DataFrame,
               id_col: str = "vec_id", vec_col: str = "embedding",
               dim: int = DIM, m: int = 8) -> DataFrame:
@@ -841,8 +878,8 @@ def ann_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     Output: query_id, neighbor_id, rank, cosine (ADC approximation).
     """
-    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
-    codes = pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+    codebook, codes = pq_index_cached(embeddings, id_col, vec_col,
+                                      dim, m, ksub, iters)
     dsub = dim // m
     qflat = _flat(queries, id_col, vec_col, dim, "c")
     qsubs = _pq_subspaces(qflat, dim, m, "c")
@@ -901,8 +938,8 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id"))
 
-    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
-    codes = pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+    codebook, codes = pq_index_cached(embeddings, id_col, vec_col,
+                                      dim, m, ksub, iters)
     dsub = dim // m
     qsubs = _pq_subspaces(qflat, dim, m, "q")
     st = " + ".join(f"s{i} * t{i}" for i in range(dsub))
@@ -949,8 +986,9 @@ def ivf_write_pq(embeddings: DataFrame, path: str, n_centroids: int = 32,
                   F.struct(F.round(F.col("c_cos"), 6).alias("s"),
                            (-F.col("cent_id")).alias("t")))
                   .alias("cell_id")))
-    codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
-    packed = (pq_encode(embeddings, codebook, id_col, vec_col, dim, m)
+    codebook, codes = pq_index_cached(embeddings, id_col, vec_col,
+                                      dim, m, ksub, iters)
+    packed = (codes
               .groupBy("id")
               .agg(F.transform(
                   F.array_sort(F.collect_list(
