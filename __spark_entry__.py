@@ -4119,6 +4119,52 @@ GROUP BY b.query_id
 """
 
 
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-quality eval for the PQ index: per-query recall@k of
+    ADC search against the exact float top-k — the measured answer to
+    'what does 32x compression cost in recall' (vs int8's 4x, eval'd by
+    sim_int8_recall_at_k). Deterministic on both sides, so the oracle
+    recomputes the identical recall."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_pq, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    brute = (knn_bruteforce(emb, queries_df, k=_KNN_K)
+             .select("query_id", "neighbor_id"))
+    pq = (ann_pq(emb, queries_df, k=_KNN_K, m=_PQ_M, ksub=_PQ_KSUB)
+          .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    out = (brute.join(pq, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("k_eff"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("n_matched")))
+    return _finish(out.select(
+        "query_id", "k_eff", "n_matched",
+        (F.col("n_matched") / F.col("k_eff").cast("double"))
+        .alias("recall")))
+
+
+def _sql_sim_pq_recall() -> str:
+    """Oracle: exact top-k left-joined against PQ/ADC top-k (same CTE
+    surgery as _sql_sim_int8_recall)."""
+    pq_body = _sql_sim_pq().split("WITH", 1)[1]
+    knn_body = SQL_SIM_KNN.split("WITH", 1)[1]
+    return f"""
+WITH pq_res AS (WITH {pq_body}),
+knn_res AS (WITH {knn_body})
+SELECT b.query_id,
+       COUNT(*) AS k_eff,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), {ND}) AS recall
+FROM knn_res b LEFT JOIN pq_res a
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -4750,14 +4796,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (4): NEW in round 6 (must be driver-checked this round):
+    # group B (5): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
-    # incremental-near-dup stream, and PQ/ADC + IVF+PQ compressed
-    # search ---
+    # incremental-near-dup stream, and the PQ family (ADC search,
+    # IVF+PQ, PQ recall@k) ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "sim_pq_recall_at_k": q_sim_pq_recall,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -4766,12 +4813,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (17): r04-checked refreshes — family-central/expensive
+    # group D (16): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # simhash recall, warc, tiled lake, multimodal four, drift,
-    # filtered knn, recall@k; m_frame_sample and d_temperature_mix
-    # displaced to the tail by sim_ann_pq / sim_ann_ivf_pq — they join
-    # the round-7 leading set) ---
+    # simhash recall, warc, tiled lake, multimodal four, filtered knn,
+    # recall@k; m_frame_sample, d_temperature_mix and corpus_drift_psi
+    # displaced to the tail by the three new PQ entries — they join the
+    # round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -4786,18 +4833,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_features": q_m_features,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
-    "corpus_drift_psi": q_corpus_drift,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 28 r04-checked
-    # entries below (26 planned + m_frame_sample and d_temperature_mix,
-    # displaced from the window by sim_ann_pq / sim_ann_ivf_pq) will be
-    # exactly 2 rounds stale after this round and must LEAD round 7's
-    # window; then the r05/r06-checked block (the round-6 window above
-    # refreshes groups A-D, so after this round the stalest surviving
-    # rows are exactly these 28): ---
+    # --- tail (entry 51+): rotates in for round 7. The 29 r04-checked
+    # entries below (26 planned + m_frame_sample, d_temperature_mix and
+    # corpus_drift_psi, displaced from the window by the three new PQ
+    # entries) will be exactly 2 rounds stale after this round and must
+    # LEAD round 7's window; then the r05/r06-checked block (the
+    # round-6 window above refreshes groups A-D, so after this round
+    # the stalest surviving rows are exactly these 29): ---
     "m_frame_sample": q_m_frame_sample,
     "d_temperature_mix": q_d_temperature_mix,
+    "corpus_drift_psi": q_corpus_drift,
     "text_stats": q_text_stats,
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
@@ -4984,6 +5031,7 @@ _ORACLES: dict[str, str] = {
     "sim_ann_int8": SQL_SIM_ANN_INT8,
     "sim_ann_pq": _sql_sim_pq(),
     "sim_ann_ivf_pq": _sql_sim_ivf_pq(),
+    "sim_pq_recall_at_k": _sql_sim_pq_recall(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
