@@ -77,6 +77,12 @@ _QUERY_NOTES = {
     "sim_ann_int8":
         "first call pays one-off codegen of the 64-column dequantize "
         "projection; see the recorded `steady s` column",
+    "sim_ann_ivf_pq":
+        "first alphabetical consumer of the session PQ index memo "
+        "(pq_index_cached): its first-call column absorbs the one-off "
+        "codebook train + corpus encode (write-time state, what "
+        "ivf_write_pq persists); sim_ann_pq / sim_pq_recall_at_k then "
+        "read it warm — `steady s` is LUT + scoring only for all three",
     "text_nb_classifier":
         "round-6 collapse: log-likelihood decomposition removed the "
         "vocab x classes grid; k-row constants collected eagerly, one "
