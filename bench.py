@@ -310,6 +310,11 @@ SF1_EXTRA = (
     "d_dedup_components",
     "sim_hybrid_rrf",
     "e_stream_sessionize",
+    # late round-6: the PQ family at 10x vectors (trainer + encode cost
+    # lands in sim_ann_ivf_pq's first call, per the index-memo policy)
+    "sim_ann_ivf_pq",
+    "sim_ann_pq",
+    "sim_pq_recall_at_k",
 )
 
 
