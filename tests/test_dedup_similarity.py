@@ -396,3 +396,40 @@ def test_ann_ivf_pq_prunes_to_probed_cells_and_keeps_adc_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in pq_scores:
             assert abs(r["cosine"] - pq_scores[key]) < 1e-9
+
+
+def test_ann_pq_exact_when_corpus_is_codebook(spark):
+    """ADC exactness invariant: if every corpus vector coincides with
+    one of ksub repeated patterns, every sub-vector quantizes with zero
+    error (Lloyd means of identical members reproduce the pattern), so
+    the reconstruction norm equals the true norm and the ADC cosine must
+    EQUAL the exact cosine for every pair — a closed-form pin on the
+    whole train -> encode -> LUT -> score chain, independent of which
+    duplicates the md5 seed order happens to pick."""
+    import math
+
+    from nexus_spark.operators.similarity import (ann_pq, clear_cache,
+                                                  knn_bruteforce)
+
+    dim, k = 64, 16
+    # p starts at 1: p=0 would be the all-zero vector (undefined cosine).
+    # Corpus size == ksub so the md5 seed set is exactly the pattern set
+    # (with duplicated patterns the seeds can double-pick one and leave
+    # another uncovered, and Lloyd means of a MIXED cluster are no
+    # longer a pattern — the invariant needs full coverage).
+    patterns = [[math.sin(0.7 * p * (i + 1)) + 0.1 * p
+                 for i in range(dim)] for p in range(1, k + 1)]
+    rows = [(vid, patterns[vid]) for vid in range(k)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clear_cache()  # do not let another test's corpus memo alias this one
+    try:
+        queries = emb.where(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                 for r in knn_bruteforce(emb, queries, k=15).collect()}
+        got = ann_pq(emb, queries, k=15).collect()
+        assert len(got) == 5 * 15
+        for r in got:
+            key = (r["query_id"], r["neighbor_id"])
+            assert abs(r["cosine"] - exact[key]) < 1e-9, key
+    finally:
+        clear_cache()
