@@ -305,3 +305,73 @@ def test_nb_decomposition_equals_naive_grid(spark, docs):
         assert r["lang_pred"] == best, (i, posts, dict(r.asDict()))
         assert abs(r["logpost"] - posts[best]) < 1e-9
         assert r["lang_true"] == lang
+
+
+vec_s = st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=4, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(vec_s, min_size=3, max_size=8))
+def test_pq_train_encode_equals_naive(spark, vecs):
+    """The distributed PQ trainer+encoder must reproduce a naive pure-
+    Python implementation of its exact contract (md5-ordered seeds, one
+    Lloyd round with ROUND(d2,6)+code argmin, member-mean re-centre with
+    empty-cell carry-over) on arbitrary tiny integer corpora — integer
+    components keep every sum/mean exact in doubles, so codebooks match
+    bitwise and codes match exactly."""
+    import hashlib
+
+    from nexus_spark.operators.similarity import (clear_cache, pq_encode,
+                                                  pq_train)
+
+    dim, m, ksub, dsub = 4, 2, 3, 2
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    clear_cache()
+    try:
+        cb = {(r["sub"], r["code"]): (r["t0"], r["t1"])
+              for r in pq_train(emb, dim=dim, m=m, ksub=ksub).collect()}
+        codes = {(r["id"], r["sub"]): r["code"]
+                 for r in pq_encode(
+                     emb, pq_train(emb, dim=dim, m=m, ksub=ksub),
+                     dim=dim, m=m).collect()}
+    finally:
+        clear_cache()
+
+    # --- naive reference ---
+    def d2(s, t):
+        return ((s[0] * s[0] + s[1] * s[1])
+                - 2 * (s[0] * t[0] + s[1] * t[1])
+                + (t[0] * t[0] + t[1] * t[1]))
+
+    def sub_v(vid, sub):
+        return tuple(float(x)
+                     for x in vecs[vid][sub * dsub:(sub + 1) * dsub])
+
+    seed_ids = sorted(range(len(vecs)),
+                      key=lambda i: (hashlib.md5(str(i).encode())
+                                     .hexdigest(), i))[:ksub]
+    ref = {(s, c): sub_v(vid, s)
+           for c, vid in enumerate(seed_ids) for s in range(m)}
+    # one Lloyd round: rounded-argmin assign, member means, carry-over
+    members = {}
+    for vid in range(len(vecs)):
+        for s in range(m):
+            best = min(range(len(seed_ids)),
+                       key=lambda c: (round(d2(sub_v(vid, s),
+                                               ref[(s, c)]), 6), c))
+            members.setdefault((s, best), []).append(sub_v(vid, s))
+    for key, mem in members.items():
+        n = len(mem)
+        ref[key] = (sum(x[0] for x in mem) / n, sum(x[1] for x in mem) / n)
+    for key, want in ref.items():
+        got = cb[key]
+        assert got == pytest.approx(want, abs=1e-12), key
+    for vid in range(len(vecs)):
+        for s in range(m):
+            best = min(range(len(seed_ids)),
+                       key=lambda c: (round(d2(sub_v(vid, s),
+                                               ref[(s, c)]), 6), c))
+            assert codes[(vid, s)] == best, (vid, s)
