@@ -3216,6 +3216,12 @@ def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
         (load_table(spark, sf_dir, "documents")
          .where(F.col("doc_id") % 3 != 0).repartition(4)
          .write.mode("overwrite").parquet(base))
+    elif kind == "vec_feed":
+        # the full embeddings table as a 4-file arrival directory (same
+        # multi-micro-batch drain shape as neardup_feed)
+        from nexus_spark.catalog import load_table
+        (load_table(spark, sf_dir, "embeddings").repartition(4)
+         .write.mode("overwrite").parquet(base))
     else:
         table = {"docs": "documents", "events": "events"}[kind]
         src = os.path.join(sf_dir, f"{table}.parquet")
@@ -3372,6 +3378,108 @@ est AS (
   WHERE id_a % 3 <> 0 OR id_b % 3 <> 0)
 SELECT id_a, id_b, ROUND(est_jaccard, {ND}) AS est_jaccard
 FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+def q_e_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index MAINTENANCE as a REAL executed stream — the loop a
+    production vector lake runs as new documents are embedded: vectors
+    arrive as a 4-file stream (one per micro-batch); each batch is
+    encoded against the session's trained PQ codebook, assigned its
+    coarse cell, and appended to the cell-partitioned index store —
+    exactly the rows ivf_write_pq lays down at bulk-build time, built
+    incrementally. The codebook/centroids are FIXED training-time state
+    (k-row broadcasts); per-batch work is one encode+assign pass over
+    the batch, so ingest cost is O(batch), independent of index size.
+
+    Batching-independent by construction (encoding and cell assignment
+    are per-vector deterministic), so the drained store must equal the
+    batch replay: the oracle recomputes every vector's cell and m codes
+    with the shared trainer CTEs.
+
+    Output: vec_id, cell_id, sub, code (long format, one row per
+    vector-subspace)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import (_cell_scores, _flat,
+                                                  _flat_cached,
+                                                  _pq_assign,
+                                                  _pq_subspaces,
+                                                  _select_centroids,
+                                                  pq_index_cached)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, _ = pq_index_cached(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    corpus = _flat_cached(emb, "vec_id", "embedding", 64, "c")
+    cents_df = _select_centroids(corpus, 32, 64)
+    # k-row training-time state, materialized once for the batch loop
+    cents = spark.createDataFrame(cents_df.collect(), cents_df.schema)
+
+    feed = _staged_feed(spark, sf_dir, "vec_feed")
+    work = tempfile.mkdtemp(prefix="nexus_pq_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store, ckpt = f"{work}/store", f"{work}/ckpt"
+
+    def step(batch_df, _batch_id):
+        flat = _flat(batch_df, "vec_id", "embedding", 64, "c")
+        cell = (_cell_scores(flat, cents, 64, "c")
+                .groupBy("id")
+                .agg(F.max_by(
+                    "cent_id",
+                    F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                             (-F.col("cent_id")).alias("t")))
+                    .alias("cell_id")))
+        codes = _pq_assign(_pq_subspaces(flat, 64, _PQ_M, "c"),
+                           codebook, 64 // _PQ_M)
+        (codes.join(cell, "id")
+         .select(F.col("id").alias("vec_id"), "cell_id", "sub", "code")
+         .write.mode("append").partitionBy("cell_id").parquet(store))
+
+    schema = spark.read.parquet(feed).schema
+    # 2 files per trigger: still a multi-commit incremental drain, but
+    # each micro-batch pays the fixed cost (plan analysis of the 64-col
+    # encode + 2 aggregate stages + partitioned write) once per 2 files
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2)
+              .option("pathGlobFilter", "*.parquet").parquet(feed))
+    with _stream_job_conf(spark):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming PQ ingest drain exceeded 300s")
+    if not os.path.isdir(store):
+        return spark.createDataFrame(
+            [], "vec_id long, cell_id long, sub int, code int")
+    return _finish(spark.read.parquet(store)
+                   .select("vec_id",
+                           F.col("cell_id").cast("long").alias("cell_id"),
+                           "sub", "code"))
+
+
+def _sql_stream_pq_ingest() -> str:
+    """Oracle: the drained incremental store must equal the batch
+    replay — cell assignment (SQL_SIM_IVF's CTEs) joined with the
+    shared PQ trainer/encoder CTEs, one row per vector-subspace."""
+    return f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS cent_id, vec AS cvec, nrm AS cnrm
+          FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+cell AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT n.vec_id, c.cent_id,
+           list_dot_product(n.vec, c.cvec) / (n.nrm * c.cnrm) AS cc
+    FROM n, cents c) s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY ROUND(cc, 6) DESC, cent_id) <= 1),
+{_sql_pq_ctes()}
+SELECT c.vec_id, a.cell_id, c.sub, c.code
+FROM codes c JOIN cell a USING (vec_id)
 """
 
 
@@ -4796,15 +4904,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (5): NEW in round 6 (must be driver-checked this round):
+    # group B (6): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
     # incremental-near-dup stream, and the PQ family (ADC search,
-    # IVF+PQ, PQ recall@k) ---
+    # IVF+PQ, PQ recall@k, streaming index ingest) ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -4813,12 +4922,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (16): r04-checked refreshes — family-central/expensive
+    # group D (15): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # simhash recall, warc, tiled lake, multimodal four, filtered knn,
-    # recall@k; m_frame_sample, d_temperature_mix and corpus_drift_psi
-    # displaced to the tail by the three new PQ entries — they join the
-    # round-7 leading set) ---
+    # simhash recall, tiled lake, multimodal four, filtered knn,
+    # recall@k; m_frame_sample, d_temperature_mix, corpus_drift_psi and
+    # warc_ingest displaced to the tail by the four new PQ entries —
+    # they join the round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -4827,7 +4936,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_profile": q_sketch_profile,
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "warc_ingest": q_warc_ingest,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
     "m_multimodal_features": q_m_features,
@@ -4835,13 +4943,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_resample_audio": q_m_resample_audio,
     "sim_filtered_knn": q_sim_filtered_knn,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 29 r04-checked
-    # entries below (26 planned + m_frame_sample, d_temperature_mix and
-    # corpus_drift_psi, displaced from the window by the three new PQ
-    # entries) will be exactly 2 rounds stale after this round and must
-    # LEAD round 7's window; then the r05/r06-checked block (the
-    # round-6 window above refreshes groups A-D, so after this round
-    # the stalest surviving rows are exactly these 29): ---
+    # --- tail (entry 51+): rotates in for round 7. The 30 r04-checked
+    # entries below (26 planned + m_frame_sample, d_temperature_mix,
+    # corpus_drift_psi and warc_ingest, displaced from the window by
+    # the four new PQ-family entries) will be exactly 2 rounds stale
+    # after this round and must LEAD round 7's window; then the
+    # r05/r06-checked block (the round-6 window above refreshes groups
+    # A-D, so after this round the stalest surviving rows are exactly
+    # these 30): ---
+    "warc_ingest": q_warc_ingest,
     "m_frame_sample": q_m_frame_sample,
     "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
@@ -5032,6 +5142,7 @@ _ORACLES: dict[str, str] = {
     "sim_ann_pq": _sql_sim_pq(),
     "sim_ann_ivf_pq": _sql_sim_ivf_pq(),
     "sim_pq_recall_at_k": _sql_sim_pq_recall(),
+    "e_stream_pq_ingest": _sql_stream_pq_ingest(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
