@@ -104,6 +104,15 @@ _QUERY_NOTES = {
         "signature job per batch) — 8 sequential Spark jobs plus stream "
         "startup and the per-invocation store re-seed are the floor; "
         "state is signatures only, never history text",
+    "e_stream_pq_ingest":
+        "executes a REAL 2-files-per-trigger incremental stream: each "
+        "micro-batch encodes its vectors against the SESSION-TRAINED PQ "
+        "codebook (warm index state, pq_index_cached) and appends to a "
+        "cell-partitioned store — per-batch cost is one encode+assign "
+        "pass over the batch (O(batch), independent of index size) plus "
+        "the fixed stream startup/commit and partitioned-write floor; "
+        "the per-invocation store+checkpoint is fresh tempdir state by "
+        "design (the query IS index maintenance)",
     "e_stream_matchup":
         "stream startup on top of the cell-equi/event-time range join; "
         "both feeds staged once per session (memoized). NOTE its oracle "
