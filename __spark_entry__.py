@@ -4273,6 +4273,245 @@ GROUP BY b.query_id
 """
 
 
+# Rerank pool: 8x k (FAISS-style refinement ratio). Measured recall@5 on
+# the sf0.001 fixture: 0.40 @ pool 20, 0.58 @ 40, 0.92 @ 80 — 1-bit codes
+# trade recall for a 32x-smaller first-stage scan, and the pool size is
+# the recovery knob.
+_BIN_RERANK = 40
+
+
+def _sql_bin_pack_words(dim: int = 64) -> list[str]:
+    """DuckDB word-pack expressions over the 1-based `vec` DOUBLE[] CTE
+    column — the exact SUM(CASE v[i] > 0 THEN 2^j) arithmetic
+    similarity._bin_pack_exprs emits Spark-side (0-based there)."""
+    words = []
+    for w in range((dim + 31) // 32):
+        terms = [f"(CASE WHEN vec[{w * 32 + j + 1}] > 0.0"
+                 f" THEN {1 << j} ELSE 0 END)"
+                 for j in range(32) if w * 32 + j < dim]
+        words.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return words
+
+
+def q_sim_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization of the embedding column — the
+    32x compression point of the index family (float32 1x, int8 4x,
+    PQ 32x-with-tables, binary 32x-with-popcount). Packed 32-bit words,
+    population-count checksum, and bit-density diagnostic per vector."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import quantize_binary
+
+    return _finish(quantize_binary(load_table(spark, sf_dir, "embeddings")))
+
+
+def _sql_sim_quantize_binary() -> str:
+    w0, w1 = _sql_bin_pack_words(64)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+pk AS (SELECT vec_id, {w0} AS b0, {w1} AS b1 FROM v)
+SELECT vec_id, b0, b1,
+       CAST(bit_count(b0) + bit_count(b1) AS BIGINT) AS nbits,
+       ROUND((bit_count(b0) + bit_count(b1)) / 64.0, {ND}) AS density
+FROM pk
+"""
+
+
+def q_sim_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary search: Hamming scan over packed sign bits
+    (XOR+popcount, 1/32 the scan bytes) keeps 20 candidates per query,
+    then exact float cosine reranks them (asymmetric refinement) — the
+    first-stage-filter mode of a binary-quantized 100 TB index. Codes
+    and tie-breaks are exact integers, so the oracle replays the whole
+    pack->hamming->candidates->rerank pipeline."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_hamming
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(ann_hamming(emb, queries_df, k=_KNN_K,
+                               rerank_n=_BIN_RERANK))
+
+
+def _sql_sim_ann_hamming() -> str:
+    w0, w1 = _sql_bin_pack_words(64)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+pk AS (SELECT vec_id, {w0} AS b0, {w1} AS b1 FROM v),
+qp AS (SELECT * FROM pk WHERE vec_id < {_KNN_QUERIES}),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1))
+           AS hamming
+  FROM qp q JOIN pk c ON q.vec_id <> c.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM ham
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY hamming, neighbor_id) <= {_BIN_RERANK}),
+n AS (SELECT vec_id, vec,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+      FROM v),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = cand.query_id
+            JOIN n c ON c.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, {ND}) AS cosine
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def q_sim_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-quality eval for the binary index: per-query recall@k
+    of Hamming-filter + float-rerank search against the exact float
+    top-k — the measured answer to 'what does 1-bit quantization cost
+    in recall' (vs int8's and PQ's, eval'd by their recall queries).
+    Deterministic on both sides, so the oracle recomputes it."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import ann_hamming, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    brute = (knn_bruteforce(emb, queries_df, k=_KNN_K)
+             .select("query_id", "neighbor_id"))
+    ham = (ann_hamming(emb, queries_df, k=_KNN_K, rerank_n=_BIN_RERANK)
+           .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    out = (brute.join(ham, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("k_eff"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("n_matched")))
+    return _finish(out.select(
+        "query_id", "k_eff", "n_matched",
+        (F.col("n_matched") / F.col("k_eff").cast("double"))
+        .alias("recall")))
+
+
+def _sql_sim_binary_recall() -> str:
+    """Oracle: exact top-k left-joined against Hamming+rerank top-k
+    (same CTE surgery as _sql_sim_int8_recall)."""
+    ham_body = _sql_sim_ann_hamming().split("WITH", 1)[1]
+    knn_body = SQL_SIM_KNN.split("WITH", 1)[1]
+    return f"""
+WITH ham_res AS (WITH {ham_body}),
+knn_res AS (WITH {knn_body})
+SELECT b.query_id,
+       COUNT(*) AS k_eff,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), {ND}) AS recall
+FROM knn_res b LEFT JOIN ham_res a
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+# Deterministic line-structure carve: the fixture documents are single-
+# line word salad, so the Gopher line rules would be degenerate on them.
+# Plant every failure mode by doc_id class (dup lines, bullets, trailing
+# ellipsis, symbol runs) — same carve-the-fixture pattern as
+# q_d_corpus_diff. Identical SQL text evaluates on both engines.
+_GOPHER_CARVE = """
+CASE
+  WHEN doc_id % 7 = 0 THEN substr(text, 1, 40) || chr(10) || text
+                           || chr(10) || substr(text, 1, 40)
+  WHEN doc_id % 7 = 1 THEN text || chr(10) || '- bullet one'
+                           || chr(10) || '* bullet two'
+  WHEN doc_id % 7 = 2 THEN text || chr(10) || 'trailing thought...'
+  WHEN doc_id % 7 = 3 THEN text || ' ### ## #'
+  ELSE text
+END
+"""
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule suite (Rae et al. 2021 Table A1): per-doc
+    word/word-length/symbol/bullet/ellipsis/alpha/stopword/dup-line
+    metrics, failed-rule count and keep decision — the standard
+    pretraining repetition+format filter, one shuffle-free projection
+    over the documents scan."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_CARVE).alias("text"))
+    return _finish(gopher_quality(docs))
+
+
+def _sql_text_gopher_quality() -> str:
+    stop_pred = " OR ".join(f"w = '{s}'" for s in
+                            ("the", "be", "to", "of", "and", "that",
+                             "have", "with"))
+    return f"""
+WITH carved AS (SELECT doc_id, {_GOPHER_CARVE} AS text FROM documents),
+arr AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(text, '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM carved),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT)))
+           / CAST(len(words) AS DOUBLE) AS mean_word_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3)
+           / CAST(len(words) AS DOUBLE) AS symbol_ratio,
+         len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+           / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+         len(list_filter(lines, l -> l LIKE '%...'))
+           / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           / CAST(len(words) AS DOUBLE) AS alpha_frac,
+         CAST(len(list_filter(words, w -> {stop_pred})) AS BIGINT)
+           AS stop_hits,
+         len(list_filter(lines,
+                         x -> len(list_filter(lines, y -> y = x)) > 1))
+           / CAST(len(lines) AS DOUBLE) AS dup_line_frac,
+         COALESCE(list_sum(list_transform(
+             list_filter(lines,
+                         x -> len(list_filter(lines, y -> y = x)) > 1),
+             x -> CAST(length(x) AS BIGINT))), 0)
+           / CAST(list_sum(list_transform(
+                 lines, l -> CAST(length(l) AS BIGINT))) AS DOUBLE)
+           AS dup_char_frac
+  FROM arr),
+r AS (
+  SELECT *,
+         CAST((CASE WHEN n_words NOT BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END)
+              + (CASE WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+              + (CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END)
+              + (CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+              + (CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN dup_line_frac > 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN dup_char_frac > 0.3 THEN 1 ELSE 0 END)
+              AS INT) AS rules_failed
+  FROM m)
+SELECT doc_id, n_words, ROUND(mean_word_len, {ND}) AS mean_word_len,
+       ROUND(symbol_ratio, {ND}) AS symbol_ratio,
+       ROUND(bullet_frac, {ND}) AS bullet_frac,
+       ROUND(ellipsis_frac, {ND}) AS ellipsis_frac,
+       ROUND(alpha_frac, {ND}) AS alpha_frac,
+       stop_hits,
+       ROUND(dup_line_frac, {ND}) AS dup_line_frac,
+       ROUND(dup_char_frac, {ND}) AS dup_char_frac,
+       rules_failed,
+       CAST(CASE WHEN rules_failed = 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM r
+"""
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -4904,16 +5143,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (6): NEW in round 6 (must be driver-checked this round):
+    # group B (10): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
-    # incremental-near-dup stream, and the PQ family (ADC search,
-    # IVF+PQ, PQ recall@k, streaming index ingest) ---
+    # incremental-near-dup stream, the PQ family (ADC search, IVF+PQ,
+    # PQ recall@k, streaming index ingest), the binary-quantization
+    # family (sign-bit packing, Hamming+rerank search, recall@k), and
+    # the Gopher quality-rule suite ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
     "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    "text_gopher_quality": q_text_gopher_quality,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -4922,12 +5167,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (15): r04-checked refreshes — family-central/expensive
+    # group D (11): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # simhash recall, tiled lake, multimodal four, filtered knn,
-    # recall@k; m_frame_sample, d_temperature_mix, corpus_drift_psi and
-    # warc_ingest displaced to the tail by the four new PQ entries —
-    # they join the round-7 leading set) ---
+    # tiled lake, multimodal pair, recall@k; m_frame_sample,
+    # d_temperature_mix, corpus_drift_psi, warc_ingest displaced to
+    # the tail by the four PQ entries, m_resize_features,
+    # m_resample_audio, sim_filtered_knn by the three
+    # binary-quantization entries, and d_dedup_simhash_xx_recall by
+    # the Gopher suite — all join the round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -4935,24 +5182,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_semantic_dedup": q_d_semantic_dedup,
     "sketch_profile": q_sketch_profile,
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
     "m_multimodal_features": q_m_features,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    # --- tail (entry 51+): rotates in for round 7. The 34 r04-checked
+    # entries below (26 planned + m_frame_sample, d_temperature_mix,
+    # corpus_drift_psi, warc_ingest, m_resize_features,
+    # m_resample_audio, sim_filtered_knn and d_dedup_simhash_xx_recall,
+    # displaced from the window by the eight new PQ/binary/Gopher
+    # entries) will be exactly 2 rounds stale after this round and must
+    # LEAD round 7's window; then the r05/r06-checked block (the
+    # round-6 window above refreshes groups A-D, so after this round
+    # the stalest surviving rows are exactly these 34): ---
+    "warc_ingest": q_warc_ingest,
+    "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
     "sim_filtered_knn": q_sim_filtered_knn,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 30 r04-checked
-    # entries below (26 planned + m_frame_sample, d_temperature_mix,
-    # corpus_drift_psi and warc_ingest, displaced from the window by
-    # the four new PQ-family entries) will be exactly 2 rounds stale
-    # after this round and must LEAD round 7's window; then the
-    # r05/r06-checked block (the round-6 window above refreshes groups
-    # A-D, so after this round the stalest surviving rows are exactly
-    # these 30): ---
-    "warc_ingest": q_warc_ingest,
-    "m_frame_sample": q_m_frame_sample,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
     "text_stats": q_text_stats,
@@ -5143,6 +5391,10 @@ _ORACLES: dict[str, str] = {
     "sim_ann_ivf_pq": _sql_sim_ivf_pq(),
     "sim_pq_recall_at_k": _sql_sim_pq_recall(),
     "e_stream_pq_ingest": _sql_stream_pq_ingest(),
+    "sim_quantize_binary": _sql_sim_quantize_binary(),
+    "sim_ann_hamming": _sql_sim_ann_hamming(),
+    "sim_binary_recall_at_k": _sql_sim_binary_recall(),
+    "text_gopher_quality": _sql_text_gopher_quality(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -1049,3 +1049,110 @@ def ivf_search_pq(spark, path: str, queries: DataFrame, k: int = 5,
         scored.join(F.broadcast(qn), "query_id")
         .withColumn("cosine",
                     F.col("adot") / (F.col("q_nrm") * F.sqrt("rn2"))), k)
+
+
+# --------------------------------------------------------------------------
+# binary (1-bit sign) quantization + Hamming search with asymmetric rerank
+# --------------------------------------------------------------------------
+#
+# The fourth compression point of the index family after float32 (1x),
+# int8 SQ (4x) and PQ (32x at m=8): 1 bit per component = 32x vs float32,
+# but with a trivially cheap distance (XOR + popcount on packed words)
+# instead of PQ's per-query lookup tables. This is the "binary
+# quantization" mode modern vector stores ship for first-stage filtering;
+# recall is recovered by reranking a small Hamming-candidate pool with
+# exact float scores (asymmetric refinement), so the full-precision
+# vectors are touched for only rerank_n rows per query.
+#
+# Packing is 32 bits per BIGINT word (not 64): both engines then evaluate
+# the same SUM(CASE v[i] > 0 THEN 2^j) arithmetic without ever nearing
+# the sign bit, so codes are exact cross-engine integers.
+
+_BIN_WORD = 32
+
+
+def _bin_pack_exprs(vec_col: str, dim: int, prefix: str) -> list[str]:
+    """SQL expressions packing sign bits into ceil(dim/32) BIGINT words.
+
+    One expression string per word (single JVM-side parse, same rationale
+    as _flat_dot): bit j of word w is set iff component w*32+j > 0.
+    """
+    exprs = []
+    for w in range((dim + _BIN_WORD - 1) // _BIN_WORD):
+        terms = [
+            f"(CASE WHEN CAST({vec_col}[{w * _BIN_WORD + j}] AS DOUBLE)"
+            f" > 0.0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_BIN_WORD) if w * _BIN_WORD + j < dim]
+        exprs.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS {prefix}{w}")
+    return exprs
+
+
+def quantize_binary(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """1-bit sign quantization of the embedding column: 32x smaller than
+    float32, the cheapest index representation in the family. Pure
+    columnar projection, NO shuffle — codes flow straight into a
+    partitioned index layout like the int8/PQ variants.
+
+    Output: vec_id, b0..b{W-1} (packed 32-bit words as BIGINT), nbits
+    (population count — the integer checksum of the code), density
+    (nbits/dim — a balance diagnostic: healthy zero-centered embeddings
+    sit near 0.5).
+    """
+    words = (dim + _BIN_WORD - 1) // _BIN_WORD
+    packed = embeddings.selectExpr(
+        id_col, *_bin_pack_exprs(vec_col, dim, "b"))
+    nbits = F.expr(" + ".join(f"bit_count(b{w})" for w in range(words)))
+    return packed.select(
+        id_col, *[f"b{w}" for w in range(words)],
+        nbits.cast("bigint").alias("nbits")).withColumn(
+        "density", F.col("nbits") / F.lit(float(dim)))
+
+
+def ann_hamming(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                rerank_n: int = 20, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Binary-quantized two-stage search: stage 1 scans ONLY the packed
+    sign bits (1/32 of the float bytes; XOR+popcount per pair, no
+    multiplies) and keeps the rerank_n Hamming-nearest candidates per
+    query; stage 2 rescores just those candidates with exact float
+    cosine (asymmetric refinement). At 100 TB the stage-1 scan is the
+    whole cost — 2 BIGINT columns per row at dim 64 — and stage 2 is a
+    k-row-per-query id-join back to the full-precision table.
+
+    Deterministic end-to-end: codes are exact integers, stage-1 ties
+    break on (hamming asc, neighbor_id asc), stage-2 ranks on (rounded
+    cosine desc, neighbor_id asc) like every other ANN in the family.
+
+    Output: query_id, neighbor_id, rank, cosine.
+    """
+    words = (dim + _BIN_WORD - 1) // _BIN_WORD
+    cpk = embeddings.selectExpr(
+        f"{id_col} AS neighbor_id", *_bin_pack_exprs(vec_col, dim, "cb"))
+    qpk = queries.selectExpr(
+        f"{id_col} AS query_id", *_bin_pack_exprs(vec_col, dim, "qb"))
+    ham = F.expr(" + ".join(
+        f"bit_count(qb{w} ^ cb{w})" for w in range(words)))
+    scored = (F.broadcast(qpk).crossJoin(cpk)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("hamming", ham.cast("bigint")))
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    cand = (scored.withColumn("hrank", F.row_number().over(wnd))
+            .where(F.col("hrank") <= rerank_n)
+            .select("query_id", "neighbor_id"))
+    # Stage 2: exact float rerank of the candidate pool only.
+    c = (_flat_cached(embeddings, id_col, vec_col, dim, "c")
+         .drop("vec")
+         .withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
+    q = (_flat(queries, id_col, vec_col, dim, "q").drop("vec")
+         .withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    rescored = (cand.join(F.broadcast(q), "query_id")
+                .join(c, "neighbor_id")
+                .withColumn("cosine",
+                            _flat_dot("q", "c", dim)
+                            / (F.col("q_nrm") * F.col("c_nrm"))))
+    return _topk(rescored, k)

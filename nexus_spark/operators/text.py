@@ -863,3 +863,103 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
                  F.avg("nl").alias("nll"))
             .select(id_col, "n_tokens_m", "nll",
                     F.exp(F.col("nll")).alias("ppl")))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446
+# Table A1) — the standard pretraining-corpus repetition/format filter
+# suite, beyond the scalar quality_score heuristic above.
+# --------------------------------------------------------------------------
+
+# The canonical Gopher "must contain >= 2 of" stop words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2,
+                   max_dup_line_frac: float = 0.3,
+                   max_dup_char_frac: float = 0.3) -> DataFrame:
+    """Per-document Gopher quality metrics + keep decision.
+
+    All metrics are higher-order-function array expressions inside ONE
+    projection over the documents scan — no shuffle, no UDF; at 100 TB
+    this runs at scan speed and the filter result feeds curation the way
+    quality_score does. Lines are chr(10)-delimited; words split on runs
+    of whitespace. dup_*_frac count ALL occurrences of a line whose value
+    appears more than once in the doc (the symmetric definition — Gopher
+    leaves first-occurrence treatment unspecified).
+
+    Output: id, the 9 metrics, rules_failed (count), keep (1/0).
+    """
+    from nexus_spark.functions.skew import ensure_parallelism
+
+    lines = f"split({text_col}, chr(10))"
+    words = f"split({text_col}, '\\\\s+')"
+    n_words = F.expr(f"size({words})")
+    mean_wl = F.expr(
+        f"aggregate(transform({words}, w -> length(w)), 0L,"
+        f" (a, x) -> a + x)").cast("double") / n_words
+    n_lines = F.expr(f"size({lines})")
+    dup_line_frac = (
+        F.expr(f"size(filter({lines},"
+               f" x -> size(filter({lines}, y -> y = x)) > 1))")
+        .cast("double") / n_lines)
+    dup_char_frac = (
+        F.expr(f"aggregate(filter({lines},"
+               f" x -> size(filter({lines}, y -> y = x)) > 1),"
+               f" 0L, (a, x) -> a + length(x))").cast("double")
+        / F.expr(f"aggregate(transform({lines}, l -> length(l)), 0L,"
+                 f" (a, x) -> a + x)"))
+    bullet_frac = (
+        F.expr(f"size(filter({lines}, l -> l LIKE '-%' OR l LIKE '*%'))")
+        .cast("double") / n_lines)
+    ellipsis_frac = (
+        F.expr(f"size(filter({lines}, l -> l LIKE '%...'))")
+        .cast("double") / n_lines)
+    alpha_frac = (
+        F.expr(f"size(filter({words}, w -> w rlike '[A-Za-z]'))")
+        .cast("double") / n_words)
+    stop_pred = " OR ".join(f"w = '{s}'" for s in GOPHER_STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter({words}, w -> {stop_pred}))").cast("bigint")
+    t = F.col(text_col)
+    symbol_ratio = (
+        ((F.length(t) - F.length(F.expr(f"replace({text_col}, '#')")))
+         + (F.length(t) - F.length(F.expr(f"replace({text_col}, '...')")))
+         / F.lit(3))
+        .cast("double") / n_words)
+
+    m = docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"))
+    fails = (
+        F.when(~F.col("n_words").between(min_words, max_words), 1)
+        .otherwise(0)
+        + F.when(~F.col("mean_word_len").between(min_mean_wl, max_mean_wl),
+                 1).otherwise(0)
+        + F.when(F.col("symbol_ratio") > max_symbol_ratio, 1).otherwise(0)
+        + F.when(F.col("bullet_frac") > max_bullet_frac, 1).otherwise(0)
+        + F.when(F.col("ellipsis_frac") > max_ellipsis_frac, 1).otherwise(0)
+        + F.when(F.col("alpha_frac") < min_alpha_frac, 1).otherwise(0)
+        + F.when(F.col("stop_hits") < min_stop_hits, 1).otherwise(0)
+        + F.when(F.col("dup_line_frac") > max_dup_line_frac, 1).otherwise(0)
+        + F.when(F.col("dup_char_frac") > max_dup_char_frac, 1).otherwise(0))
+    return ensure_parallelism(m).select(
+        "*", fails.cast("int").alias("rules_failed")).withColumn(
+        "keep", F.when(F.col("rules_failed") == 0, 1).otherwise(0)
+        .cast("int"))

@@ -329,3 +329,30 @@ def test_bpe_apply_counts_hand_computed(spark):
     got0 = {r["id"]: r["n_tokens_bpe"]
             for r in bpe_apply_counts(docs, []).collect()}
     assert got0 == {1: 6, 2: 5, 3: 4}
+
+
+def test_gopher_quality_rule_semantics(spark):
+    from nexus_spark.operators.text import gopher_quality
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog of"] * 6)
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes everything
+            (1, "too short to keep"),                    # word-count fail
+            (2, good + "\ndup line\ndup line\ndup line"),  # dup-line fails
+            (3, good + " " + "# " * 20),                 # symbol-ratio fail
+            (4, good + "\n- b1\n- b2\n* b3\nend..."),    # bullets+ellipsis
+        ],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert rows[0]["rules_failed"] == 0 and rows[0]["keep"] == 1
+    assert rows[1]["n_words"] < 50 and rows[1]["keep"] == 0
+    assert rows[2]["dup_line_frac"] == 0.75 and rows[2]["keep"] == 0
+    # 3 identical 8-char lines out of 4 lines; chars incl the base line
+    assert rows[2]["dup_char_frac"] > 0.04
+    assert rows[3]["symbol_ratio"] > 0.1 and rows[3]["keep"] == 0
+    assert rows[4]["bullet_frac"] == 0.6  # 3 bullet lines of 5
+    assert rows[4]["ellipsis_frac"] == 0.2
+    # bullet_frac <= 0.9 passes, ellipsis 0.2 <= 0.3 passes, but mean
+    # word len of '- b1' style lines drags nothing below 3.0: still keep
+    assert rows[4]["stop_hits"] >= 2
