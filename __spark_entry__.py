@@ -3483,6 +3483,103 @@ FROM codes c JOIN cell a USING (vec_id)
 """
 
 
+def q_e_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor as a REAL executed stream: the incoming
+    two-thirds of documents (the near-dup feed's 4-file arrival
+    directory) stream through a foreachBatch counting job that appends
+    per-(arrival_day, token-decile) counts to a tiny store; after the
+    drain, each day's merged distribution is PSI-scored against the
+    frozen baseline snapshot (doc_id%3==0) — the batch corpus_drift_psi
+    monitor promoted to ingest-time operation.
+
+    Oracle-checkable because the store is keyed by DATA-derived columns
+    (arrival_day = doc_id % 4) and counts are associative: any
+    micro-batch partitioning merges to the same per-day counts, so the
+    batch replay computes the identical PSI grid. Exercises the
+    streaming execution path (source discovery, foreachBatch commits,
+    append-only monitoring state) end-to-end.
+
+    Output: day, score, frac_base, frac_obs, psi_term, psi."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import token_count
+    from nexus_spark.streaming.drift import (merged_counts, psi_vs_baseline,
+                                             stream_category_counts)
+
+    feed = _staged_feed(spark, sf_dir, "neardup_feed")
+    schema = spark.read.parquet(feed).schema
+    bucket = F.least(token_count(F.col("text")) / F.lit(10),
+                     F.lit(9)).cast("int")
+
+    work = tempfile.mkdtemp(prefix="nexus_drift_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out_dir, ckpt = f"{work}/counts", f"{work}/ckpt"
+    os.makedirs(out_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed)
+              .select((F.col("doc_id") % 4).alias("day"),
+                      bucket.alias("score")))
+    with _stream_job_conf(spark):
+        q = stream_category_counts(stream, ["day", "score"], out_dir, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming drift drain exceeded 300s")
+
+    baseline = (load_table(spark, sf_dir, "documents")
+                .where(F.col("doc_id") % 3 == 0)
+                .groupBy(bucket.alias("score"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    observed = merged_counts(spark, out_dir, ["day", "score"])
+    return _finish(psi_vs_baseline(baseline, observed, "day", "score"))
+
+
+def _sql_stream_drift_psi() -> str:
+    """Oracle: batch replay of the per-day PSI grid — baseline deciles
+    (doc_id%3==0) vs each arrival day's deciles (doc_id%3!=0, day =
+    doc_id%4), Laplace-0.5 smoothing over each day's category union
+    (same formula as _sql_corpus_drift, plus the day dimension)."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, doc_id % 4 AS day,
+         CAST(LEAST(len(string_split(text, ' ')) // 10, 9) AS INT)
+           AS score
+  FROM documents),
+a AS (SELECT score, COUNT(*) AS cnt_a FROM q WHERE doc_id % 3 = 0
+      GROUP BY score),
+b AS (SELECT day, score, COUNT(*) AS cnt_b FROM q WHERE doc_id % 3 <> 0
+      GROUP BY day, score),
+days AS (SELECT DISTINCT day FROM b),
+da AS (SELECT days.day, a.score, a.cnt_a FROM days CROSS JOIN a),
+j AS (SELECT COALESCE(da.day, b.day) AS day,
+             COALESCE(da.score, b.score) AS score,
+             COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+      FROM da FULL OUTER JOIN b
+        ON da.day = b.day AND da.score = b.score),
+p AS (
+  SELECT day, score,
+         (cnt_a + 0.5) / (SUM(cnt_a) OVER (PARTITION BY day)
+                          + 0.5 * COUNT(*) OVER (PARTITION BY day))
+           AS frac_base,
+         (cnt_b + 0.5) / (SUM(cnt_b) OVER (PARTITION BY day)
+                          + 0.5 * COUNT(*) OVER (PARTITION BY day))
+           AS frac_obs
+  FROM j)
+SELECT day, score,
+       ROUND(frac_base, {ND}) AS frac_base,
+       ROUND(frac_obs, {ND}) AS frac_obs,
+       ROUND((frac_base - frac_obs) * ln(frac_base / frac_obs), {ND})
+         AS psi_term,
+       ROUND(SUM((frac_base - frac_obs) * ln(frac_base / frac_obs))
+             OVER (PARTITION BY day), {ND}) AS psi
+FROM p
+"""
+
+
 def q_e_stream_window_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation executed as a REAL
     streaming query in append mode, drained with availableNow — the
@@ -5143,12 +5240,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (10): NEW in round 6 (must be driver-checked this round):
+    # group B (11): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
     # incremental-near-dup stream, the PQ family (ADC search, IVF+PQ,
     # PQ recall@k, streaming index ingest), the binary-quantization
-    # family (sign-bit packing, Hamming+rerank search, recall@k), and
-    # the Gopher quality-rule suite ---
+    # family (sign-bit packing, Hamming+rerank search, recall@k), the
+    # Gopher quality-rule suite, and the executed streaming drift
+    # monitor ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
@@ -5159,6 +5257,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_hamming": q_sim_ann_hamming,
     "sim_binary_recall_at_k": q_sim_binary_recall,
     "text_gopher_quality": q_text_gopher_quality,
+    "e_stream_drift_psi": q_e_stream_drift_psi,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -5167,14 +5266,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (11): r04-checked refreshes — family-central/expensive
+    # group D (10): r04-checked refreshes — family-central/expensive
     # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # tiled lake, multimodal pair, recall@k; m_frame_sample,
+    # tiled lake, multimodal metadata, recall@k; m_frame_sample,
     # d_temperature_mix, corpus_drift_psi, warc_ingest displaced to
     # the tail by the four PQ entries, m_resize_features,
     # m_resample_audio, sim_filtered_knn by the three
-    # binary-quantization entries, and d_dedup_simhash_xx_recall by
-    # the Gopher suite — all join the round-7 leading set) ---
+    # binary-quantization entries, d_dedup_simhash_xx_recall by the
+    # Gopher suite, and m_multimodal_features by the streaming drift
+    # monitor — all join the round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -5184,23 +5284,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
-    "m_multimodal_features": q_m_features,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 34 r04-checked
+    # --- tail (entry 51+): rotates in for round 7. The 35 r04-checked
     # entries below (26 planned + m_frame_sample, d_temperature_mix,
     # corpus_drift_psi, warc_ingest, m_resize_features,
-    # m_resample_audio, sim_filtered_knn and d_dedup_simhash_xx_recall,
-    # displaced from the window by the eight new PQ/binary/Gopher
-    # entries) will be exactly 2 rounds stale after this round and must
-    # LEAD round 7's window; then the r05/r06-checked block (the
-    # round-6 window above refreshes groups A-D, so after this round
-    # the stalest surviving rows are exactly these 34): ---
+    # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall
+    # and m_multimodal_features, displaced from the window by the nine
+    # new PQ/binary/Gopher/stream-drift entries) will be exactly 2
+    # rounds stale after this round and must LEAD round 7's window;
+    # then the r05/r06-checked block (the round-6 window above
+    # refreshes groups A-D, so after this round the stalest surviving
+    # rows are exactly these 35): ---
     "warc_ingest": q_warc_ingest,
     "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
     "sim_filtered_knn": q_sim_filtered_knn,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "m_multimodal_features": q_m_features,
     "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
     "text_stats": q_text_stats,
@@ -5395,6 +5496,7 @@ _ORACLES: dict[str, str] = {
     "sim_ann_hamming": _sql_sim_ann_hamming(),
     "sim_binary_recall_at_k": _sql_sim_binary_recall(),
     "text_gopher_quality": _sql_text_gopher_quality(),
+    "e_stream_drift_psi": _sql_stream_drift_psi(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -325,3 +325,49 @@ def test_session_stats_streaming_matches_batch_cut(spark, tmp_path):
     batch = {(r["user_id"], str(r["session_start"]))
              for r in session_stats(ev).collect()}
     assert batch == set(got) | {(2, "2024-01-01 05:00:00")}
+
+
+def test_drift_counts_are_batching_independent(spark, tmp_path):
+    """Micro-batch boundaries must not change the merged drift counts:
+    drain the same rows as 1 file and as 4 files, merge, compare."""
+    from nexus_spark.streaming.drift import (merged_counts,
+                                             stream_category_counts)
+
+    rows = [(i, i % 3, i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, day long, score int")
+    merged = {}
+    for nfiles in (1, 4):
+        feed = str(tmp_path / f"feed{nfiles}")
+        df.repartition(nfiles).write.parquet(feed)
+        out = str(tmp_path / f"out{nfiles}")
+        ckpt = str(tmp_path / f"ckpt{nfiles}")
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed)
+                  .select("day", "score"))
+        q = stream_category_counts(stream, ["day", "score"], out, ckpt)
+        assert q.awaitTermination(120)
+        merged[nfiles] = {(r["day"], r["score"]): r["cnt"]
+                          for r in merged_counts(
+                              spark, out, ["day", "score"]).collect()}
+    assert merged[1] == merged[4]
+    assert sum(merged[1].values()) == 200
+
+
+def test_psi_vs_baseline_zero_on_identical_distribution(spark):
+    from nexus_spark.streaming.drift import psi_vs_baseline
+
+    base = spark.createDataFrame([(0, 10), (1, 30)], "score int, cnt long")
+    obs = spark.createDataFrame(
+        [(0, 0, 20), (0, 1, 60),   # day 0: same shape as baseline
+         (1, 0, 30), (1, 1, 10)],  # day 1: inverted
+        "day long, score int, cnt long")
+    rows = {(r["day"], r["score"]): r for r in
+            psi_vs_baseline(base, obs).collect()}
+    # identical shape: smoothing keeps PSI near zero but tiny, not exact
+    assert abs(rows[(0, 0)]["psi"]) < 1e-3
+    # inverted shape: large positive PSI
+    assert rows[(1, 0)]["psi"] > 0.5
+    # psi is the per-day sum of terms
+    for day in (0, 1):
+        assert abs(sum(rows[(day, s)]["psi_term"] for s in (0, 1))
+                   - rows[(day, 0)]["psi"]) < 1e-12
