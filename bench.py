@@ -324,6 +324,12 @@ SF1_EXTRA = (
     "sim_ann_ivf_pq",
     "sim_ann_pq",
     "sim_pq_recall_at_k",
+    # late round-6: binary-quantization search (XOR+popcount stage-1 scan
+    # at 10x vectors), the Gopher HOF scan at 10x docs, and the executed
+    # streaming drift monitor at a 10x feed
+    "sim_ann_hamming",
+    "text_gopher_quality",
+    "e_stream_drift_psi",
 )
 
 

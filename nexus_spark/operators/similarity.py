@@ -1156,3 +1156,92 @@ def ann_hamming(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                             _flat_dot("q", "c", dim)
                             / (F.col("q_nrm") * F.col("c_nrm"))))
     return _topk(rescored, k)
+
+
+def ivf_write_bin(embeddings: DataFrame, path: str, n_centroids: int = 32,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = DIM) -> None:
+    """IVF + binary quantization as ONE persistent index: the
+    cell-partitioned layout of ivf_write, but each row stores only the
+    packed sign-bit words (2 BIGINTs at dim 64) — 32x smaller rows than
+    float32, the cheapest serving shape in the family (float > int8 >
+    PQ/binary). Probes prune to nprobe partition directories and the
+    per-row distance is XOR+popcount; full-precision rerank reads the
+    PRIMARY vector store by id (the index deliberately does not
+    duplicate the floats).
+
+    Same deterministic cell assignment as ivf_write (md5-seeded
+    centroids, rounded-cosine max_by); codes are quantize_binary's
+    exact integer words.
+    """
+    corpus = _flat(embeddings, id_col, vec_col, dim, "c")
+    cents = _select_centroids(corpus, n_centroids, dim)
+    assign = (_cell_scores(corpus, cents, dim, "c")
+              .groupBy("id")
+              .agg(F.max_by(
+                  "cent_id",
+                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                           (-F.col("cent_id")).alias("t"))).alias("cell_id")))
+    packed = embeddings.selectExpr(
+        f"{id_col} AS id", *_bin_pack_exprs(vec_col, dim, "b"))
+    (packed.join(assign, "id")
+     .write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search_bin(spark, path: str, queries: DataFrame,
+                   rerank_src: DataFrame, k: int = 5, nprobe: int = 2,
+                   rerank_n: int = 40, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Probe a binary IVF index: nprobe partition pruning like
+    ivf_search, Hamming (XOR+popcount) candidate selection over the
+    packed words, then exact float rerank against the primary vector
+    store (`rerank_src`) — ann_hamming's two-stage search restricted to
+    the probed cells. Output contract and tie-breaks match ann_ivf.
+    """
+    words = (dim + _BIN_WORD - 1) // _BIN_WORD
+    cents = spark.read.parquet(f"{path}/_centroids")
+    qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
+    wq = Window.partitionBy("id").orderBy(
+        F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
+    probes = (_cell_scores(qflat, cents, dim, "q")
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(F.col("id").alias("query_id"), "cent_id"))
+    probe_rows = probes.collect()
+    cells = sorted({r.cent_id for r in probe_rows})
+
+    qpk = queries.selectExpr(
+        f"{id_col} AS query_id", *_bin_pack_exprs(vec_col, dim, "qb"))
+    # Partition-pruned scan ships `words` BIGINTs per row.
+    raw = (spark.read.parquet(path)
+           .where(F.col("cell_id").isin(cells))
+           .selectExpr("cell_id", "id AS neighbor_id",
+                       *[f"b{w} AS cb{w}" for w in range(words)]))
+    probe_df = F.broadcast(spark.createDataFrame(
+        [(r.query_id, r.cent_id) for r in probe_rows],
+        "query_id long, cell_id long"))
+    ham = F.expr(" + ".join(
+        f"bit_count(qb{w} ^ cb{w})" for w in range(words)))
+    cand_scored = (probe_df.join(raw, "cell_id")
+                   .where(F.col("query_id") != F.col("neighbor_id"))
+                   .join(F.broadcast(qpk), "query_id")
+                   .withColumn("hamming", ham.cast("bigint")))
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    cand = (cand_scored.withColumn("hrank", F.row_number().over(wnd))
+            .where(F.col("hrank") <= rerank_n)
+            .select("query_id", "neighbor_id"))
+    c = (_flat_cached(rerank_src, id_col, vec_col, dim, "c")
+         .drop("vec")
+         .withColumnRenamed("id", "neighbor_id")
+         .withColumnRenamed("nrm", "c_nrm"))
+    q = (qflat.drop("vec")
+         .withColumnRenamed("id", "query_id")
+         .withColumnRenamed("nrm", "q_nrm"))
+    rescored = (cand.join(F.broadcast(q), "query_id")
+                .join(c, "neighbor_id")
+                .withColumn("cosine",
+                            _flat_dot("q", "c", dim)
+                            / (F.col("q_nrm") * F.col("c_nrm"))))
+    return _topk(rescored, k)

@@ -179,3 +179,40 @@ def test_ivf_pq_layout_matches_in_memory_and_prunes(spark, tmp_path):
                   if "PartitionFilters" in ln and "cell_id" in ln]
     assert any("[]" not in ln.split("PartitionFilters:")[-1][:40]
                for ln in scan_lines)
+
+
+def test_ivf_bin_layout_recall_and_pruning(spark, tmp_path):
+    """Binary index: rows store only packed BIGINT sign words; probing +
+    Hamming + float rerank recovers most of the float index's neighbors,
+    and the scan keeps the partition-pruning property."""
+    from pyspark.sql.types import LongType
+
+    from nexus_spark.operators.similarity import (ivf_search, ivf_search_bin,
+                                                  ivf_write, ivf_write_bin)
+
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    pb = str(tmp_path / "ivf_bin")
+    pf = str(tmp_path / "ivf_f")
+    ivf_write_bin(emb, pb, n_centroids=8)
+    ivf_write(emb, pf, n_centroids=8)
+
+    schema = {f.name: f.dataType for f in spark.read.parquet(pb).schema}
+    assert isinstance(schema["b0"], LongType)
+    assert isinstance(schema["b1"], LongType)
+    assert "codes" not in schema  # no floats, no byte codes — words only
+
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_search_bin(spark, pb, queries, emb, k=5, nprobe=2,
+                                   rerank_n=60).collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in ivf_search(spark, pf, queries, k=5, nprobe=2).collect()}
+    assert len(want) > 0
+    # 1-bit codes inside probed cells + wide rerank: most neighbors match
+    assert len(got & want) / len(want) >= 0.7
+
+    df = ivf_search_bin(spark, pb, queries.where(F.col("vec_id") < 3), emb,
+                        k=3, nprobe=1)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
