@@ -4609,6 +4609,75 @@ FROM r
 """
 
 
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def q_sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (Carbonell & Goldstein SIGIR'98):
+    greedy lam*rel - pen_w*max-sim-to-selected over a per-query exact
+    kNN pool — the dedup-aware ranking step of a retrieval pipeline.
+    Greedy steps are deterministic (rounded-score/id tie-breaks), so
+    the oracle replays the full selection as k unrolled CTE layers."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _KNN_QUERIES)
+    return _finish(mmr_select(emb, queries_df, k=_MMR_K, pool_n=_MMR_POOL))
+
+
+def _sql_sim_mmr(k: int = _MMR_K, pool_n: int = _MMR_POOL,
+                 lam: str = "0.7", pen: str = "0.3") -> str:
+    """Oracle: the greedy loop unrolled into k CTE layers (the
+    _sql_bpe_learn pattern) — sel{i} accumulates the chosen set, p{i+1}
+    scores the remaining pool against it, QUALIFY picks the argmax."""
+    head = f"""
+WITH {_VECS},
+q AS (SELECT * FROM n WHERE vec_id < {_KNN_QUERIES}),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS rel
+       FROM q JOIN n c ON q.vec_id <> c.vec_id),
+pool AS (SELECT query_id, neighbor_id, rel FROM sc
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(rel, 6) DESC, neighbor_id) <= {pool_n}),
+pr AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+              list_dot_product(na.vec, nb.vec) / (na.nrm * nb.nrm) AS sim
+       FROM pool a JOIN pool b
+         ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       JOIN n na ON na.vec_id = a.neighbor_id
+       JOIN n nb ON nb.vec_id = b.neighbor_id),
+s1 AS (SELECT query_id, neighbor_id, {lam} * rel AS mmr FROM pool
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND({lam} * rel, 6) DESC, neighbor_id) = 1)"""
+    parts = [head]
+    sel_union = "SELECT query_id, neighbor_id FROM s1"
+    for i in range(2, k + 1):
+        parts.append(f""",
+sel{i - 1} AS ({sel_union}),
+p{i} AS (SELECT pr.query_id, pr.ca AS neighbor_id, MAX(pr.sim) AS pen
+         FROM pr JOIN sel{i - 1} s
+           ON pr.query_id = s.query_id AND pr.cb = s.neighbor_id
+         LEFT JOIN sel{i - 1} x
+           ON pr.query_id = x.query_id AND pr.ca = x.neighbor_id
+         WHERE x.neighbor_id IS NULL
+         GROUP BY pr.query_id, pr.ca),
+s{i} AS (SELECT p.query_id, p.neighbor_id,
+                {lam} * pool.rel - {pen} * p.pen AS mmr
+         FROM p{i} p JOIN pool
+           ON pool.query_id = p.query_id
+          AND pool.neighbor_id = p.neighbor_id
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY ROUND({lam} * pool.rel - {pen} * p.pen, 6) DESC,
+                          p.neighbor_id) = 1)""")
+        sel_union += f" UNION ALL SELECT query_id, neighbor_id FROM s{i}"
+    final = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, CAST({i} AS INT) AS mmr_rank,"
+        f" ROUND(mmr, {ND}) AS mmr FROM s{i}"
+        for i in range(1, k + 1))
+    return "".join(parts) + "\n" + final
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -5240,13 +5309,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (11): NEW in round 6 (must be driver-checked this round):
+    # group B (12): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
     # incremental-near-dup stream, the PQ family (ADC search, IVF+PQ,
     # PQ recall@k, streaming index ingest), the binary-quantization
     # family (sign-bit packing, Hamming+rerank search, recall@k), the
-    # Gopher quality-rule suite, and the executed streaming drift
-    # monitor ---
+    # Gopher quality-rule suite, the executed streaming drift monitor,
+    # and MMR diversified retrieval ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
@@ -5258,6 +5327,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_binary_recall_at_k": q_sim_binary_recall,
     "text_gopher_quality": q_text_gopher_quality,
     "e_stream_drift_psi": q_e_stream_drift_psi,
+    "sim_mmr_select": q_sim_mmr_select,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -5266,35 +5336,35 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (10): r04-checked refreshes — family-central/expensive
-    # picks (scrub quartet, semantic dedup, sketches, IVF near-dup,
-    # tiled lake, multimodal metadata, recall@k; m_frame_sample,
+    # group D (9): r04-checked refreshes — family-central/expensive
+    # picks (scrub quartet, semantic dedup, sketches, tiled lake,
+    # multimodal metadata, recall@k; m_frame_sample,
     # d_temperature_mix, corpus_drift_psi, warc_ingest displaced to
     # the tail by the four PQ entries, m_resize_features,
     # m_resample_audio, sim_filtered_knn by the three
     # binary-quantization entries, d_dedup_simhash_xx_recall by the
-    # Gopher suite, and m_multimodal_features by the streaming drift
-    # monitor — all join the round-7 leading set) ---
+    # Gopher suite, m_multimodal_features by the streaming drift
+    # monitor, and d_near_dup_embedding_ivf by MMR — all join the
+    # round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_span_apply": q_scrub_span_apply,
     "d_semantic_dedup": q_d_semantic_dedup,
     "sketch_profile": q_sketch_profile,
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
     "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 35 r04-checked
+    # --- tail (entry 51+): rotates in for round 7. The 36 r04-checked
     # entries below (26 planned + m_frame_sample, d_temperature_mix,
     # corpus_drift_psi, warc_ingest, m_resize_features,
-    # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall
-    # and m_multimodal_features, displaced from the window by the nine
-    # new PQ/binary/Gopher/stream-drift entries) will be exactly 2
-    # rounds stale after this round and must LEAD round 7's window;
-    # then the r05/r06-checked block (the round-6 window above
-    # refreshes groups A-D, so after this round the stalest surviving
-    # rows are exactly these 35): ---
+    # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall,
+    # m_multimodal_features and d_near_dup_embedding_ivf, displaced
+    # from the window by the ten new PQ/binary/Gopher/stream-drift/MMR
+    # entries) will be exactly 2 rounds stale after this round and must
+    # LEAD round 7's window; then the r05/r06-checked block (the
+    # round-6 window above refreshes groups A-D, so after this round
+    # the stalest surviving rows are exactly these 36): ---
     "warc_ingest": q_warc_ingest,
     "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
@@ -5302,6 +5372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_filtered_knn": q_sim_filtered_knn,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "m_multimodal_features": q_m_features,
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
     "text_stats": q_text_stats,
@@ -5497,6 +5568,7 @@ _ORACLES: dict[str, str] = {
     "sim_binary_recall_at_k": _sql_sim_binary_recall(),
     "text_gopher_quality": _sql_text_gopher_quality(),
     "e_stream_drift_psi": _sql_stream_drift_psi(),
+    "sim_mmr_select": _sql_sim_mmr(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

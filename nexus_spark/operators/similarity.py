@@ -1245,3 +1245,77 @@ def ivf_search_bin(spark, path: str, queries: DataFrame,
                             _flat_dot("q", "c", dim)
                             / (F.col("q_nrm") * F.col("c_nrm"))))
     return _topk(rescored, k)
+
+
+def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               pool_n: int = 20, lam: float = 0.7, pen_w: float = 0.3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = DIM) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein SIGIR'98): greedily pick argmax
+    lam * rel(q, d) - pen_w * max_{s in selected} sim(d, s), seeding
+    with max relevance (empty-set penalty = 0, i.e. step-1 score is
+    lam * rel). The dedup-aware ranking step of a retrieval pipeline —
+    near-identical candidates can't crowd the top-k.
+
+    Scale shape: the candidate pool (pool_n per query via exact kNN) and
+    its pairwise sim matrix (pool_n^2 per query) are computed
+    distributively and persisted ONCE; each greedy step is one tiny
+    join+agg+window over pool-bounded rows, and only the per-step argmax
+    winners (n_queries rows) come back as driver state — the k-row
+    pattern of d_kmeans_round, bounded by queries*k regardless of corpus
+    size. lam and pen_w are independent literals (NOT computed as 1-lam:
+    0.3 has an exact parse both engines share; 1.0-0.7 in binary does
+    not).
+
+    Output: query_id, neighbor_id, mmr_rank (1..k), mmr. Deterministic:
+    (rounded score desc, neighbor_id asc) tie-breaks at every step.
+    """
+    spark = embeddings.sparkSession
+    rel = (knn_bruteforce(embeddings, queries, k=pool_n, id_col=id_col,
+                          vec_col=vec_col, dim=dim)
+           .select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+           .persist())
+    flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    fa = flat.select(F.col("id").alias("ca"), F.col("nrm").alias("na"),
+                     *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])
+    fb = flat.select(F.col("id").alias("cb"), F.col("nrm").alias("nb"),
+                     *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)])
+    pairs = (rel.select("query_id", F.col("neighbor_id").alias("ca"))
+             .join(rel.select("query_id", F.col("neighbor_id").alias("cb")),
+                   "query_id")
+             .where(F.col("ca") != F.col("cb"))
+             .join(fa, "ca").join(fb, "cb")
+             .select("query_id", "ca", "cb",
+                     (_flat_dot("a", "b", dim)
+                      / (F.col("na") * F.col("nb"))).alias("sim"))
+             .persist())
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("mmr"), 6).desc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("query_id", "neighbor_id", "mmr"))
+
+    s1 = argmax(rel.withColumn("mmr", F.lit(lam) * F.col("rel")))
+    selected = [(r["query_id"], r["neighbor_id"], 1, r["mmr"])
+                for r in s1.collect()]
+    for step in range(2, k + 1):
+        sel_df = F.broadcast(spark.createDataFrame(
+            [(q_, n_) for (q_, n_, _, _) in selected],
+            "query_id long, neighbor_id long"))
+        pen = (pairs.join(sel_df.withColumnRenamed("neighbor_id", "cb"),
+                          ["query_id", "cb"])
+               .groupBy("query_id", "ca").agg(F.max("sim").alias("pen"))
+               .withColumnRenamed("ca", "neighbor_id"))
+        scored = (rel.join(sel_df, ["query_id", "neighbor_id"], "left_anti")
+                  .join(pen, ["query_id", "neighbor_id"])
+                  .withColumn("mmr", F.lit(lam) * F.col("rel")
+                              - F.lit(pen_w) * F.col("pen")))
+        selected.extend((r["query_id"], r["neighbor_id"], step, r["mmr"])
+                        for r in argmax(scored).collect())
+    rel.unpersist()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        selected, "query_id long, neighbor_id long, mmr_rank int, mmr double")

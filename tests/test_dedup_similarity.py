@@ -500,3 +500,72 @@ def test_ann_hamming_exact_when_pool_is_corpus(spark):
     binq = [(r["query_id"], r["neighbor_id"], r["rank"])
             for r in ann_hamming(emb, queries, k=5, rerank_n=100).collect()]
     assert sorted(exact) == sorted(binq)
+
+
+def test_mmr_select_prefers_diverse_results(spark):
+    """Two tight clusters; the query sits between them, slightly closer
+    to A. Plain kNN fills the top-4 entirely from A; MMR must pick A
+    first (max relevance) and then jump to B (redundancy penalty)."""
+    import math
+
+    from nexus_spark.operators.similarity import knn_bruteforce, mmr_select
+
+    def vec(theta):
+        # unit vectors in a 2-plane embedded at dims 0/1, rest zero
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [(0, vec(0.33))]                                   # the query
+    rows += [(10 + i, vec(0.001 * i)) for i in range(4)]      # cluster A
+    rows += [(20 + i, vec(0.70 + 0.001 * i)) for i in range(4)]  # cluster B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+
+    top = [r["neighbor_id"] for r in knn_bruteforce(emb, q, k=4)
+           .orderBy("rank").collect()]
+    assert all(n // 10 == 1 for n in top)  # kNN: all four from cluster A
+
+    # rel(A)~cos(0.33)=0.946 vs rel(B)~cos(0.37)=0.932, but a second A
+    # pays penalty ~1.0 while B pays only sim(B,A)~cos(0.70)=0.765
+    sel = [r["neighbor_id"] for r in
+           mmr_select(emb, q, k=4, pool_n=8, lam=0.5, pen_w=0.5)
+           .orderBy("mmr_rank").collect()]
+    assert sel[0] == top[0]               # rank 1 is still max relevance
+    assert sel[1] // 10 == 2              # rank 2 jumps to cluster B
+    assert {n // 10 for n in sel} == {1, 2}  # both clusters represented
+    assert len(set(sel)) == 4             # no repeats
+
+
+def test_mmr_scores_decompose(spark):
+    """Each step's score must equal lam*rel - pen_w*max-sim-to-prior,
+    with rel and sims recomputed independently in numpy (penalties can
+    be NEGATIVE on anti-correlated fixture vectors — that is correct
+    MMR: dissimilarity to the selected set adds to the score)."""
+    import numpy as np
+
+    from nexus_spark.operators.similarity import mmr_select
+
+    from tests.conftest import SF_DIR
+
+    emb_df = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+              .where(F.col("vec_id") < 80))
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b]
+                     / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    q = emb_df.where(F.col("vec_id") < 3)
+    out = sorted(mmr_select(emb_df, q, k=3, pool_n=10).collect(),
+                 key=lambda r: (r["query_id"], r["mmr_rank"]))
+    picked: dict[int, list[int]] = {}
+    for r in out:
+        qid, nid = r["query_id"], r["neighbor_id"]
+        prior = picked.setdefault(qid, [])
+        want = 0.7 * cos(qid, nid)
+        if prior:
+            want -= 0.3 * max(cos(nid, s) for s in prior)
+        assert abs(r["mmr"] - want) < 1e-6, (qid, nid, r["mmr"], want)
+        prior.append(nid)
+    for picks in picked.values():
+        assert len(picks) == len(set(picks)) == 3
