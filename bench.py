@@ -54,6 +54,22 @@ _QUERY_NOTES = {
     "d_near_dup_embedding":
         "declared O(n^2) brute baseline (labeled); GEMM and IVF are the "
         "routed alternatives",
+    "sim_mmr_select":
+        "greedy selection is sequential in k by definition: the pool + "
+        "pair-sim matrix are computed/persisted once, then k-1 tiny "
+        "join+agg+argmax steps each with an nq-row collect (k-row-state "
+        "pattern, like d_kmeans_round). First call pays codegen for 5 "
+        "unrolled 64-column join layers; steady (~5.9s) is within ~0.85x "
+        "of DuckDB's same unrolled greedy CTE replay",
+    "e_stream_drift_psi":
+        "executed stream (foreachBatch counting commits x4 files) with "
+        "the usual ~1-2s fixed startup/commit cost; the PSI grid itself "
+        "is a broadcast-sized cross join over merged kilobyte counts",
+    "sim_ann_hamming":
+        "two-stage search: integer XOR+popcount scan then float rerank "
+        "of 40 candidates/query; isolated steady ~1.1s — sweep-recorded "
+        "steady can inflate 2-4x from mid-sweep JVM/code-cache pressure "
+        "(same mechanism as the round-6 lsh_xx_parity note)",
     "d_dedup_lsh_xx_parity":
         "verification harness: runs BOTH hash families' LSH banding, "
         "then ONE shared exact-jaccard verify over the candidate union "

@@ -375,3 +375,30 @@ def test_pq_train_encode_equals_naive(spark, vecs):
                        key=lambda c: (round(d2(sub_v(vid, s),
                                                ref[(s, c)]), 6), c))
             assert codes[(vid, s)] == best, (vid, s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-8.0, max_value=8.0,
+                       allow_nan=False, width=32),
+             min_size=64, max_size=64),
+    min_size=1, max_size=12))
+def test_binary_pack_equals_numpy(spark, vecs):
+    """quantize_binary's SQL word-pack must equal an independent numpy
+    sign-bit packing (strict > 0; 32 bits per word, little-bit-endian)
+    on arbitrary float vectors, including exact zeros."""
+    from nexus_spark.operators.similarity import quantize_binary
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["b0"], r["b1"], r["nbits"])
+           for r in quantize_binary(emb).collect()}
+    import numpy as np
+    for i, v in enumerate(vecs):
+        # float32 storage first (the column type), THEN the sign test —
+        # matches the engine, which compares the stored float32 value
+        bits = [1 if x > 0.0 else 0
+                for x in np.asarray(v, dtype=np.float32)]
+        w0 = sum(b << j for j, b in enumerate(bits[:32]))
+        w1 = sum(b << j for j, b in enumerate(bits[32:]))
+        assert got[i] == (w0, w1, sum(bits)), (i, got[i])
