@@ -462,11 +462,19 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         # Catalyst/janino caches. first-call − steady = one-off plan
         # analysis + codegen cost; steady = the recurring execution cost
         # a deployment actually pays per query. CC memo cleared again so
-        # the steady run still pays its own convergence.
-        _dedup._CC_CACHE.clear()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        steady_s = round(time.perf_counter() - t0, 3)
+        # the steady run still pays its own convergence. Taken as the
+        # MIN of two warm runs: a single sample occasionally lands on a
+        # multi-second GC pause of the long-lived 134-query session
+        # (observed as roving 4-10x steady>first inversions that never
+        # reproduce in isolation — a different query each sweep), which
+        # measures the sweep harness, not the query.
+        steady_s = None
+        for _ in range(2):
+            _dedup._CC_CACHE.clear()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            got = round(time.perf_counter() - t0, 3)
+            steady_s = got if steady_s is None else min(steady_s, got)
         duck_s = None
         if name in oracles:
             t0 = time.perf_counter()
@@ -508,11 +516,15 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "Spark times are end-to-end (plan+execute+count) on a warm session;",
         "DuckDB runs each query's oracle SQL on a warm process.",
         "",
-        "Each query is timed TWICE: `spark s` is the first call (pays",
-        "one-off Catalyst analysis + janino whole-stage codegen for that",
-        "plan); `steady s` is the identical query re-run on the warm",
-        "plan/codegen caches — the recurring per-query cost a deployment",
-        "pays. The difference isolates compile cost from execution cost.",
+        "Each query is timed as: `spark s` = the first call (pays one-off",
+        "Catalyst analysis + janino whole-stage codegen for that plan);",
+        "`steady s` = MIN of two identical re-runs on the warm plan/codegen",
+        "caches — the recurring per-query cost a deployment pays. Min-of-2",
+        "because a single warm sample occasionally lands on a multi-second",
+        "GC pause of the long-lived 134-query sweep session (a roving",
+        "steady>first inversion, different query each sweep, never",
+        "reproducible in isolation). The difference first−steady isolates",
+        "compile cost from execution cost.",
         "",
         "Warm-state methodology: state a lake deployment maintains at",
         "WRITE time stays warm across timed queries — the observations",
