@@ -622,6 +622,17 @@ def main() -> None:
     from nexus_spark.session import get_session
 
     spark = get_session("nexus_spark_bench")
+    # Pin the state-store maintenance cadence for the WHOLE bench session.
+    # _stream_job_conf sets 3600s around each executed stream but restores
+    # the 60s default afterwards — and the maintenance thread then churns
+    # (snapshots/cleans) every orphaned provider the 7 e_stream_* queries
+    # x3 runs leave loaded, for the remainder of the sweep. Observed as
+    # roving multi-second slow WINDOWS hitting whichever query runs when
+    # the tick fires (lang_segments 10.8s min-of-2 steady vs 1.4s first
+    # and vs isolation); hourly cadence is correct for drain-and-exit
+    # bench jobs whose state dirs are temp-scoped.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval",
+                   "3600s")
     qs = entry_mod.queries()
 
     if "--a2-crossover" in sys.argv:  # standalone dense-lake demo

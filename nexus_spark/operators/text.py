@@ -900,8 +900,11 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     """
     from nexus_spark.functions.skew import ensure_parallelism
 
-    lines = f"split({text_col}, chr(10))"
-    words = f"split({text_col}, '\\\\s+')"
+    # NULL-safe: a NULL document scores as an empty one (fails the
+    # word-count rule) instead of poisoning every metric to NULL.
+    t_safe = f"COALESCE({text_col}, '')"
+    lines = f"split({t_safe}, chr(10))"
+    words = f"split({t_safe}, '\\\\s+')"
     n_words = F.expr(f"size({words})")
     mean_wl = F.expr(
         f"aggregate(transform({words}, w -> length(w)), 0L,"
@@ -929,10 +932,10 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
     stop_pred = " OR ".join(f"w = '{s}'" for s in GOPHER_STOPWORDS)
     stop_hits = F.expr(
         f"size(filter({words}, w -> {stop_pred}))").cast("bigint")
-    t = F.col(text_col)
+    t = F.expr(t_safe)
     symbol_ratio = (
-        ((F.length(t) - F.length(F.expr(f"replace({text_col}, '#')")))
-         + (F.length(t) - F.length(F.expr(f"replace({text_col}, '...')")))
+        ((F.length(t) - F.length(F.expr(f"replace({t_safe}, '#')")))
+         + (F.length(t) - F.length(F.expr(f"replace({t_safe}, '...')")))
          / F.lit(3))
         .cast("double") / n_words)
 

@@ -72,7 +72,15 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # 512m code cache: a 130+-query session of 64-column whole-stage
+        # codegen can exhaust the 240m default, after which the JVM
+        # disables the JIT and execution falls back to the interpreter in
+        # sustained multi-second windows (observed as roving steady-run
+        # inflations late in full sweeps that never reproduce in
+        # isolation).
+        .config("spark.driver.extraJavaOptions",
+                "-Djava.net.preferIPv4Stack=true "
+                "-XX:ReservedCodeCacheSize=512m")
     )
     spark = builder.getOrCreate()
     tune(spark)

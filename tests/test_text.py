@@ -356,3 +356,15 @@ def test_gopher_quality_rule_semantics(spark):
     # bullet_frac <= 0.9 passes, ellipsis 0.2 <= 0.3 passes, but mean
     # word len of '- b1' style lines drags nothing below 3.0: still keep
     assert rows[4]["stop_hits"] >= 2
+
+
+def test_gopher_quality_null_and_empty_are_rejected_not_null(spark):
+    from nexus_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame([(0, None), (1, "")],
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    for i in (0, 1):
+        assert rows[i]["keep"] == 0          # rejected, not NULL
+        assert rows[i]["rules_failed"] >= 1  # word-count rule fails
+        assert rows[i]["n_words"] <= 1
