@@ -914,12 +914,14 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
         F.expr(f"size(filter({lines},"
                f" x -> size(filter({lines}, y -> y = x)) > 1))")
         .cast("double") / n_lines)
-    dup_char_frac = (
+    # try_divide: a fully-empty doc has 0 total line chars (NULL frac —
+    # the word-count rule rejects it anyway); ANSI mode would throw.
+    dup_char_frac = F.try_divide(
         F.expr(f"aggregate(filter({lines},"
                f" x -> size(filter({lines}, y -> y = x)) > 1),"
-               f" 0L, (a, x) -> a + length(x))").cast("double")
-        / F.expr(f"aggregate(transform({lines}, l -> length(l)), 0L,"
-                 f" (a, x) -> a + x)"))
+               f" 0L, (a, x) -> a + length(x))").cast("double"),
+        F.expr(f"aggregate(transform({lines}, l -> length(l)), 0L,"
+               f" (a, x) -> a + x)"))
     bullet_frac = (
         F.expr(f"size(filter({lines}, l -> l LIKE '-%' OR l LIKE '*%'))")
         .cast("double") / n_lines)
