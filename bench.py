@@ -346,6 +346,7 @@ SF1_EXTRA = (
     "sim_ann_hamming",
     "text_gopher_quality",
     "e_stream_drift_psi",
+    "sim_mmr_select",
 )
 
 
