@@ -4678,6 +4678,93 @@ s{i} AS (SELECT p.query_id, p.neighbor_id,
     return "".join(parts) + "\n" + final
 
 
+# Shared CTE block: feature-hashed document embeddings in sparse long
+# format — the exact md5-bucket/sign contract of text.hash_embed.
+_HASH_EMBED_CTES = f"""
+wl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       FROM documents),
+ht AS (SELECT doc_id, md5(word) AS h FROM wl WHERE word <> ''),
+hb AS (SELECT doc_id,
+              CAST(('0x' || substr(h, 1, 8))::BIGINT % 64 AS INT) AS pos,
+              CASE WHEN substr(h, 9, 1) IN
+                   ('0','1','2','3','4','5','6','7')
+                   THEN 1 ELSE -1 END AS s
+       FROM ht),
+ha AS (SELECT doc_id, pos, CAST(SUM(s) AS DOUBLE) AS raw
+       FROM hb GROUP BY doc_id, pos),
+he AS (SELECT doc_id, pos,
+              raw / NULLIF(sqrt(SUM(raw * raw)
+                                OVER (PARTITION BY doc_id)), 0) AS val
+       FROM ha)"""
+
+
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedder (Weinberger et al. ICML'09):
+    md5-bucketed signed word counts, L2-normalized, sparse long format —
+    the deterministic, training-free step that closes the
+    docs -> vectors -> dedup/ANN loop in-engine. One explode + one
+    map-side-combined (doc, bucket) aggregate + a per-doc norm window."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import hash_embed
+
+    return _finish(hash_embed(load_table(spark, sf_dir, "documents")))
+
+
+SQL_TEXT_HASH_EMBED = f"""
+WITH {_HASH_EMBED_CTES}
+SELECT doc_id, pos, ROUND(val, {ND}) AS val FROM he
+"""
+
+
+def q_sim_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed loop: hash-embed the corpus, then exact top-k cosine
+    between documents as a SPARSE inner-product equi-join on bucket
+    (vectors are L2-normalized, so the dot IS the cosine; pairs join
+    only on shared buckets — no dense materialization, no cross join).
+    The sparse-similarity-join shape a 100 TB text corpus can actually
+    run end-to-end without a trained model."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import hash_embed
+
+    emb = hash_embed(load_table(spark, sf_dir, "documents"))
+    q = (emb.where(F.col("doc_id") < _KNN_QUERIES)
+         .select(F.col("doc_id").alias("query_id"), "pos",
+                 F.col("val").alias("qval")))
+    c = emb.select(F.col("doc_id").alias("neighbor_id"), "pos",
+                   F.col("val").alias("cval"))
+    from pyspark.sql import Window
+
+    scored = (F.broadcast(q).join(c, "pos")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum(F.col("qval") * F.col("cval")).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc())
+    return _finish(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+SQL_SIM_HASH_EMBED_KNN = f"""
+WITH {_HASH_EMBED_CTES},
+hq AS (SELECT doc_id AS query_id, pos, val AS qval FROM he
+       WHERE doc_id < {_KNN_QUERIES}),
+hs AS (
+  SELECT q.query_id, c.doc_id AS neighbor_id,
+         SUM(q.qval * c.val) AS cosine
+  FROM hq q JOIN he c ON q.pos = c.pos AND q.query_id <> c.doc_id
+  GROUP BY q.query_id, c.doc_id),
+hr AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+  FROM hs)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, {ND}) AS cosine
+FROM hr WHERE rank <= {_KNN_K}
+"""
+
+
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 paged EDGE in-situ subset end-to-end through the paging adapter
     (reference: doms/fetchedgeimpl.py:141-173 offset-parallel fetch,
@@ -5309,13 +5396,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    # group B (12): NEW in round 6 (must be driver-checked this round):
+    # group B (14): NEW in round 6 (must be driver-checked this round):
     # the pinned-length Butterworth oracle, the executed
     # incremental-near-dup stream, the PQ family (ADC search, IVF+PQ,
     # PQ recall@k, streaming index ingest), the binary-quantization
     # family (sign-bit packing, Hamming+rerank search, recall@k), the
     # Gopher quality-rule suite, the executed streaming drift monitor,
-    # and MMR diversified retrieval ---
+    # MMR diversified retrieval, and the feature-hashing embedder +
+    # its sparse-join kNN composition ---
     "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
@@ -5328,6 +5416,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_quality": q_text_gopher_quality,
     "e_stream_drift_psi": q_e_stream_drift_psi,
     "sim_mmr_select": q_sim_mmr_select,
+    "text_hash_embed": q_text_hash_embed,
+    "sim_hash_embed_knn": q_sim_hash_embed_knn,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -5344,28 +5434,30 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # m_resample_audio, sim_filtered_knn by the three
     # binary-quantization entries, d_dedup_simhash_xx_recall by the
     # Gopher suite, m_multimodal_features by the streaming drift
-    # monitor, and d_near_dup_embedding_ivf by MMR — all join the
+    # monitor, d_near_dup_embedding_ivf by MMR, and scrub_span_apply +
+    # sim_ann_recall_at_k by the hash-embed pair — all join the
     # round-7 leading set) ---
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_span_apply": q_scrub_span_apply,
     "d_semantic_dedup": q_d_semantic_dedup,
     "sketch_profile": q_sketch_profile,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "m_multimodal_metadata": q_m_metadata,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    # --- tail (entry 51+): rotates in for round 7. The 36 r04-checked
+    # --- tail (entry 51+): rotates in for round 7. The 38 r04-checked
     # entries below (26 planned + m_frame_sample, d_temperature_mix,
     # corpus_drift_psi, warc_ingest, m_resize_features,
     # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall,
-    # m_multimodal_features and d_near_dup_embedding_ivf, displaced
-    # from the window by the ten new PQ/binary/Gopher/stream-drift/MMR
-    # entries) will be exactly 2 rounds stale after this round and must
-    # LEAD round 7's window; then the r05/r06-checked block (the
-    # round-6 window above refreshes groups A-D, so after this round
-    # the stalest surviving rows are exactly these 36): ---
+    # m_multimodal_features, d_near_dup_embedding_ivf,
+    # scrub_span_apply and sim_ann_recall_at_k, displaced from the
+    # window by the twelve new round-6 entries) will be exactly 2
+    # rounds stale after this round and must LEAD round 7's window;
+    # then the r05/r06-checked block (the round-6 window above
+    # refreshes groups A-D, so after this round the stalest surviving
+    # rows are exactly these 38): ---
     "warc_ingest": q_warc_ingest,
+    "scrub_span_apply": q_scrub_span_apply,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
     "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
@@ -5569,6 +5661,8 @@ _ORACLES: dict[str, str] = {
     "text_gopher_quality": _sql_text_gopher_quality(),
     "e_stream_drift_psi": _sql_stream_drift_psi(),
     "sim_mmr_select": _sql_sim_mmr(),
+    "text_hash_embed": SQL_TEXT_HASH_EMBED,
+    "sim_hash_embed_knn": SQL_SIM_HASH_EMBED_KNN,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

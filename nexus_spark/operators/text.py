@@ -968,3 +968,45 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
         "*", fails.cast("int").alias("rules_failed")).withColumn(
         "keep", F.when(F.col("rules_failed") == 0, 1).otherwise(0)
         .cast("int"))
+
+
+def hash_embed(docs: DataFrame, dim: int = 64, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick, Weinberger
+    et al. ICML'09): each word hashes to one of `dim` buckets with a
+    +/-1 sign bit, per-bucket signed counts are L2-normalized — a
+    deterministic, training-free embedder that closes the
+    docs -> vectors -> dedup/ANN loop entirely in-engine.
+
+    SPARSE long-format output (id, pos, val): only buckets a document
+    actually touches get a row, so the shuffle volume is one row per
+    present bucket, never dim per doc. One explode + ONE
+    map-side-combined (id, bucket) aggregate (the hash is computed once
+    per token) + a per-doc norm window over <= dim rows. Cosine between
+    two docs is then a plain sparse inner-product equi-join on pos —
+    no dense materialization anywhere.
+
+    Hash contract (cross-engine exact): bucket = first 8 md5 hex chars
+    as an integer mod dim; sign = 9th hex char in 0-7 -> +1 else -1.
+    """
+    from pyspark.sql import Window as W
+
+    tok = (docs.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("word"))
+           .where(F.col("word") != ""))
+    h = F.md5(F.col("word"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+              % dim).cast("int")
+    sign = F.when(F.substring(h, 9, 1).isin(*"01234567"),
+                  F.lit(1)).otherwise(F.lit(-1))
+    agg = (tok.select(F.col(id_col), bucket.alias("pos"),
+                      sign.alias("s"))
+           .groupBy(id_col, "pos")
+           .agg(F.sum("s").cast("double").alias("raw")))
+    nrm = F.sqrt(F.sum(F.col("raw") * F.col("raw"))
+                 .over(W.partitionBy(id_col)))
+    # try_divide: a doc whose signs fully cancel in every bucket has
+    # norm 0 (NULL components) — ANSI mode would throw.
+    return agg.select(F.col(id_col), F.col("pos"),
+                      F.try_divide(F.col("raw"), nrm).alias("val"))

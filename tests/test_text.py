@@ -368,3 +368,32 @@ def test_gopher_quality_null_and_empty_are_rejected_not_null(spark):
         assert rows[i]["keep"] == 0          # rejected, not NULL
         assert rows[i]["rules_failed"] >= 1  # word-count rule fails
         assert rows[i]["n_words"] <= 1
+
+
+def test_hash_embed_unit_norm_and_duplicate_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(0, "spark joins shuffle data fast"),
+         (1, "spark joins shuffle data fast"),      # exact duplicate of 0
+         (2, "completely different words entirely here")],
+        "doc_id long, text string")
+    emb = hash_embed(docs)
+    # per-doc L2 norm is 1 (normalized sparse vector)
+    norms = {r["doc_id"]: r["n"] for r in
+             emb.groupBy("doc_id")
+             .agg(F.sum(F.col("val") * F.col("val")).alias("n")).collect()}
+    for v in norms.values():
+        assert abs(v - 1.0) < 1e-12
+    # identical docs get identical sparse vectors -> cosine exactly 1
+    a = {(r["pos"]): r["val"] for r in
+         emb.where(F.col("doc_id") == 0).collect()}
+    b = {(r["pos"]): r["val"] for r in
+         emb.where(F.col("doc_id") == 1).collect()}
+    assert a == b
+    c = {(r["pos"]): r["val"] for r in
+         emb.where(F.col("doc_id") == 2).collect()}
+    dot_ac = sum(a[p] * c[p] for p in set(a) & set(c))
+    assert dot_ac < 0.9  # different content does not collide to cosine 1
