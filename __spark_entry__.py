@@ -4722,11 +4722,16 @@ def q_sim_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vectors are L2-normalized, so the dot IS the cosine; pairs join
     only on shared buckets — no dense materialization, no cross join).
     The sparse-similarity-join shape a 100 TB text corpus can actually
-    run end-to-end without a trained model."""
-    from nexus_spark.catalog import load_table
-    from nexus_spark.operators.text import hash_embed
+    run end-to-end without a trained model.
 
-    emb = hash_embed(load_table(spark, sf_dir, "documents"))
+    The embedding table is session-memoized index state
+    (`hash_embed_cached`, same policy as `pq_index_cached`): the plan
+    references it twice (query side + corpus side) and would otherwise
+    re-derive the explode/aggregate/norm subtree per branch."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import hash_embed_cached
+
+    emb = hash_embed_cached(load_table(spark, sf_dir, "documents"))
     q = (emb.where(F.col("doc_id") < _KNN_QUERIES)
          .select(F.col("doc_id").alias("query_id"), "pos",
                  F.col("val").alias("qval")))
@@ -5347,6 +5352,217 @@ scored AS (
 {_SQL_PQ_RANK_TAIL}"""
 
 
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag, status), (flag), ()) — detail cells,
+    subtotals and grand total in ONE aggregation pass, with the
+    portable grouping(a)*2+grouping(b) level id."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import lineitem_grouping_sets
+
+    return _finish(lineitem_grouping_sets(
+        load_table(spark, sf_dir, "lineitem")))
+
+
+SQL_SQL_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+         AS gid,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), {ND}) AS sum_qty,
+       ROUND(AVG(l_extendedprice), {ND}) AS avg_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_d_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate funnel: survivors of each successive
+    Gopher-style gate + final retention — the per-source attrition
+    report a curation pipeline logs before committing to a mix. One
+    projection + one conditional aggregate (map-side combined)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import quality_funnel
+
+    return _finish(quality_funnel(
+        load_table(spark, sf_dir, "documents")))
+
+
+_FUNNEL_STOP_PRED = " OR ".join(
+    f"w = '{s}'" for s in ("the", "be", "to", "of", "and", "that",
+                           "have", "with"))
+
+SQL_D_QUALITY_FUNNEL = f"""
+WITH arr AS (
+  SELECT source,
+         regexp_split_to_array(COALESCE(text, ''), '\\s+') AS words
+  FROM documents),
+m AS (
+  SELECT source,
+         CAST(len(words) AS BIGINT) AS n_words,
+         list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT)))
+           / CAST(len(words) AS DOUBLE) AS mean_wl,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           / CAST(len(words) AS DOUBLE) AS alpha_frac,
+         len(list_filter(words, w -> {_FUNNEL_STOP_PRED})) AS stop_hits
+  FROM arr),
+g AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS g1,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+               AND mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS g2,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+               AND mean_wl BETWEEN 3.0 AND 10.0
+               AND alpha_frac >= 0.8 THEN 1 ELSE 0 END AS g3,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+               AND mean_wl BETWEEN 3.0 AND 10.0
+               AND alpha_frac >= 0.8
+               AND stop_hits >= 2 THEN 1 ELSE 0 END AS g4
+  FROM m)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(g1) AS pass_words, SUM(g2) AS pass_word_len,
+       SUM(g3) AS pass_alpha, SUM(g4) AS pass_stopwords,
+       ROUND(SUM(g4) / CAST(COUNT(*) AS DOUBLE), {ND}) AS retention
+FROM g GROUP BY source
+"""
+
+
+_CONTAIN_T = 0.8
+_CONTAIN_MIN_SH = 5
+
+
+def q_d_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment |Sa∩Sb|/|Sa| >= t — subset-dup
+    detection (quotes/boilerplate swallowed by longer docs) that
+    symmetric Jaccard misses; same shared inverted-index join as the
+    jaccard family, only the denominator differs."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import ngram_containment
+
+    return _finish(ngram_containment(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_CONTAIN_T, min_shingles=_CONTAIN_MIN_SH))
+
+
+SQL_D_DEDUP_CONTAINMENT = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           [array_to_string(words[i:i+2], ' ')
+            FOR i IN generate_series(1, len(words) - 2)]
+         ELSE [array_to_string(words, ' ')] END) AS shingles
+  FROM d),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_inter, ANY_VALUE(a.n) AS n_a,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.n), {ND})
+         AS containment
+FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+WHERE a.n >= {_CONTAIN_MIN_SH}
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.n) >= {_CONTAIN_T}
+"""
+
+
+_KNN_GRAPH_K = 5
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the corpus via IVF cell blocking
+    (candidates = cell co-residents, sum(|cell|^2) pair volume) —
+    the neighborhood structure graph-clustering / manifold methods
+    consume; an edge survives only if each endpoint ranks in the
+    other's top-k."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    return _finish(knn_graph_ivf(
+        load_table(spark, sf_dir, "embeddings"), k=_KNN_GRAPH_K))
+
+
+SQL_SIM_KNN_GRAPH = f"""
+WITH {_VECS},
+{_IVF_CAND},
+dir AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand),
+scored AS (
+  SELECT d.src, d.dst,
+         list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
+  FROM dir d JOIN n x ON x.vec_id = d.src
+             JOIN n y ON y.vec_id = d.dst),
+edges AS (
+  SELECT src, dst, cosine,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY src
+             ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {_KNN_GRAPH_K})
+SELECT f.src AS id_a, f.dst AS id_b,
+       f.rank AS rank_ab, r.rank AS rank_ba,
+       ROUND(f.cosine, {ND}) AS cosine
+FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
+WHERE f.src < f.dst
+"""
+
+
+_MERGE_NEW_OFFSET = 10_000_000
+
+
+def q_d_lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC MERGE (upsert+delete+insert) applied to the
+    documents table with a deterministic synthetic change batch —
+    union + one key window, single shuffle; the relational core of
+    `lake.merge_into_partitions`, whose physical form rewrites only
+    the partitions a batch touches."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.sources.lake import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = docs.columns  # doc_id, text, lang, source, n_chars
+    upd = (docs.where(F.col("doc_id") % 7 == 0)
+           .withColumn("text", F.upper(F.col("text")))
+           .withColumn("op", F.lit("U")).withColumn("seq", F.lit(1)))
+    dels = (docs.where(F.col("doc_id") % 13 == 3)
+            .withColumn("op", F.lit("D")).withColumn("seq", F.lit(2)))
+    ins = (docs.where(F.col("doc_id") % 11 == 0)
+           .withColumn("doc_id", F.col("doc_id") + _MERGE_NEW_OFFSET)
+           .withColumn("op", F.lit("U")).withColumn("seq", F.lit(1)))
+    updates = (upd.select(*cols, "op", "seq")
+               .unionByName(dels.select(*cols, "op", "seq"))
+               .unionByName(ins.select(*cols, "op", "seq")))
+    merged = merge_upsert(docs, updates, ["doc_id"],
+                          seq_col="seq", op_col="op")
+    return _finish(merged.select(
+        "doc_id", "source", F.md5("text").alias("content_hash")))
+
+
+SQL_D_LAKE_MERGE_UPSERT = f"""
+WITH ups AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars,
+         'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'D' AS op, 2 AS seq
+  FROM documents WHERE doc_id % 13 = 3
+  UNION ALL
+  SELECT doc_id + {_MERGE_NEW_OFFSET} AS doc_id, text, lang, source,
+         n_chars, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 11 = 0),
+unioned AS (
+  SELECT doc_id, text, source, -1 AS seq, 'U' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, text, source, seq, op FROM ups),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY seq DESC) AS rn
+  FROM unioned)
+SELECT doc_id, source, md5(text) AS content_hash
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5418,6 +5634,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_mmr_select": q_sim_mmr_select,
     "text_hash_embed": q_text_hash_embed,
     "sim_hash_embed_knn": q_sim_hash_embed_knn,
+    # (continuation-3 additions, same NEW-this-round group): grouping
+    # sets, the per-source quality funnel, directed n-gram containment,
+    # the mutual kNN graph, and the CDC latest-wins merge ---
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "d_quality_funnel": q_d_quality_funnel,
+    "d_dedup_containment": q_d_dedup_containment,
+    "sim_knn_graph": q_sim_knn_graph,
+    "d_lake_merge_upsert": q_d_lake_merge_upsert,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -5435,26 +5659,30 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # binary-quantization entries, d_dedup_simhash_xx_recall by the
     # Gopher suite, m_multimodal_features by the streaming drift
     # monitor, d_near_dup_embedding_ivf by MMR, and scrub_span_apply +
-    # sim_ann_recall_at_k by the hash-embed pair — all join the
-    # round-7 leading set) ---
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    "scrub_span_dedup": q_scrub_span_dedup,
+    # sim_ann_recall_at_k by the hash-embed pair, and scrub_pii,
+    # scrub_repetition, scrub_span_dedup, sketch_profile +
+    # m_multimodal_metadata by the five continuation-3 entries — all
+    # join the round-7 leading set) ---
     "d_semantic_dedup": q_d_semantic_dedup,
-    "sketch_profile": q_sketch_profile,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "m_multimodal_metadata": q_m_metadata,
-    # --- tail (entry 51+): rotates in for round 7. The 38 r04-checked
+    # --- tail (entry 51+): rotates in for round 7. The 43 r04-checked
     # entries below (26 planned + m_frame_sample, d_temperature_mix,
     # corpus_drift_psi, warc_ingest, m_resize_features,
     # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall,
     # m_multimodal_features, d_near_dup_embedding_ivf,
-    # scrub_span_apply and sim_ann_recall_at_k, displaced from the
-    # window by the twelve new round-6 entries) will be exactly 2
-    # rounds stale after this round and must LEAD round 7's window;
-    # then the r05/r06-checked block (the round-6 window above
-    # refreshes groups A-D, so after this round the stalest surviving
-    # rows are exactly these 38): ---
+    # scrub_span_apply, sim_ann_recall_at_k, scrub_pii,
+    # scrub_repetition, scrub_span_dedup, sketch_profile and
+    # m_multimodal_metadata, displaced from the window by the
+    # seventeen new round-6 entries) will be exactly 2 rounds stale
+    # after this round and must LEAD round 7's window; then the
+    # r05/r06-checked block (the round-6 window above refreshes groups
+    # A-D, so after this round the stalest surviving rows are exactly
+    # these 43): ---
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "sketch_profile": q_sketch_profile,
+    "m_multimodal_metadata": q_m_metadata,
     "warc_ingest": q_warc_ingest,
     "scrub_span_apply": q_scrub_span_apply,
     "sim_ann_recall_at_k": q_sim_ann_recall,
@@ -5663,6 +5891,11 @@ _ORACLES: dict[str, str] = {
     "sim_mmr_select": _sql_sim_mmr(),
     "text_hash_embed": SQL_TEXT_HASH_EMBED,
     "sim_hash_embed_knn": SQL_SIM_HASH_EMBED_KNN,
+    "sql_grouping_sets": SQL_SQL_GROUPING_SETS,
+    "d_quality_funnel": SQL_D_QUALITY_FUNNEL,
+    "d_dedup_containment": SQL_D_DEDUP_CONTAINMENT,
+    "sim_knn_graph": SQL_SIM_KNN_GRAPH,
+    "d_lake_merge_upsert": SQL_D_LAKE_MERGE_UPSERT,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -1021,3 +1021,41 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame,
             .select(id_col, "n_hits", "n_shingles",
                     (F.col("n_hits") / F.col("n_shingles"))
                     .alias("contamination")))
+
+
+def ngram_containment(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      min_shingles: int = 5) -> DataFrame:
+    """DIRECTED n-gram containment C(a -> b) = |S_a ∩ S_b| / |S_a| —
+    the asymmetric cousin of Jaccard that catches subset duplication
+    (a doc quoted or wrapped inside a larger one), which symmetric
+    near-dup misses when the container is much longer than the
+    contained doc (Broder's containment measure, the dedup criterion
+    for boilerplate/quote removal).
+
+    Same shared inverted index as the Jaccard family
+    (`distinct_postings`: cached, memoized per session/plan): pairs
+    join only on shared shingle hashes — no cross join — and the
+    denominator is the CONTAINED side's distinct-shingle count, so the
+    only difference from jaccard is the division. `min_shingles` drops
+    degenerate tiny docs that are trivially contained everywhere.
+
+    Output: id_a (contained), id_b (container), n_inter, n_a,
+    containment — both directions can appear, that is the point.
+    """
+    post = distinct_postings(docs, id_col, text_col)
+    a = (post.where(F.col("n_shingles") >= min_shingles)
+         .select(F.col("id").alias("id_a"), "h",
+                 F.col("n_shingles").alias("n_a")))
+    b = post.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.first("n_a").alias("n_a"))
+        .withColumn("containment",
+                    F.col("n_inter").cast("double") / F.col("n_a"))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "containment")
+    )

@@ -1319,3 +1319,62 @@ def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     pairs.unpersist()
     return spark.createDataFrame(
         selected, "query_id long, neighbor_id long, mmr_rank int, mmr double")
+
+
+def knn_graph_ivf(embeddings: DataFrame, k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int = DIM, n_centroids: int = 32,
+                  nprobe: int = 2) -> DataFrame:
+    """MUTUAL k-NN graph over the corpus — the neighborhood structure
+    clustering / manifold methods (kNN-graph CC, UMAP-style layouts,
+    graph-dedup) consume. Every vector ranks its IVF-cell co-residents
+    by exact cosine; an edge survives only if each endpoint is in the
+    OTHER's top-k (mutuality is the standard noise filter: hubs collect
+    thousands of one-way neighbors, mutual edges stay sparse).
+
+    Scale shape: candidate volume is sum(|cell|^2) like the IVF
+    near-dup (never n^2), ranks are one window per source node, and
+    mutuality is a self-equi-join of the two directed edge lists on the
+    reversed key. All deterministic (md5-seeded centroids, rounded
+    tie-broken ranks) so the oracle replays it exactly.
+
+    Output: id_a < id_b, rank_ab (b's rank in a's list), rank_ba,
+    cosine.
+    """
+    from pyspark.sql import Window
+
+    corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    cells = ivf_cells_cached(corpus, dim, n_centroids, nprobe)
+
+    # Directed candidates: src scores every distinct co-resident dst.
+    cand = (cells.select(F.col("cent_id"), F.col("id").alias("src"))
+            .join(cells.select(F.col("cent_id"),
+                               F.col("id").alias("dst")), "cent_id")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())
+
+    a = corpus.drop("vec").withColumnRenamed("id", "src") \
+        .withColumnRenamed("nrm", "nrm_a")
+    a = a.select("src", "nrm_a",
+                 *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])
+    b = corpus.drop("vec").withColumnRenamed("id", "dst") \
+        .withColumnRenamed("nrm", "nrm_b")
+    b = b.select("dst", "nrm_b",
+                 *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)])
+    w = Window.partitionBy("src").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("dst").asc())
+    edges = (cand.join(a, "src").join(b, "dst")
+             .withColumn("cosine", _flat_dot("a", "b", dim)
+                         / (F.col("nrm_a") * F.col("nrm_b")))
+             .select("src", "dst", "cosine")
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k))
+
+    fwd = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"),
+        F.col("rank").alias("rank_ab"), "cosine")
+    rev = edges.where(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("id_a"), F.col("src").alias("id_b"),
+        F.col("rank").alias("rank_ba"))
+    return (fwd.join(rev, ["id_a", "id_b"])
+            .select("id_a", "id_b", "rank_ab", "rank_ba", "cosine"))

@@ -1010,3 +1010,90 @@ def hash_embed(docs: DataFrame, dim: int = 64, id_col: str = "doc_id",
     # norm 0 (NULL components) — ANSI mode would throw.
     return agg.select(F.col(id_col), F.col("pos"),
                       F.try_divide(F.col("raw"), nrm).alias("val"))
+
+
+# Memo of the L2-normalized hash-embed table per (session, corpus plan,
+# params) — index state, not a query result: the embedding table plays
+# the same role for the sparse-join kNN that pq_index_cached's code
+# table plays for ADC search (build once at ingest, read warm at query
+# time). Entries store (source_df, frame) so semanticHash collisions
+# are caught by sameSemantics; evicted frames are unpersisted.
+_HASH_EMBED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_hash_embed_cache() -> None:
+    """Unpersist and drop every memoized hash-embed frame."""
+    for _, frame in _HASH_EMBED_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _HASH_EMBED_CACHE.clear()
+
+
+def hash_embed_cached(docs: DataFrame, dim: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Memoized `hash_embed`: the whole explode + aggregate + norm
+    subtree runs ONCE per (session, corpus, params) and is storage-
+    cached; consumers that reference the table more than once in one
+    plan (the kNN query joins it against itself) read the cached rows
+    instead of re-deriving the subtree per branch."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(docs.sparkSession), docs.semanticHash(), dim,
+           id_col, text_col)
+    hit = _HASH_EMBED_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(docs):
+        return hit[1]
+    emb = hash_embed(docs, dim, id_col, text_col).cache()
+    _bounded_put(_HASH_EMBED_CACHE, key, (docs, emb))
+    return emb
+
+
+def quality_funnel(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Per-group quality-gate FUNNEL: how many documents survive each
+    successive Gopher-style gate (word count -> mean word length ->
+    alpha fraction -> stopword hits) and the final retention rate — the
+    attrition report every curation pipeline logs per source before
+    committing to a mix.
+
+    ONE projection computes the four metrics (same expressions as
+    `gopher_quality`) and ONE map-side-combined conditional aggregate
+    produces every funnel stage — no per-gate scan, no join; at 100 TB
+    this is a single pass at scan speed, and per-group partials merge
+    associatively.
+    """
+    t_safe = f"COALESCE({text_col}, '')"
+    words = f"split({t_safe}, '\\\\s+')"
+    n_words = F.expr(f"size({words})")
+    mean_wl = F.expr(
+        f"aggregate(transform({words}, w -> length(w)), 0L,"
+        f" (a, x) -> a + x)").cast("double") / n_words
+    alpha_frac = (
+        F.expr(f"size(filter({words}, w -> w rlike '[A-Za-z]'))")
+        .cast("double") / n_words)
+    stop_pred = " OR ".join(f"w = '{s}'" for s in GOPHER_STOPWORDS)
+    stop_hits = F.expr(f"size(filter({words}, w -> {stop_pred}))")
+
+    g1 = n_words.between(min_words, max_words)
+    g2 = g1 & mean_wl.between(min_mean_wl, max_mean_wl)
+    g3 = g2 & (alpha_frac >= min_alpha_frac)
+    g4 = g3 & (stop_hits >= min_stop_hits)
+    gated = docs.select(
+        F.col(group_col),
+        g1.cast("int").alias("g1"), g2.cast("int").alias("g2"),
+        g3.cast("int").alias("g3"), g4.cast("int").alias("g4"))
+    return (gated.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("g1").alias("pass_words"),
+                 F.sum("g2").alias("pass_word_len"),
+                 F.sum("g3").alias("pass_alpha"),
+                 F.sum("g4").alias("pass_stopwords"),
+                 (F.sum("g4").cast("double")
+                  / F.count(F.lit(1))).alias("retention")))

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -239,3 +239,82 @@ def write_shard_manifest(spark: SparkSession, path: str,
     manifest = shards.groupBy("shard").agg(*aggs)
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame,
+                 key_cols: list[str], seq_col: str = "seq",
+                 op_col: str = "op") -> DataFrame:
+    """Latest-wins CDC merge (the MERGE INTO / upsert primitive):
+    `updates` carries per-row (op, seq) where op is 'U' (upsert) or 'D'
+    (delete) and seq orders changes to the same key; the highest-seq
+    change wins, a winning 'D' removes the key, keys untouched by
+    updates pass through.
+
+    Relational plan: union the base (as seq = -1 implicit 'U') with the
+    change rows, ONE window over the key ordered by seq descending,
+    keep rank 1 where the winner is not a delete. A single shuffle on
+    the key — the same cost as the join a MERGE would do, with no
+    driver-side state. At 100 TB the base side is never rewritten
+    wholesale: `merge_into_partitions` prunes to the partitions the
+    batch actually touches and this plan runs per affected partition.
+
+    Output: the merged table with exactly `current`'s columns.
+    """
+    data_cols = [c for c in current.columns]
+    base = (current.withColumn("_seq", F.lit(-1).cast("long"))
+            .withColumn("_op", F.lit("U")))
+    ups = (updates.withColumn("_seq", F.col(seq_col).cast("long"))
+           .withColumn("_op", F.col(op_col))
+           .select(*data_cols, "_seq", "_op"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
+    return (base.select(*data_cols, "_seq", "_op").unionByName(ups)
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("_op") != "D"))
+            .select(*data_cols))
+
+
+def merge_into_partitions(spark: SparkSession, path: str,
+                          updates: DataFrame,
+                          key_cols: list[str] | None = None,
+                          seq_col: str = "seq",
+                          op_col: str = "op") -> int:
+    """Physical partition-pruned MERGE into the (dataset, obs_date)
+    lake: only the partitions the update batch touches are read, merged
+    (`merge_upsert`) and rewritten via DYNAMIC partition overwrite —
+    untouched partitions are never opened. This is the idempotent
+    ingest/correction path a 100 TB lake needs: cost scales with the
+    batch's partition footprint, not the table size.
+
+    `updates` must carry the observation columns plus (seq, op); keys
+    default to (dataset, time, lat, lon). Returns the number of
+    partitions rewritten.
+    """
+    keys = key_cols or ["dataset", "time", "lat", "lon"]
+    ups = updates.withColumn("obs_date", F.to_date("time"))
+    parts = [tuple(r) for r in ups.select(
+        "dataset", F.col("obs_date").cast("string")).distinct().collect()]
+    if not parts:
+        return 0
+    pred = F.lit(False)
+    for ds, d in parts:
+        pred = pred | ((F.col("dataset") == ds)
+                       & (F.col("obs_date") == F.lit(d).cast("date")))
+    cur = spark.read.parquet(path).where(pred)
+    data_cols = [c for c in cur.columns]
+    merged = merge_upsert(
+        cur, ups.select(*data_cols, seq_col, op_col), keys,
+        seq_col, op_col)
+    # The merged plan READS the files the overwrite is about to replace —
+    # materialize it first (bounded by the batch's partition footprint,
+    # never the table) or the scan races its own deletes.
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite")
+         .partitionBy("dataset", "obs_date").parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _invalidate_views(path)
+    return len(parts)

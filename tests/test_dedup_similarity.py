@@ -569,3 +569,44 @@ def test_mmr_scores_decompose(spark):
         prior.append(nid)
     for picks in picked.values():
         assert len(picks) == len(set(picks)) == 3
+
+
+def test_ngram_containment_is_directed(spark):
+    """A short doc embedded verbatim in a longer one: containment
+    (short -> long) = 1.0; the reverse direction fails the threshold;
+    docs under min_shingles never appear as the contained side."""
+    from nexus_spark.operators.dedup import ngram_containment
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"  # 6 shingles
+    outer = inner + " iota kappa " + "lam mu nu xi omicron pi rho sigma"
+    rows = [(1, inner), (2, outer), (3, "tiny doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           ngram_containment(df, threshold=0.8, min_shingles=5).collect()}
+    assert (1, 2) in got
+    assert abs(got[(1, 2)].containment - 1.0) < 1e-12
+    assert got[(1, 2)].n_a == 6
+    assert (2, 1) not in got          # asymmetric by construction
+    assert all(a != 3 for a, _ in got)  # tiny doc excluded as contained
+
+
+def test_knn_graph_edges_are_mutual_and_ranked(spark):
+    """Every emitted edge must be in BOTH endpoints' top-k (ranks
+    within k) and carry the exact symmetric cosine."""
+    import numpy as np
+
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = 3
+    edges = knn_graph_ivf(df, k=k).collect()
+    assert edges, "graph should not be empty on a random corpus"
+    for r in edges:
+        assert r.id_a < r.id_b
+        assert 1 <= r.rank_ab <= k and 1 <= r.rank_ba <= k
+        a, b = vecs[r.id_a].astype(float), vecs[r.id_b].astype(float)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cosine) < 1e-6

@@ -456,3 +456,24 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     import pytest
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(df, "source", 0)
+
+
+def test_grouping_sets_levels_are_consistent(spark):
+    """gid labels the aggregation level; subtotal counts must re-add to
+    the grand total, and per-flag subtotals must equal the sum of their
+    detail cells."""
+    from nexus_spark.operators.sql_surface import lineitem_grouping_sets
+
+    rows = [("A", "F", 1.0, 10.0), ("A", "F", 2.0, 20.0),
+            ("A", "O", 3.0, 30.0), ("R", "F", 4.0, 40.0)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, "
+              "l_quantity double, l_extendedprice double")
+    got = lineitem_grouping_sets(df).collect()
+    detail = {(r.l_returnflag, r.l_linestatus): r for r in got if r.gid == 0}
+    flags = {r.l_returnflag: r for r in got if r.gid == 1}
+    total = [r for r in got if r.gid == 3]
+    assert len(detail) == 3 and len(flags) == 2 and len(total) == 1
+    assert total[0].n_items == 4 and abs(total[0].sum_qty - 10.0) < 1e-12
+    assert flags["A"].n_items == 3 and abs(flags["A"].sum_qty - 6.0) < 1e-12
+    assert detail[("A", "F")].n_items == 2

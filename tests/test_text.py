@@ -397,3 +397,27 @@ def test_hash_embed_unit_norm_and_duplicate_cosine(spark):
          emb.where(F.col("doc_id") == 2).collect()}
     dot_ac = sum(a[p] * c[p] for p in set(a) & set(c))
     assert dot_ac < 0.9  # different content does not collide to cosine 1
+
+
+def test_quality_funnel_stages_are_monotone_and_counted(spark):
+    """Funnel gates are CUMULATIVE: each stage's pass count can never
+    exceed the previous one; hand-built docs land in known stages."""
+    from nexus_spark.operators.text import quality_funnel
+
+    good = "the quick brown fox and the lazy dog " * 10  # 80 words
+    rows = [
+        (1, "s", good),                      # passes all four gates
+        (2, "s", "short text"),              # fails word count
+        (3, "s", " ".join(["x" * 40] * 60)),  # words ok, mean_wl fails
+        (4, "s", " ".join(["12345"] * 60)),  # alpha fails (no letters)
+        (5, "s", " ".join(["fox", "dog"] * 30)),  # no stopword hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = quality_funnel(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_docs == 5
+    assert (r.pass_words, r.pass_word_len, r.pass_alpha,
+            r.pass_stopwords) == (4, 3, 2, 1)
+    assert r.pass_words >= r.pass_word_len >= r.pass_alpha >= r.pass_stopwords
+    assert abs(r.retention - 0.2) < 1e-12
