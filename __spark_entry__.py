@@ -3222,6 +3222,25 @@ def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
         from nexus_spark.catalog import load_table
         (load_table(spark, sf_dir, "embeddings").repartition(4)
          .write.mode("overwrite").parquet(base))
+    elif kind == "cdc_feed":
+        # deterministic CDC change batch over documents (upserts,
+        # tombstones, inserts; per-key-unique seqs) as a 4-file arrival
+        # directory for the streaming MERGE drain
+        from nexus_spark.catalog import load_table
+        docs = load_table(spark, sf_dir, "documents")
+        cols = docs.columns
+        upd = (docs.where(F.col("doc_id") % 5 == 0)
+               .withColumn("text", F.upper(F.col("text")))
+               .withColumn("seq", F.lit(1)).withColumn("op", F.lit("U")))
+        dels = (docs.where(F.col("doc_id") % 7 == 0)
+                .withColumn("seq", F.lit(2)).withColumn("op", F.lit("D")))
+        ins = (docs.where(F.col("doc_id") % 6 == 0)
+               .withColumn("doc_id", F.col("doc_id") + _MERGE_NEW_OFFSET)
+               .withColumn("seq", F.lit(1)).withColumn("op", F.lit("U")))
+        (upd.select(*cols, "seq", "op")
+         .unionByName(dels.select(*cols, "seq", "op"))
+         .unionByName(ins.select(*cols, "seq", "op"))
+         .repartition(4).write.mode("overwrite").parquet(base))
     else:
         table = {"docs": "documents", "events": "events"}[kind]
         src = os.path.join(sf_dir, f"{table}.parquet")
@@ -5563,6 +5582,78 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO as a REAL executed stream: a 4-file CDC
+    arrival directory (upserts/tombstones/inserts over documents)
+    drains through foreachBatch, each commit compacting state ∪ batch
+    to one winning row per key with TOMBSTONES RETAINED — so a
+    late-arriving lower-seq update can never resurrect a deleted key
+    and any micro-batch partitioning converges to the same state.
+
+    Oracle-checkable for exactly that reason: the batch replay (global
+    latest-wins over base ∪ all changes) computes the identical final
+    table. Exercises source discovery, per-commit state compaction and
+    the exactly-once checkpoint log end-to-end; at 100 TB each commit's
+    rewrite is partition-pruned (lake.merge_into_partitions).
+
+    Output: doc_id, source, content_hash of the live post-merge state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.streaming.ingest import (read_cdc_state,
+                                              stream_cdc_apply)
+
+    feed = _staged_feed(spark, sf_dir, "cdc_feed")
+    schema = spark.read.parquet(feed).schema
+
+    work = tempfile.mkdtemp(prefix="nexus_cdc_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    state_dir, ckpt = f"{work}/state", f"{work}/ckpt"
+
+    docs = load_table(spark, sf_dir, "documents")
+    (docs.withColumn("seq", F.lit(0)).withColumn("op", F.lit("U"))
+     .select(*[f.name for f in schema.fields])
+     .write.mode("overwrite").parquet(state_dir))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    with _stream_job_conf(spark):
+        q = stream_cdc_apply(stream, state_dir, ckpt, ["doc_id"])
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming CDC drain exceeded 300s")
+
+    final = read_cdc_state(spark, state_dir)
+    return _finish(final.select(
+        "doc_id", "source", F.md5("text").alias("content_hash")))
+
+
+SQL_E_STREAM_LAKE_UPSERT = f"""
+WITH ch AS (
+  SELECT doc_id, upper(text) AS text, source, 1 AS seq, 'U' AS op
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, source, 2 AS seq, 'D' AS op
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + {_MERGE_NEW_OFFSET} AS doc_id, text, source,
+         1 AS seq, 'U' AS op
+  FROM documents WHERE doc_id % 6 = 0),
+unioned AS (
+  SELECT doc_id, text, source, 0 AS seq, 'U' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, text, source, seq, op FROM ch),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY seq DESC) AS rn
+  FROM unioned)
+SELECT doc_id, source, md5(text) AS content_hash
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5642,6 +5733,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_containment": q_d_dedup_containment,
     "sim_knn_graph": q_sim_knn_graph,
     "d_lake_merge_upsert": q_d_lake_merge_upsert,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
     # group C (5): implementation changed in round 6 (gaussian_interp
     # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
     # minhash candidates refactor) ---
@@ -5660,24 +5752,24 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Gopher suite, m_multimodal_features by the streaming drift
     # monitor, d_near_dup_embedding_ivf by MMR, and scrub_span_apply +
     # sim_ann_recall_at_k by the hash-embed pair, and scrub_pii,
-    # scrub_repetition, scrub_span_dedup, sketch_profile +
-    # m_multimodal_metadata by the five continuation-3 entries — all
-    # join the round-7 leading set) ---
+    # scrub_repetition, scrub_span_dedup, sketch_profile,
+    # m_multimodal_metadata + a2_tiled_lake_pruned by the six
+    # continuation-3 entries — all join the round-7 leading set) ---
     "d_semantic_dedup": q_d_semantic_dedup,
-    "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    # --- tail (entry 51+): rotates in for round 7. The 43 r04-checked
+    # --- tail (entry 51+): rotates in for round 7. The 44 r04-checked
     # entries below (26 planned + m_frame_sample, d_temperature_mix,
     # corpus_drift_psi, warc_ingest, m_resize_features,
     # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall,
     # m_multimodal_features, d_near_dup_embedding_ivf,
     # scrub_span_apply, sim_ann_recall_at_k, scrub_pii,
-    # scrub_repetition, scrub_span_dedup, sketch_profile and
-    # m_multimodal_metadata, displaced from the window by the
-    # seventeen new round-6 entries) will be exactly 2 rounds stale
-    # after this round and must LEAD round 7's window; then the
-    # r05/r06-checked block (the round-6 window above refreshes groups
-    # A-D, so after this round the stalest surviving rows are exactly
-    # these 43): ---
+    # scrub_repetition, scrub_span_dedup, sketch_profile,
+    # m_multimodal_metadata and a2_tiled_lake_pruned, displaced from
+    # the window by the eighteen new round-6 entries) will be exactly
+    # 2 rounds stale after this round and must LEAD round 7's window;
+    # then the r05/r06-checked block (the round-6 window above
+    # refreshes groups A-C, so after this round the stalest surviving
+    # rows are exactly these 44): ---
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
@@ -5896,6 +5988,7 @@ _ORACLES: dict[str, str] = {
     "d_dedup_containment": SQL_D_DEDUP_CONTAINMENT,
     "sim_knn_graph": SQL_SIM_KNN_GRAPH,
     "d_lake_merge_upsert": SQL_D_LAKE_MERGE_UPSERT,
+    "e_stream_lake_upsert": SQL_E_STREAM_LAKE_UPSERT,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

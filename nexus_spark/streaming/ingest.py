@@ -127,3 +127,60 @@ def ingest_to_lake(rows: DataFrame, lake_path: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_compact(state: DataFrame, batch: DataFrame,
+                key_cols: list[str], seq_col: str = "seq",
+                op_col: str = "op") -> DataFrame:
+    """One CDC apply step: latest-change-wins over state ∪ batch,
+    TOMBSTONES RETAINED. Keeping the winning 'D' row in state (rather
+    than dropping the key) is what makes the apply order-independent:
+    a late-arriving lower-seq update can never resurrect a deleted key,
+    so any micro-batch partitioning of the same change set converges to
+    the same state (the compaction semantics log-structured stores use).
+    Readers filter op != 'D' (`read_cdc_state`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (state.unionByName(batch.select(*state.columns))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
+                     key_cols: list[str], seq_col: str = "seq",
+                     op_col: str = "op",
+                     available_now: bool = True) -> StreamingQuery:
+    """Continuously apply a CDC change stream to a persistent state
+    table via foreachBatch — the streaming MERGE INTO. `state_dir` must
+    be pre-seeded with the base snapshot (base rows carry seq below any
+    change seq, op='U').
+
+    Each commit compacts state ∪ micro-batch to one winning row per key
+    (`cdc_compact`) and atomically replaces the state table; the
+    checkpoint log makes each change file apply exactly once across
+    restarts. At 100 TB the rewrite is partition-pruned
+    (lake.merge_into_partitions): cost follows the batch's partition
+    footprint, not the table.
+    """
+    def step(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        cur = spark.read.parquet(state_dir)
+        merged = cdc_compact(cur, batch, key_cols, seq_col, op_col)
+        # Materialize before overwriting the files the plan reads.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    writer = (changes.writeStream.foreachBatch(step)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cdc_state(spark: SparkSession, state_dir: str,
+                   op_col: str = "op") -> DataFrame:
+    """The live view of a CDC state table: winners minus tombstones."""
+    return spark.read.parquet(state_dir).where(F.col(op_col) != "D")

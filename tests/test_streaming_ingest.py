@@ -133,3 +133,37 @@ def test_first_seen_stateful_dedup(spark, tmp_path):
     got = spark.table("fs_stream").collect()
     assert len(got) == 5  # one per distinct text, ever
     assert len({r.content_hash for r in got}) == 5
+
+
+def test_cdc_compact_is_batching_independent(spark):
+    """Tombstone retention makes the apply order-independent: a
+    late-arriving lower-seq update must NOT resurrect a deleted key,
+    and any batch partitioning converges to the global latest-wins
+    merge."""
+    from nexus_spark.streaming.ingest import cdc_compact
+
+    base = spark.createDataFrame(
+        [(1, "one", 0, "U"), (2, "two", 0, "U"), (3, "three", 0, "U")],
+        "doc_id long, text string, seq int, op string")
+    # change set: delete key 2 (seq 2) + stale update to key 2 (seq 1),
+    # update key 3 (seq 1), insert key 4 (seq 1)
+    c_del = spark.createDataFrame([(2, None, 2, "D")], base.schema)
+    c_stale = spark.createDataFrame([(2, "two-v1", 1, "U")], base.schema)
+    c_upd = spark.createDataFrame([(3, "three-v1", 1, "U")], base.schema)
+    c_ins = spark.createDataFrame([(4, "four", 1, "U")], base.schema)
+
+    def final(state):
+        return sorted((r.doc_id, r.text) for r in state.collect()
+                      if r.op != "D")
+
+    # order A: delete arrives first, stale update later
+    sa = cdc_compact(base, c_del, ["doc_id"])
+    sa = cdc_compact(sa, c_stale.unionByName(c_upd), ["doc_id"])
+    sa = cdc_compact(sa, c_ins, ["doc_id"])
+    # order B: everything in one batch
+    sb = cdc_compact(
+        base, c_del.unionByName(c_stale).unionByName(c_upd)
+        .unionByName(c_ins), ["doc_id"])
+    expect = [(1, "one"), (3, "three-v1"), (4, "four")]
+    assert final(sa) == expect
+    assert final(sb) == expect
