@@ -1346,35 +1346,46 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = 5,
     corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
     cells = ivf_cells_cached(corpus, dim, n_centroids, nprobe)
 
-    # Directed candidates: src scores every distinct co-resident dst.
-    cand = (cells.select(F.col("cent_id"), F.col("id").alias("src"))
+    # Unordered candidates (id_a < id_b): each pair is DOT-SCORED ONCE.
+    cand = (cells.select(F.col("cent_id"), F.col("id").alias("id_a"))
             .join(cells.select(F.col("cent_id"),
-                               F.col("id").alias("dst")), "cent_id")
-            .where(F.col("src") != F.col("dst"))
-            .select("src", "dst").distinct())
-
-    a = corpus.drop("vec").withColumnRenamed("id", "src") \
+                               F.col("id").alias("id_b")), "cent_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    a = corpus.drop("vec").withColumnRenamed("id", "id_a") \
         .withColumnRenamed("nrm", "nrm_a")
-    a = a.select("src", "nrm_a",
+    a = a.select("id_a", "nrm_a",
                  *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])
-    b = corpus.drop("vec").withColumnRenamed("id", "dst") \
+    b = corpus.drop("vec").withColumnRenamed("id", "id_b") \
         .withColumnRenamed("nrm", "nrm_b")
-    b = b.select("dst", "nrm_b",
+    b = b.select("id_b", "nrm_b",
                  *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)])
+    scored = (cand.join(a, "id_a").join(b, "id_b")
+              .withColumn("cosine", _flat_dot("a", "b", dim)
+                          / (F.col("nrm_a") * F.col("nrm_b")))
+              .select("id_a", "id_b", "cosine"))
+
+    # ONE linear pipeline, no repeated subtree: explode each scored
+    # pair into both directions, rank per source node, then fold the
+    # two surviving directions of a pair back together with a
+    # conditional aggregate — an edge is mutual iff both directions
+    # survived the top-k cut.
+    directed = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                 F.col("cosine")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+                 F.col("cosine")))).alias("e")).select("e.*")
     w = Window.partitionBy("src").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("dst").asc())
-    edges = (cand.join(a, "src").join(b, "dst")
-             .withColumn("cosine", _flat_dot("a", "b", dim)
-                         / (F.col("nrm_a") * F.col("nrm_b")))
-             .select("src", "dst", "cosine")
-             .withColumn("rank", F.row_number().over(w))
-             .where(F.col("rank") <= k))
-
-    fwd = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("id_a"), F.col("dst").alias("id_b"),
-        F.col("rank").alias("rank_ab"), "cosine")
-    rev = edges.where(F.col("src") > F.col("dst")).select(
-        F.col("dst").alias("id_a"), F.col("src").alias("id_b"),
-        F.col("rank").alias("rank_ba"))
-    return (fwd.join(rev, ["id_a", "id_b"])
+    topk = (directed.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+    fwd_rank = F.max(F.when(F.col("src") < F.col("dst"),
+                            F.col("rank"))).alias("rank_ab")
+    rev_rank = F.max(F.when(F.col("src") > F.col("dst"),
+                            F.col("rank"))).alias("rank_ba")
+    return (topk.groupBy(F.least("src", "dst").alias("id_a"),
+                         F.greatest("src", "dst").alias("id_b"))
+            .agg(fwd_rank, rev_rank, F.first("cosine").alias("cosine"))
+            .where(F.col("rank_ab").isNotNull()
+                   & F.col("rank_ba").isNotNull())
             .select("id_a", "id_b", "rank_ab", "rank_ba", "cosine"))
