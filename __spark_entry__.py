@@ -5582,6 +5582,66 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_sql_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over events (view -> click -> purchase,
+    each step strictly after the previous step's arrival): per-step
+    aggregates chained on the prior step's min-ts, all sharing the
+    user_id shuffle. Counts are non-increasing by construction."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import event_step_funnel
+
+    return _finish(event_step_funnel(load_table(spark, sf_dir, "events")))
+
+
+SQL_SQL_STEP_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id)
+SELECT 'all_users' AS step, 0 AS step_idx,
+       COUNT(DISTINCT user_id) AS n_users FROM events
+UNION ALL SELECT 'view', 1, COUNT(*) FROM s1
+UNION ALL SELECT 'click', 2, COUNT(*) FROM s2
+UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3
+"""
+
+
+def q_sql_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-event week x weeks-since
+    offset, distinct users per cell — two aggregates sharing the
+    user_id shuffle; the output matrix is always tiny."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import event_retention_cohorts
+
+    return _finish(event_retention_cohorts(
+        load_table(spark, sf_dir, "events")))
+
+
+SQL_SQL_RETENTION_COHORTS = """
+WITH fst AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id)
+SELECT strftime(first_day - CAST(date_diff('day', DATE '2024-01-01',
+                                           first_day) % 7 AS INT),
+                '%Y-%m-%d') AS cohort_week,
+       CAST(FLOOR(date_diff('day', first_day, CAST(e.ts AS DATE)) / 7.0)
+            AS INT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN fst ON e.user_id = fst.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE INTO as a REAL executed stream: a 4-file CDC
     arrival directory (upserts/tombstones/inserts over documents)
@@ -5769,6 +5829,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
+    # (plus these two, NEW in the round-6 third continuation but
+    # outside the full 50-window — parity-gated in-repo this round
+    # (test_oracle_parity), first driver check in round 7's window):
+    "sql_step_funnel": q_sql_step_funnel,
+    "sql_retention_cohorts": q_sql_retention_cohorts,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -5989,6 +6054,8 @@ _ORACLES: dict[str, str] = {
     "sim_knn_graph": SQL_SIM_KNN_GRAPH,
     "d_lake_merge_upsert": SQL_D_LAKE_MERGE_UPSERT,
     "e_stream_lake_upsert": SQL_E_STREAM_LAKE_UPSERT,
+    "sql_step_funnel": SQL_SQL_STEP_FUNNEL,
+    "sql_retention_cohorts": SQL_SQL_RETENTION_COHORTS,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -303,3 +303,76 @@ def lineitem_grouping_sets(lineitem: DataFrame) -> DataFrame:
              F.sum("l_quantity").alias("sum_qty"),
              F.avg("l_extendedprice").alias("avg_price"))
     )
+
+
+def event_step_funnel(events: DataFrame,
+                      steps: tuple[str, str, str] = ("view", "click",
+                                                    "purchase")) -> DataFrame:
+    """ORDERED conversion funnel: a user reaches step N only with an
+    event of type N STRICTLY AFTER their step-(N-1) arrival time — the
+    product-analytics funnel (signup → activation → purchase), which
+    the unordered quality funnel is not.
+
+    Shape: one aggregate per step, each reusing the same user_id
+    shuffle (co-partitioned joins — at scale events are bucketed by
+    user and no step adds an exchange); step N's aggregate filters on
+    step N-1's arrival time, so ordering is enforced relationally with
+    no per-user array state. Output: step, step_idx, n_users — counts
+    are necessarily non-increasing.
+    """
+    s1, s2, s3 = steps
+    t1 = (events.where(F.col("event_type") == s1)
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (events.where(F.col("event_type") == s2)
+          .join(t1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (events.where(F.col("event_type") == s3)
+          .join(t2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    total = events.select("user_id").distinct()
+    rows = [
+        total.agg(F.lit("all_users").alias("step"),
+                  F.lit(0).alias("step_idx"),
+                  F.count(F.lit(1)).alias("n_users")),
+        t1.agg(F.lit(s1).alias("step"), F.lit(1).alias("step_idx"),
+               F.count(F.lit(1)).alias("n_users")),
+        t2.agg(F.lit(s2).alias("step"), F.lit(2).alias("step_idx"),
+               F.count(F.lit(1)).alias("n_users")),
+        t3.agg(F.lit(s3).alias("step"), F.lit(3).alias("step_idx"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def event_retention_cohorts(events: DataFrame,
+                            week_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-event week,
+    counted distinct per (cohort_week, weeks-since-cohort offset) —
+    the standard engagement triangle.
+
+    Two aggregates: first-seen per user (one user_id shuffle), then a
+    co-partitioned join back and a distinct count per (cohort, offset)
+    cell. The matrix is (weeks x weeks)/2 rows — always tiny relative
+    to the events scanned. Output: cohort_week (date of week start),
+    week_offset, n_users.
+    """
+    first = (events.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("first_day")))
+    joined = events.join(first, "user_id")
+    cohort_week = F.date_sub(
+        F.col("first_day"),
+        (F.datediff(F.col("first_day"), F.lit("2024-01-01"))
+         % week_days))
+    offset = F.floor(
+        F.datediff(F.to_date("ts"), F.col("first_day"))
+        / week_days).cast("int")
+    return (joined
+            .select(cohort_week.alias("cohort_week"),
+                    offset.alias("week_offset"), "user_id")
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_users")))

@@ -477,3 +477,48 @@ def test_grouping_sets_levels_are_consistent(spark):
     assert total[0].n_items == 4 and abs(total[0].sum_qty - 10.0) < 1e-12
     assert flags["A"].n_items == 3 and abs(flags["A"].sum_qty - 6.0) < 1e-12
     assert detail[("A", "F")].n_items == 2
+
+
+def test_step_funnel_requires_order(spark):
+    """A click BEFORE the user's first view must not count as reaching
+    the click step; a later one does."""
+    from nexus_spark.operators.sql_surface import event_step_funnel
+
+    rows = [
+        # u1: click precedes view -> reaches view only
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "view", 0.0, "{}"),
+        # u2: full ordered path
+        (3, "2024-01-02 09:00:00", 2, "view", 0.0, "{}"),
+        (4, "2024-01-02 09:30:00", 2, "click", 0.0, "{}"),
+        (5, "2024-01-02 10:00:00", 2, "purchase", 0.0, "{}"),
+        # u3: never views
+        (6, "2024-01-03 09:00:00", 3, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    got = {r.step: r.n_users for r in event_step_funnel(df).collect()}
+    assert got == {"all_users": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_retention_cohort_offsets(spark):
+    """Users land in their first-event week's cohort; activity counts at
+    floor(days-since-first/7)."""
+    from nexus_spark.operators.sql_surface import event_retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),   # cohort w0
+        (2, "2024-01-06 10:00:00", 1, "view", 0.0, "{}"),   # offset 0 (5d)
+        (3, "2024-01-09 10:00:00", 1, "view", 0.0, "{}"),   # offset 1 (8d)
+        (4, "2024-01-10 10:00:00", 2, "view", 0.0, "{}"),   # cohort w1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in event_retention_cohorts(df).collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
