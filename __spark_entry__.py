@@ -5438,8 +5438,10 @@ g AS (
                AND stop_hits >= 2 THEN 1 ELSE 0 END AS g4
   FROM m)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(g1) AS pass_words, SUM(g2) AS pass_word_len,
-       SUM(g3) AS pass_alpha, SUM(g4) AS pass_stopwords,
+       CAST(SUM(g1) AS BIGINT) AS pass_words,
+       CAST(SUM(g2) AS BIGINT) AS pass_word_len,
+       CAST(SUM(g3) AS BIGINT) AS pass_alpha,
+       CAST(SUM(g4) AS BIGINT) AS pass_stopwords,
        ROUND(SUM(g4) / CAST(COUNT(*) AS DOUBLE), {ND}) AS retention
 FROM g GROUP BY source
 """
