@@ -347,6 +347,17 @@ SF1_EXTRA = (
     "text_gopher_quality",
     "e_stream_drift_psi",
     "sim_mmr_select",
+    # continuation-3: the mutual kNN graph at 10x vectors (candidate
+    # volume sum(|cell|^2) is the scale claim), directed containment on
+    # the near-copy-dense lake (pair family), the CDC merges (batch
+    # window + streaming foreachBatch compaction at a 10x state table),
+    # and the one-pass funnel scans
+    "sim_knn_graph",
+    "d_dedup_containment",
+    "d_lake_merge_upsert",
+    "e_stream_lake_upsert",
+    "d_quality_funnel",
+    "sql_step_funnel",
 )
 
 
