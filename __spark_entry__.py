@@ -5644,6 +5644,104 @@ GROUP BY 1, 2
 """
 
 
+_PAGERANK_ITERS = 8
+_PAGERANK_D = 0.85
+
+
+def q_sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the mutual kNN graph (fixed 8
+    supersteps, damping 0.85, mean-normalized so rank magnitudes are
+    corpus-size-free): the connectivity signal a curation pipeline
+    layers on its neighborhood graph to pick canonical representatives
+    and weight samples. Each superstep is one map-side-combined
+    shuffle keyed by destination node; per-node state is a single
+    double and the edge list materializes once (localCheckpoint), so
+    the whole run is a fixed-depth lazy plan with no driver-side data."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.graph import pagerank
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    edges = knn_graph_ivf(load_table(spark, sf_dir, "embeddings"),
+                          k=_KNN_GRAPH_K)
+    return _finish(pagerank(edges, iterations=_PAGERANK_ITERS,
+                            damping=_PAGERANK_D))
+
+
+def _sql_pagerank() -> str:
+    """Unrolled power-iteration layers over the same mutual edge list
+    the knn-graph oracle derives. Damping literals are generated from
+    the SAME Python doubles the Spark plan uses (1.0-0.85 is not 0.15
+    in binary — repr round-trips the exact value into both engines)."""
+    d, omd = repr(_PAGERANK_D), repr(1.0 - _PAGERANK_D)
+    layers = []
+    for i in range(1, _PAGERANK_ITERS + 1):
+        layers.append(f"""r{i} AS (
+  SELECT t.dst AS node, {omd} + {d} * SUM(r.rank / g.dg) AS rank
+  FROM dirs t JOIN r{i - 1} r ON r.node = t.src
+              JOIN deg g ON g.src = t.src
+  GROUP BY t.dst)""")
+    return f"""
+WITH {_VECS},
+{_IVF_CAND},
+dir AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand),
+scored AS (
+  SELECT d.src, d.dst,
+         list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
+  FROM dir d JOIN n x ON x.vec_id = d.src
+             JOIN n y ON y.vec_id = d.dst),
+edges AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY src
+             ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {_KNN_GRAPH_K}),
+mut AS (
+  SELECT f.src AS id_a, f.dst AS id_b
+  FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
+  WHERE f.src < f.dst),
+dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+deg AS (SELECT src, COUNT(*) AS dg FROM dirs GROUP BY src),
+r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM dirs),
+{','.join(layers)}
+SELECT node, ROUND(rank, {ND}) AS rank FROM r{_PAGERANK_ITERS}
+"""
+
+
+_ANOM_MIN_Z = 2.0
+
+
+def q_e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type (|z| >= 2 hours of the
+    per-type hourly count distribution) — the ingest-ledger monitoring
+    pass. One map-side-combined count + one window whose state is
+    hours-per-type rows (bounded by the time range, not the volume)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sql_surface import anomaly_zscore
+
+    return _finish(anomaly_zscore(load_table(spark, sf_dir, "events"),
+                                  min_abs_z=_ANOM_MIN_Z))
+
+
+SQL_E_ANOMALY_ZSCORE = f"""
+WITH h AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS ev_cnt
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, hr, ev_cnt,
+         (ev_cnt - AVG(ev_cnt) OVER (PARTITION BY event_type))
+           / STDDEV_SAMP(ev_cnt) OVER (PARTITION BY event_type) AS z
+  FROM h)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS w_start,
+       ev_cnt, ROUND(z, {ND}) AS z
+FROM s WHERE ABS(z) >= {_ANOM_MIN_Z}
+"""
+
+
 def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE INTO as a REAL executed stream: a 4-file CDC
     arrival directory (upserts/tombstones/inserts over documents)
@@ -5831,11 +5929,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these two, NEW in the round-6 third continuation but
-    # outside the full 50-window — parity-gated in-repo this round
+    # (plus these four, NEW in the round-6 third/fourth continuations
+    # but outside the full 50-window — parity-gated in-repo this round
     # (test_oracle_parity), first driver check in round 7's window):
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
+    "sim_pagerank": q_sim_pagerank,
+    "e_anomaly_zscore": q_e_anomaly_zscore,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6058,6 +6158,8 @@ _ORACLES: dict[str, str] = {
     "e_stream_lake_upsert": SQL_E_STREAM_LAKE_UPSERT,
     "sql_step_funnel": SQL_SQL_STEP_FUNNEL,
     "sql_retention_cohorts": SQL_SQL_RETENTION_COHORTS,
+    "sim_pagerank": _sql_pagerank(),
+    "e_anomaly_zscore": SQL_E_ANOMALY_ZSCORE,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -1,0 +1,64 @@
+"""Graph analytics over edge lists the other operators emit (mutual
+kNN graphs from similarity.knn_graph_ivf, duplicate-pair graphs from
+dedup.ngram_jaccard_pairs).
+
+The reference has no graph engine; these are the standard centrality /
+structure passes a curation pipeline layers on top of its duplicate and
+neighborhood graphs (rank documents inside a duplicate cluster, pick
+canonical representatives, weight corpus samples by connectivity).
+
+Scale design: every superstep is ONE map-side-combinable shuffle keyed
+by destination node; per-node state is a single double, edges are
+materialized once (localCheckpoint) and re-scanned per superstep. A
+fixed superstep count keeps the whole run a single lazy plan —
+no driver-side data, no data-dependent convergence loop.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, iterations: int = 8,
+             damping: float = 0.85,
+             src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+    """PageRank over an UNDIRECTED edge list (each edge walked both
+    ways), mean-normalized: ranks are initialized to 1.0 and updated as
+    ``r = (1-d) + d * sum(r_nbr / deg_nbr)``, so the mean rank stays
+    1.0 and output magnitudes are scale-independent (no 1/N term — no
+    driver-side count, and rounding keeps the same precision at any
+    corpus size).
+
+    Nodes are the distinct edge endpoints, so every node has degree
+    >= 1 and there is no dangling mass to redistribute. The superstep
+    count is fixed (deterministic plan; the oracle unrolls the same
+    number of layers).
+
+    Output: node BIGINT, rank DOUBLE.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    # Both directions + out-degree, materialized ONCE: every superstep
+    # re-scans this frame, and checkpointing (not exchange-reuse luck)
+    # is what guarantees the upstream pair plan runs a single time.
+    directed = edges.select(F.explode(F.array(
+        F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+    )).alias("e")).select("e.*")
+    deg = directed.groupBy("src").agg(F.count("*").alias("deg"))
+    out = directed.join(deg, "src").localCheckpoint(eager=True)
+
+    # r0 = 1.0 for every node. Each superstep: contributions grouped by
+    # destination (one shuffle, partial aggregation map-side), then the
+    # damped update. In-degree >= 1 everywhere (undirected), so the
+    # grouped frame already covers every node — no outer join needed.
+    ranks = out.select(F.col("src").alias("node")).distinct() \
+        .withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        ranks = (out.join(ranks.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+                 .select("node",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping) * F.col("c")).alias("rank")))
+    return ranks

@@ -376,3 +376,27 @@ def event_retention_cohorts(events: DataFrame,
                     offset.alias("week_offset"), "user_id")
             .groupBy("cohort_week", "week_offset")
             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+def anomaly_zscore(events: DataFrame, min_abs_z: float = 2.0) -> DataFrame:
+    """Hourly volume anomalies per event type: z-score of each hour's
+    count against that type's own hourly distribution, keeping hours
+    with |z| >= min_abs_z — the monitoring pass a pipeline runs over
+    its ingest ledger to catch traffic spikes/outages.
+
+    One scan -> one (type, hour) aggregate -> one window partitioned by
+    type. The window state is hours-per-type rows (bounded by the time
+    range, not the event volume), so the plan holds at any event scale;
+    the heavy reduction happens in the map-side-combined count.
+
+    Output: event_type, w_start, ev_cnt, z.
+    """
+    hourly = (events.groupBy("event_type",
+                             F.date_trunc("hour", "ts").alias("w_start"))
+              .agg(F.count(F.lit(1)).alias("ev_cnt")))
+    w = Window.partitionBy("event_type")
+    z = ((F.col("ev_cnt") - F.avg("ev_cnt").over(w))
+         / F.stddev_samp("ev_cnt").over(w))
+    return (hourly.withColumn("z", z)
+            .where(F.abs(F.col("z")) >= min_abs_z)
+            .select("event_type", "w_start", "ev_cnt", "z"))

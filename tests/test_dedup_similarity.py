@@ -610,3 +610,58 @@ def test_knn_graph_edges_are_mutual_and_ranked(spark):
         a, b = vecs[r.id_a].astype(float), vecs[r.id_b].astype(float)
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cosine) < 1e-6
+
+
+def test_pagerank_conserves_mass_and_matches_power_iteration(spark):
+    """Mean-1 PageRank on a fixed path+triangle graph: total rank mass
+    stays N every superstep (no dangling nodes on an undirected edge
+    list), and the distributed result equals a naive numpy power
+    iteration to 1e-12."""
+    import numpy as np
+
+    from nexus_spark.operators.graph import pagerank
+
+    # 1-2-3 triangle plus a 3-4-5 path: mixed degrees (1..3).
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(und, ["id_a", "id_b"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iterations=8, damping=0.85).collect()}
+
+    nodes = sorted({n for e in und for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    r = np.ones(len(nodes))
+    for _ in range(8):
+        nxt = np.full(len(nodes), 0.15)
+        for a, b in und:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[a]
+            nxt[idx[a]] += 0.85 * r[idx[b]] / deg[b]
+        r = nxt
+    assert abs(sum(got.values()) - len(nodes)) < 1e-9
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
+    # the degree-3 hub outranks the degree-1 leaves
+    assert got[3] > got[5] and got[3] > got[1]
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """A planted 50x hour is the only |z|>=2 hour for its type."""
+    import datetime as dt
+
+    from nexus_spark.operators.sql_surface import anomaly_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 50 if h == 7 else 2
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i),
+                         eid % 5, "view", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = anomaly_zscore(events, min_abs_z=2.0).collect()
+    assert len(out) == 1
+    assert out[0]["w_start"] == base + dt.timedelta(hours=7)
+    assert out[0]["ev_cnt"] == 50 and out[0]["z"] > 2.0
