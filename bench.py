@@ -353,6 +353,9 @@ SF1_EXTRA = (
     # window + streaming foreachBatch compaction at a 10x state table),
     # and the one-pass funnel scans
     "sim_knn_graph",
+    # 8 supersteps on the mutual edge list — the iterative-shuffle
+    # scale shape (state n rows/superstep; edges checkpointed once)
+    "sim_pagerank",
     "d_dedup_containment",
     "d_lake_merge_upsert",
     "e_stream_lake_upsert",
