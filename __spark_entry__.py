@@ -5742,6 +5742,51 @@ FROM s WHERE ABS(z) >= {_ANOM_MIN_Z}
 """
 
 
+_JSONL_STAGE: dict[tuple, str] = {}
+
+
+def q_d_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip: export documents as gzip JSONL
+    shards (sources/corpus.py — the de-facto LLM-corpus wire format),
+    read them back schema-ENFORCED (no inference scan), aggregate per
+    (source, lang). The oracle aggregates the ORIGINAL parquet, so any
+    serialization loss (escaping, unicode, null handling) breaks the
+    distinct-content-hash match. Export memoized per sf_dir (write-time
+    state, same policy as the stream feeds/vector indexes); gzip shard
+    count = read parallelism, set explicitly at write."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.sources.corpus import (clean, read_jsonl,
+                                            write_jsonl_shards)
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _JSONL_STAGE.get((sf_dir,))
+    if path is None or not os.path.isdir(path):
+        base = tempfile.mkdtemp(prefix="nexus_jsonl_")
+        path = f"{base}/docs"
+        write_jsonl_shards(docs, path, n_shards=8)
+        _JSONL_STAGE[(sf_dir,)] = path
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    back = clean(read_jsonl(spark, path))
+    return _finish(
+        back.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.count_distinct(F.md5("text")).alias("n_distinct_texts")))
+
+
+SQL_D_JSONL_ROUNDTRIP = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents GROUP BY source, lang
+"""
+
+
 def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE INTO as a REAL executed stream: a 4-file CDC
     arrival directory (upserts/tombstones/inserts over documents)
@@ -5929,13 +5974,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these four, NEW in the round-6 third/fourth continuations
+    # (plus these five, NEW in the round-6 third/fourth continuations
     # but outside the full 50-window — parity-gated in-repo this round
     # (test_oracle_parity), first driver check in round 7's window):
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "sim_pagerank": q_sim_pagerank,
     "e_anomaly_zscore": q_e_anomaly_zscore,
+    "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6160,6 +6206,7 @@ _ORACLES: dict[str, str] = {
     "sql_retention_cohorts": SQL_SQL_RETENTION_COHORTS,
     "sim_pagerank": _sql_pagerank(),
     "e_anomaly_zscore": SQL_E_ANOMALY_ZSCORE,
+    "d_jsonl_roundtrip": SQL_D_JSONL_ROUNDTRIP,
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
