@@ -5712,6 +5712,86 @@ SELECT node, ROUND(rank, {ND}) AS rank FROM r{_PAGERANK_ITERS}
 """
 
 
+_LPA_ITERS = 4
+_LPA_SEED_MOD = 4
+
+
+def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: clamp the labels of the 25%
+    seeded vectors (vec_id % 4 == 0) and spread them through the
+    mutual kNN graph for 4 synchronous rounds (majority vote, ties to
+    the smallest label, unlabeled-neighborhood nodes keep their
+    previous label). Integer votes + integer tie-breaks — no float
+    ordering anywhere, so the unrolled SQL replay is exact."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.graph import label_propagation
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (emb.where(F.col("vec_id") % _LPA_SEED_MOD == 0)
+             .select(F.col("vec_id").alias("node"), "label"))
+    edges = knn_graph_ivf(emb, k=_KNN_GRAPH_K)
+    out = label_propagation(edges, seeds, iterations=_LPA_ITERS)
+    return _finish(out.select("node", "label",
+                              F.col("is_seed").cast("int").alias("is_seed")))
+
+
+def _sql_label_propagation() -> str:
+    """Unrolled synchronous LPA layers over the mutual kNN edge list
+    (same graph CTEs as the pagerank oracle)."""
+    layers = []
+    for i in range(1, _LPA_ITERS + 1):
+        layers.append(f"""v{i} AS (
+  SELECT t.dst AS node, l.label, COUNT(*) AS c
+  FROM dirs t JOIN lab{i - 1} l ON l.node = t.src
+  WHERE l.label IS NOT NULL
+  GROUP BY t.dst, l.label),
+b{i} AS (
+  SELECT node, label AS vote_label FROM v{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1),
+lab{i} AS (
+  SELECT n.node, COALESCE(s.seed_label, b.vote_label, p.label) AS label
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+               LEFT JOIN b{i} b ON b.node = n.node
+               LEFT JOIN lab{i - 1} p ON p.node = n.node)""")
+    return f"""
+WITH {_VECS},
+{_IVF_CAND},
+dir AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand),
+scored AS (
+  SELECT d.src, d.dst,
+         list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
+  FROM dir d JOIN n x ON x.vec_id = d.src
+             JOIN n y ON y.vec_id = d.dst),
+edges AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY src
+             ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {_KNN_GRAPH_K}),
+mut AS (
+  SELECT f.src AS id_a, f.dst AS id_b
+  FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
+  WHERE f.src < f.dst),
+dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+nodes AS (SELECT DISTINCT src AS node FROM dirs),
+seeds AS (SELECT vec_id AS node, label AS seed_label
+          FROM embeddings WHERE vec_id % {_LPA_SEED_MOD} = 0),
+lab0 AS (SELECT n.node, s.seed_label AS label
+         FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+{','.join(layers)}
+SELECT l.node, l.label,
+       CAST(s.seed_label IS NOT NULL AS INT) AS is_seed
+FROM lab{_LPA_ITERS} l LEFT JOIN seeds s ON s.node = l.node
+"""
+
+
 _ANOM_MIN_Z = 2.0
 
 
@@ -5974,7 +6054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these five, NEW in the round-6 third/fourth continuations
+    # (plus these six, NEW in the round-6 third/fourth continuations
     # but outside the full 50-window — parity-gated in-repo this round
     # (test_oracle_parity), first driver check in round 7's window):
     "sql_step_funnel": q_sql_step_funnel,
@@ -5982,6 +6062,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pagerank": q_sim_pagerank,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
+    "sim_label_propagation": q_sim_label_propagation,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6207,6 +6288,7 @@ _ORACLES: dict[str, str] = {
     "sim_pagerank": _sql_pagerank(),
     "e_anomaly_zscore": SQL_E_ANOMALY_ZSCORE,
     "d_jsonl_roundtrip": SQL_D_JSONL_ROUNDTRIP,
+    "sim_label_propagation": _sql_label_propagation(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

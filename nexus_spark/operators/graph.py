@@ -62,3 +62,61 @@ def pagerank(edges: DataFrame, iterations: int = 8,
                          (F.lit(1.0 - damping)
                           + F.lit(damping) * F.col("c")).alias("rank")))
     return ranks
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      iterations: int = 4,
+                      src_col: str = "id_a", dst_col: str = "id_b",
+                      node_col: str = "node",
+                      label_col: str = "label") -> DataFrame:
+    """Semi-supervised label propagation over an UNDIRECTED edge list:
+    seed labels stay CLAMPED; every round each node takes the majority
+    label of its labeled neighbors (ties broken by smallest label),
+    keeping its previous label when no neighbor is labeled yet. The
+    pipeline use: spread scarce quality/domain labels through the
+    near-duplicate / kNN neighborhood structure.
+
+    Votes are integer counts and ties break on the label value, so
+    every round is exactly reproducible across engines — no float
+    ordering anywhere. Fixed synchronous rounds (layer i reads only
+    layer i-1), same superstep shape as pagerank: one shuffle keyed by
+    destination per round plus one argmax window, per-node state one
+    label.
+
+    Output: node, label (NULL while unreachable from any seed),
+    is_seed.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    directed = edges.select(F.explode(F.array(
+        F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+    )).alias("e")).select("e.*").localCheckpoint(eager=True)
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    seed = seeds.select(F.col(node_col).alias("node"),
+                        F.col(label_col).alias("seed_label"))
+    labels = (nodes.join(seed, "node", "left")
+              .select("node", F.col("seed_label").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(),
+                                           F.col("label").asc())
+    for _ in range(iterations):
+        votes = (directed
+                 .join(labels.withColumnRenamed("node", "src"), "src")
+                 .where(F.col("label").isNotNull())
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        best = (votes.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", F.col("label").alias("vote_label")))
+        labels = (nodes.join(seed, "node", "left")
+                  .join(best, "node", "left")
+                  .join(labels.withColumnRenamed("label", "prev_label"),
+                        "node", "left")
+                  .select("node",
+                          F.coalesce("seed_label", "vote_label",
+                                     "prev_label").alias("label")))
+    return labels.join(seed, "node", "left") \
+        .select("node", "label",
+                F.col("seed_label").isNotNull().alias("is_seed"))

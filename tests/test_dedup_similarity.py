@@ -665,3 +665,22 @@ def test_anomaly_zscore_flags_planted_spike(spark):
     assert len(out) == 1
     assert out[0]["w_start"] == base + dt.timedelta(hours=7)
     assert out[0]["ev_cnt"] == 50 and out[0]["z"] > 2.0
+
+
+def test_label_propagation_semantics(spark):
+    """Clamped seeds, integer majority with min-label tie-break,
+    previous-label retention, unreachable stays NULL."""
+    from nexus_spark.operators.graph import label_propagation
+
+    # seeds: 1->A(0), 2->B(1). node 3 touches both (tie -> min label).
+    # node 4 hangs off 3 (labeled in round 2). nodes 8-9 are an island.
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (8, 9)], ["id_a", "id_b"])
+    seeds = spark.createDataFrame([(1, 0), (2, 1)], ["node", "label"])
+    got = {r["node"]: (r["label"], r["is_seed"])
+           for r in label_propagation(edges, seeds,
+                                      iterations=3).collect()}
+    assert got[1] == (0, True) and got[2] == (1, True)  # clamped
+    assert got[3][0] == 0          # tie between {0,1} -> smallest
+    assert got[4][0] == 0          # reached via 3 on a later round
+    assert got[8] == (None, False) and got[9] == (None, False)
