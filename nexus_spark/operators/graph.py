@@ -83,6 +83,14 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
     destination per round plus one argmax window, per-node state one
     label.
 
+    Labels are monotone (a label never becomes NULL and seeds are
+    clamped), so a node labeled at round i-1 is either a seed or has a
+    labeled neighbor that stays labeled — its round-i vote is always
+    non-NULL. The "keep previous label" fallback is therefore provably
+    dead after COALESCE(seed, vote), and each round references the
+    previous layer exactly ONCE (the vote join): the plan stays LINEAR
+    in the round count instead of doubling per round.
+
     Output: node, label (NULL while unreachable from any seed),
     is_seed.
     """
@@ -112,11 +120,9 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                 .select("node", F.col("label").alias("vote_label")))
         labels = (nodes.join(seed, "node", "left")
                   .join(best, "node", "left")
-                  .join(labels.withColumnRenamed("label", "prev_label"),
-                        "node", "left")
                   .select("node",
-                          F.coalesce("seed_label", "vote_label",
-                                     "prev_label").alias("label")))
+                          F.coalesce("seed_label", "vote_label")
+                          .alias("label")))
     return labels.join(seed, "node", "left") \
         .select("node", "label",
                 F.col("seed_label").isNotNull().alias("is_seed"))
