@@ -5792,6 +5792,71 @@ FROM lab{_LPA_ITERS} l LEFT JOIN seeds s ON s.node = l.node
 """
 
 
+def q_sim_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    mutual kNN graph — the structure audit before transitive dedup:
+    tight communities (high clustering) collapse safely to one
+    representative; a high-degree low-clustering hub is an LSH/kNN
+    false-positive magnet that transitive closure would over-merge.
+    Exact integer counts, so the id-ordered SQL replay is exact."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.graph import triangle_stats
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    edges = knn_graph_ivf(load_table(spark, sf_dir, "embeddings"),
+                          k=_KNN_GRAPH_K)
+    return _finish(triangle_stats(edges))
+
+
+def _sql_triangle_stats() -> str:
+    """Oracle: id-ordered triangle enumeration (a<b<c over the mutual
+    a<b edge list) — equivalent to the Spark side's degree-ordered
+    compact-forward scheme, which only changes WHERE each triangle is
+    counted, never the count."""
+    return f"""
+WITH {_VECS},
+{_IVF_CAND},
+dir AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand),
+scored AS (
+  SELECT d.src, d.dst,
+         list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
+  FROM dir d JOIN n x ON x.vec_id = d.src
+             JOIN n y ON y.vec_id = d.dst),
+edges AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY src
+             ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
+  FROM scored
+  QUALIFY rank <= {_KNN_GRAPH_K}),
+mut AS (
+  SELECT f.src AS id_a, f.dst AS id_b
+  FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
+  WHERE f.src < f.dst),
+dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+degt AS (SELECT src AS node, COUNT(*) AS degree FROM dirs GROUP BY src),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM mut e1
+  JOIN mut e2 ON e2.id_a = e1.id_b
+  JOIN mut e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+tn AS (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+       UNION ALL SELECT c AS node FROM tri),
+tc AS (SELECT node, COUNT(*) AS triangles FROM tn GROUP BY node)
+SELECT d.node, d.degree,
+       COALESCE(t.triangles, 0) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN 2.0 * COALESCE(t.triangles, 0)
+                  / (d.degree * (d.degree - 1.0))
+             ELSE 0.0 END, {ND}) AS clustering
+FROM degt d LEFT JOIN tc t ON t.node = d.node
+"""
+
+
 _ANOM_MIN_Z = 2.0
 
 
@@ -6054,15 +6119,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these six, NEW in the round-6 third/fourth continuations
-    # but outside the full 50-window — parity-gated in-repo this round
-    # (test_oracle_parity), first driver check in round 7's window):
+    # (plus these seven, NEW in the round-6 third/fourth/fifth
+    # continuations but outside the full 50-window — parity-gated
+    # in-repo this round (test_oracle_parity), first driver check in
+    # round 7's window):
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "sim_pagerank": q_sim_pagerank,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6289,6 +6356,7 @@ _ORACLES: dict[str, str] = {
     "e_anomaly_zscore": SQL_E_ANOMALY_ZSCORE,
     "d_jsonl_roundtrip": SQL_D_JSONL_ROUNDTRIP,
     "sim_label_propagation": _sql_label_propagation(),
+    "sim_triangle_stats": _sql_triangle_stats(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -684,3 +684,23 @@ def test_label_propagation_semantics(spark):
     assert got[3][0] == 0          # tie between {0,1} -> smallest
     assert got[4][0] == 0          # reached via 3 on a later round
     assert got[8] == (None, False) and got[9] == (None, False)
+
+
+def test_triangle_stats_semantics(spark):
+    """Two overlapping triangles + a pendant: exact per-node triangle
+    counts and clustering coefficients (duplicate/reversed input edges
+    must not change anything)."""
+    from nexus_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (4, 5),
+         (2, 1), (1, 2)],                      # dupes/reversals ignored
+        ["id_a", "id_b"])
+    got = {r["node"]: (r["degree"], r["triangles"],
+                       round(r["clustering"], 4))
+           for r in triangle_stats(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 2, 0.6667)
+    assert got[3] == (3, 2, 0.6667)
+    assert got[4] == (3, 1, 0.3333)
+    assert got[5] == (1, 0, 0.0)
