@@ -5692,20 +5692,20 @@ scored AS (
          list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
   FROM dir d JOIN n x ON x.vec_id = d.src
              JOIN n y ON y.vec_id = d.dst),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst,
          CAST(ROW_NUMBER() OVER (
              PARTITION BY src
              ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
   FROM scored
   QUALIFY rank <= {_KNN_GRAPH_K}),
-mut AS (
+mut AS MATERIALIZED (
   SELECT f.src AS id_a, f.dst AS id_b
   FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
   WHERE f.src < f.dst),
-dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+dirs AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut
          UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
-deg AS (SELECT src, COUNT(*) AS dg FROM dirs GROUP BY src),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM dirs GROUP BY src),
 r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM dirs),
 {','.join(layers)}
 SELECT node, ROUND(rank, {ND}) AS rank FROM r{_PAGERANK_ITERS}
@@ -5739,6 +5739,10 @@ def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_label_propagation() -> str:
     """Unrolled synchronous LPA layers over the mutual kNN edge list
     (same graph CTEs as the pagerank oracle)."""
+    # MATERIALIZED layers: DuckDB inlines plain CTEs, so a re-referenced
+    # layer re-evaluates its whole prefix (the kNN-graph CTEs included).
+    # The previous-label fallback is gone on both sides — provably dead
+    # under monotone labels + clamped seeds (see graph.label_propagation).
     layers = []
     for i in range(1, _LPA_ITERS + 1):
         layers.append(f"""v{i} AS (
@@ -5750,11 +5754,10 @@ b{i} AS (
   SELECT node, label AS vote_label FROM v{i}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY node
                              ORDER BY c DESC, label ASC) = 1),
-lab{i} AS (
-  SELECT n.node, COALESCE(s.seed_label, b.vote_label, p.label) AS label
+lab{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.seed_label, b.vote_label) AS label
   FROM nodes n LEFT JOIN seeds s ON s.node = n.node
-               LEFT JOIN b{i} b ON b.node = n.node
-               LEFT JOIN lab{i - 1} p ON p.node = n.node)""")
+               LEFT JOIN b{i} b ON b.node = n.node)""")
     return f"""
 WITH {_VECS},
 {_IVF_CAND},
@@ -5767,21 +5770,21 @@ scored AS (
          list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
   FROM dir d JOIN n x ON x.vec_id = d.src
              JOIN n y ON y.vec_id = d.dst),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst,
          CAST(ROW_NUMBER() OVER (
              PARTITION BY src
              ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
   FROM scored
   QUALIFY rank <= {_KNN_GRAPH_K}),
-mut AS (
+mut AS MATERIALIZED (
   SELECT f.src AS id_a, f.dst AS id_b
   FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
   WHERE f.src < f.dst),
-dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+dirs AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut
          UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
-nodes AS (SELECT DISTINCT src AS node FROM dirs),
-seeds AS (SELECT vec_id AS node, label AS seed_label
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM dirs),
+seeds AS MATERIALIZED (SELECT vec_id AS node, label AS seed_label
           FROM embeddings WHERE vec_id % {_LPA_SEED_MOD} = 0),
 lab0 AS (SELECT n.node, s.seed_label AS label
          FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
@@ -5825,18 +5828,18 @@ scored AS (
          list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cosine
   FROM dir d JOIN n x ON x.vec_id = d.src
              JOIN n y ON y.vec_id = d.dst),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst,
          CAST(ROW_NUMBER() OVER (
              PARTITION BY src
              ORDER BY ROUND(cosine, 6) DESC, dst) AS INT) AS rank
   FROM scored
   QUALIFY rank <= {_KNN_GRAPH_K}),
-mut AS (
+mut AS MATERIALIZED (
   SELECT f.src AS id_a, f.dst AS id_b
   FROM edges f JOIN edges r ON r.src = f.dst AND r.dst = f.src
   WHERE f.src < f.dst),
-dirs AS (SELECT id_a AS src, id_b AS dst FROM mut
+dirs AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut
          UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
 degt AS (SELECT src AS node, COUNT(*) AS degree FROM dirs GROUP BY src),
 tri AS (
@@ -5854,6 +5857,81 @@ SELECT d.node, d.degree,
                   / (d.degree * (d.degree - 1.0))
              ELSE 0.0 END, {ND}) AS clustering
 FROM degt d LEFT JOIN tc t ON t.node = d.node
+"""
+
+
+_PCA_ITERS = 8
+
+
+def q_d_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix (upper triangle) of the embedding
+    corpus — the d x d summary PCA/whitening/Mahalanobis scoring start
+    from, computed as one corpus pass of per-Arrow-batch partial Gram
+    blocks (d^2 scalars per batch on the wire, never vector-scaled
+    data)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import embedding_covariance
+
+    return _finish(embedding_covariance(
+        load_table(spark, sf_dir, "embeddings")))
+
+
+def _sql_embed_covariance() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+g AS (SELECT i FROM generate_series(1, 64) t(i))
+SELECT gi.i - 1 AS i, gj.i - 1 AS j,
+       ROUND(COVAR_SAMP(vec[gi.i], vec[gj.i]), {ND}) AS cov
+FROM v, g gi, g gj
+WHERE gi.i <= gj.i
+GROUP BY gi.i, gj.i
+"""
+
+
+def q_d_embed_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component score per vector (centered projection)
+    — the 1-d corpus summary behind embedding drift plots and coarse
+    diversity bucketing. Power iteration runs driver-side on the
+    collected d x d covariance (fixed, corpus-size-independent state;
+    same contract as the k-row kmeans centroids) for a FIXED iteration
+    count from v0 = 1/sqrt(d), so the unrolled SQL replay performs the
+    identical arithmetic; the projection itself is one JVM-side
+    unrolled expression."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import pca_top_component
+
+    return _finish(pca_top_component(
+        load_table(spark, sf_dir, "embeddings"), iterations=_PCA_ITERS))
+
+
+def _sql_embed_pca1() -> str:
+    """Unrolled power-iteration layers (matvec + normalize per layer)
+    over the full covariance CTE, then the centered projection."""
+    # MATERIALIZED everywhere state is re-referenced: DuckDB inlines
+    # plain CTEs, and p{{t}} reads w{{t}} twice (matvec + norm scalar
+    # subquery) — inlined, that doubles the evaluation of the whole
+    # prefix per layer (2^iters re-aggregations of the covariance).
+    layers = []
+    for t in range(1, _PCA_ITERS + 1):
+        layers.append(f"""w{t} AS MATERIALIZED (
+  SELECT c.i AS i, SUM(c.c * p.p) AS w
+  FROM cov c JOIN p{t - 1} p ON p.i = c.j GROUP BY c.i),
+p{t} AS MATERIALIZED (
+  SELECT i, w / sqrt((SELECT SUM(w * w) FROM w{t})) AS p FROM w{t})""")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+g AS (SELECT i FROM generate_series(1, 64) t(i)),
+mu AS (SELECT g.i AS i, AVG(vec[g.i]) AS m FROM v, g GROUP BY g.i),
+cov AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j,
+               COVAR_SAMP(vec[gi.i], vec[gj.i]) AS c
+        FROM v, g gi, g gj GROUP BY gi.i, gj.i),
+p0 AS (SELECT i, 1.0 / sqrt(64.0) AS p FROM g),
+{','.join(layers)}
+SELECT v.vec_id, ROUND(SUM((vec[p.i] - mu.m) * p.p), {ND}) AS pc1
+FROM v, p{_PCA_ITERS} p JOIN mu ON mu.i = p.i
+GROUP BY v.vec_id
 """
 
 
@@ -6130,6 +6208,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "sim_label_propagation": q_sim_label_propagation,
     "sim_triangle_stats": q_sim_triangle_stats,
+    "d_embed_covariance": q_d_embed_covariance,
+    "d_embed_pca1": q_d_embed_pca1,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6357,6 +6437,8 @@ _ORACLES: dict[str, str] = {
     "d_jsonl_roundtrip": SQL_D_JSONL_ROUNDTRIP,
     "sim_label_propagation": _sql_label_propagation(),
     "sim_triangle_stats": _sql_triangle_stats(),
+    "d_embed_covariance": _sql_embed_covariance(),
+    "d_embed_pca1": _sql_embed_pca1(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -1389,3 +1389,99 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = 5,
             .where(F.col("rank_ab").isNotNull()
                    & F.col("rank_ba").isNotNull())
             .select("id_a", "id_b", "rank_ab", "rank_ba", "cosine"))
+
+
+def embedding_covariance(embeddings: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = DIM) -> DataFrame:
+    """Sample covariance matrix of the embedding corpus as (i, j, cov)
+    upper-triangle rows (0-based, ddof=1) — the fixed d x d summary
+    that PCA, whitening, and Mahalanobis outlier scoring start from.
+
+    Scale: ONE corpus pass. Each Arrow batch contributes its partial
+    Gram block X^T X as a d x d numpy matmul (the BLAS-per-batch
+    pattern embedding_near_dup_gemm uses) plus per-component sums and a
+    row count, encoded as (i, j, v) rows — d(d+1)/2 + d + 1 rows per
+    batch REGARDLESS of batch row count. The combine is one tiny
+    groupBy(i, j) SUM; no shuffle ever carries vector-scaled data, and
+    at any corpus size the post-scan wire volume is partitions x ~2.2k
+    scalar rows. cov = (S_ij - n*mu_i*mu_j) / (n - 1) is assembled
+    JVM-side from broadcast n/mu.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+    iu, ju = (x.astype("int32") for x in np.triu_indices(d))
+    ii = np.concatenate([iu, np.arange(d, dtype="int32"),
+                         np.array([-1], dtype="int32")])
+    jj = np.concatenate([ju, np.full(d, -1, dtype="int32"),
+                         np.array([-1], dtype="int32")])
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            yield pd.DataFrame({
+                "i": ii, "j": jj,
+                "v": np.concatenate([g[(iu, ju)], x.sum(axis=0),
+                                     [float(x.shape[0])]])})
+
+    parts = (embeddings.select(vec_col)
+             .mapInPandas(gram, "i int, j int, v double")
+             .groupBy("i", "j").agg(F.sum("v").alias("v")))
+    n = parts.where(F.col("i") == -1).select(F.col("v").alias("n"))
+    mu = (parts.where((F.col("i") >= 0) & (F.col("j") == -1))
+          .crossJoin(F.broadcast(n))
+          .select("i", (F.col("v") / F.col("n")).alias("mu")))
+    return (parts.where(F.col("j") >= 0)
+            .crossJoin(F.broadcast(n))
+            .join(F.broadcast(mu.select("i", F.col("mu").alias("mu_i"))),
+                  "i")
+            .join(F.broadcast(mu.select(F.col("i").alias("j"),
+                                        F.col("mu").alias("mu_j"))), "j")
+            .select("i", "j",
+                    ((F.col("v")
+                      - F.col("n") * F.col("mu_i") * F.col("mu_j"))
+                     / (F.col("n") - 1)).alias("cov")))
+
+
+def pca_top_component(embeddings: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = DIM,
+                      iterations: int = 8) -> DataFrame:
+    """Score every vector against the corpus' first principal component
+    (centered projection) — the 1-d summary behind embedding drift
+    plots, coarse diversity bucketing, and PCA-whitening pipelines.
+
+    Power iteration runs DRIVER-SIDE on the collected d x d covariance
+    — fixed d^2 scalars of corpus-size-independent state, the same
+    contract as the k-row kmeans centroid state — from the
+    deterministic start v0 = 1/sqrt(d), w = C v / ||C v|| for a FIXED
+    iteration count, so an unrolled SQL replay performs the identical
+    arithmetic. The projection itself is one JVM-side unrolled
+    expression over the cached flat frame (no Python in the corpus
+    pass). No sign fix-up: both engines iterate from the same v0, so
+    they converge to the same signed vector.
+
+    Output: (id_col, pc1).
+    """
+    import numpy as np
+
+    d = int(dim)
+    cov = np.zeros((d, d))
+    for r in embedding_covariance(embeddings, id_col, vec_col,
+                                  dim).collect():
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    mu = np.array(flat.select(
+        *[F.avg(f"c{i}").alias(f"m{i}") for i in range(d)]).collect()[0])
+    v = np.full(d, 1.0 / np.sqrt(float(d)))
+    for _ in range(int(iterations)):
+        w = cov @ v
+        v = w / np.sqrt(float((w * w).sum()))
+    proj = " + ".join(f"(c{i} - {mu[i]!r}) * {v[i]!r}" for i in range(d))
+    return flat.select(F.col("id").alias(id_col),
+                       F.expr(proj).alias("pc1"))

@@ -704,3 +704,53 @@ def test_triangle_stats_semantics(spark):
     assert got[3] == (3, 2, 0.6667)
     assert got[4] == (3, 1, 0.3333)
     assert got[5] == (1, 0, 0.0)
+
+
+def test_embedding_covariance_equals_numpy(spark):
+    """One-pass partial-Gram covariance == np.cov (ddof=1) to 1e-9,
+    across multiple partitions (the combine must be exact)."""
+    import numpy as np
+    from nexus_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(200, 8) * [1, 2, 3, 4, 1, 2, 3, 4] + rng.randn(8)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(5)
+    want = np.cov(x.astype(np.float32).astype(np.float64), rowvar=False,
+                  ddof=1)
+    got = embedding_covariance(emb, dim=8).collect()
+    assert len(got) == 8 * 9 // 2            # upper triangle incl diag
+    for r in got:
+        assert abs(r["cov"] - want[r["i"], r["j"]]) < 1e-9
+
+
+def test_pca_top_component_matches_replayed_power_iteration(spark):
+    """Driver power iteration + JVM projection == the identical numpy
+    arithmetic replayed in the test, and |corr| with the true top
+    eigenvector's projection ~ 1 on a spiked covariance."""
+    import numpy as np
+    from nexus_spark.operators.similarity import pca_top_component
+
+    rng = np.random.RandomState(11)
+    spike = rng.randn(8); spike /= np.linalg.norm(spike)
+    x = (rng.randn(300, 1) * 5.0) @ spike[None, :] + rng.randn(300, 8)
+    x32 = x.astype(np.float32).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(3)
+    got = {r["vec_id"]: r["pc1"]
+           for r in pca_top_component(emb, dim=8, iterations=8).collect()}
+    # replay: same cov formula, same v0, same fixed iteration count
+    n = x32.shape[0]
+    mu = x32.mean(axis=0)
+    cov = (x32.T @ x32 - n * np.outer(mu, mu)) / (n - 1)
+    v = np.full(8, 1.0 / np.sqrt(8.0))
+    for _ in range(8):
+        w = cov @ v
+        v = w / np.sqrt(float((w * w).sum()))
+    want = (x32 - mu) @ v
+    got_arr = np.array([got[i] for i in range(n)])
+    assert np.abs(got_arr - want).max() < 1e-6
+    true_proj = (x32 - mu) @ np.linalg.eigh(cov)[1][:, -1]
+    assert abs(np.corrcoef(got_arr, true_proj)[0, 1]) > 0.999
