@@ -16,6 +16,7 @@ on both sides.
 from __future__ import annotations
 
 import contextlib
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6508,5 +6509,45 @@ def _stable_round_sql(sql: str) -> str:
     return out.replace("R0UND__(", "ROUND(")
 
 
+# DuckDB inlines plain CTEs, so a CTE referenced N times re-evaluates
+# its whole subtree N times — across unrolled iteration layers that
+# compounds exponentially (the hand-materialized graph oracles above
+# went 52s/203s -> ~1s each). This allowlist holds every oracle where
+# rewriting multiply-referenced CTEs to AS MATERIALIZED was MEASURED
+# hash-identical and >=20% (and >=50ms) faster at sf0.1; blanket
+# rewriting would not do: materialization is a pushdown barrier and
+# measurably SLOWS ~half the flagged oracles (e.g. d_dedup_minhash_md5
+# 0.94s -> 1.47s). Keeping the slow default would flatter the recorded
+# Spark/DuckDB ratio with an optimizer artifact, not a real win.
+_MATERIALIZE_ORACLES = frozenset({
+    "d_cluster_stats", "d_semantic_dedup", "sim_mmr_select",
+    "d_dedup_components", "d_dedup_winnow", "d_dedup_containment",
+    "text_bpe_tokenize", "d_dedup_ngram_jaccard", "sim_pagerank",
+    "d_dedup_simhash_xx_recall", "d_corpus_mix", "d_curation_pipeline",
+    "text_nb_classifier", "scrub_span_dedup", "sim_ann_lsh",
+    "g_gaussian_interp", "text_bpe_learn",
+})
+
+
+def _materialize_hot_ctes(sql: str) -> str:
+    """Rewrite every multiply-referenced plain CTE definition in `sql`
+    to `AS MATERIALIZED` (DuckDB syntax). Reference counting is by
+    FROM/JOIN word-boundary occurrences, so WINDOW-clause aliases and
+    column aliases never match; applied only to _MATERIALIZE_ORACLES
+    (see the allowlist rationale above)."""
+    out = sql
+    for cte, mat in re.findall(r"(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql):
+        if mat:
+            continue
+        refs = len(re.findall(r"(?:FROM|JOIN)\s+" + cte + r"\b", out,
+                              re.IGNORECASE))
+        if refs >= 2:
+            out = re.sub(r"\b" + cte + r"\s+AS\s+\(",
+                         cte + " AS MATERIALIZED (", out, count=1)
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
-    return {k: _stable_round_sql(v) for k, v in _ORACLES.items()}
+    return {k: _stable_round_sql(_materialize_hot_ctes(v)
+                                 if k in _MATERIALIZE_ORACLES else v)
+            for k, v in _ORACLES.items()}

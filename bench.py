@@ -361,6 +361,13 @@ SF1_EXTRA = (
     "e_stream_lake_upsert",
     "d_quality_funnel",
     "sql_step_funnel",
+    # continuation-5: label propagation after the linear-plan rewrite
+    # (the other iterative-shuffle shape), the wedge-join triangle pass
+    # (O(n*k^2) claim at 10x vectors), and the one-pass covariance
+    # (per-batch Gram blocks — wire volume must stay flat at 10x)
+    "sim_label_propagation",
+    "sim_triangle_stats",
+    "d_embed_covariance",
 )
 
 
