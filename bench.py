@@ -113,6 +113,28 @@ _QUERY_NOTES = {
     "e_stream_window_watermark":
         "same executed-stream fixed cost as e_stream_dedup_exact, plus "
         "the watermark flush batch; staged feed memoized likewise",
+    "sim_pq_recall_at_k":
+        "runs BOTH the exact float top-k and the PQ/ADC search by "
+        "design (it measures recall between them); isolated steady "
+        "~1.9s — a sweep-recorded steady above first-call here is "
+        "mid-sweep JVM/code-cache pressure (sim_ann_hamming mechanism), "
+        "not a plan defect",
+    "sim_label_propagation":
+        "round-6 continuation-5 rewrite made the plan LINEAR in rounds "
+        "(the prev-label fallback was provably dead and doubled the "
+        "subtree per round); isolated 9.0s first / 3.9s steady = kNN "
+        "graph + 4 vote/argmax rounds, each one shuffle + one window",
+    "sim_triangle_stats":
+        "~7-shuffle chain (normalize, degree, 2 orientation joins, "
+        "wedge self-join, closing join, per-node combine) whose sf0.1 "
+        "cost is per-stage scheduling floor on a ~5k-edge graph, not "
+        "data; the degree-ordered orientation is what bounds wedge "
+        "volume at scale (O(n*k^2) on a kNN graph) and is kept even "
+        "though id-order would suffice at this fixture size",
+    "text_bigram_nll":
+        "isolated 2.2s first / 1.3s steady; sweep-recorded inversions "
+        "here are the same mid-sweep pressure noted for "
+        "sim_ann_hamming",
     "e_stream_near_dup":
         "executes a REAL 4-micro-batch incremental stream: per batch it "
         "LSH-matches against the persisted signature store AND itself, "
