@@ -55,12 +55,12 @@ _QUERY_NOTES = {
         "declared O(n^2) brute baseline (labeled); GEMM and IVF are the "
         "routed alternatives",
     "sim_mmr_select":
-        "greedy selection is sequential in k by definition: the pool + "
-        "pair-sim matrix are computed/persisted once, then k-1 tiny "
-        "join+agg+argmax steps each with an nq-row collect (k-row-state "
-        "pattern, like d_kmeans_round). First call pays codegen for 5 "
-        "unrolled 64-column join layers; steady (~5.9s) is within ~0.85x "
-        "of DuckDB's same unrolled greedy CTE replay",
+        "round-6 continuation-5 rewrite: the greedy loop (sequential in "
+        "k by definition) now runs INSIDE one cogrouped applyInPandas "
+        "over query_id — the group is pool_n rel + pool_n^2 sim rows, "
+        "bounded by construction — replacing k-1 driver collect+replan "
+        "rounds (isolated steady 5.9s -> 1.3s); pool + pair matrix stay "
+        "JVM-side",
     "e_stream_drift_psi":
         "executed stream (foreachBatch counting commits x4 files) with "
         "the usual ~1-2s fixed startup/commit cost; the PSI grid itself "
@@ -130,7 +130,9 @@ _QUERY_NOTES = {
         "cost is per-stage scheduling floor on a ~5k-edge graph, not "
         "data; the degree-ordered orientation is what bounds wedge "
         "volume at scale (O(n*k^2) on a kNN graph) and is kept even "
-        "though id-order would suffice at this fixture size",
+        "though id-order would suffice at this fixture size. Edge set "
+        "checkpointed FIRST (continuation-5, the LPA policy) so the "
+        "upstream kNN pair plan runs once: isolated steady 5.9 -> 2.2s",
     "text_bigram_nll":
         "isolated 2.2s first / 1.3s steady; sweep-recorded inversions "
         "here are the same mid-sweep pressure noted for "

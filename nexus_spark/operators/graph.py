@@ -153,9 +153,15 @@ def triangle_stats(edges: DataFrame,
     Output: node, degree, triangles, clustering
     (= 2*T / (deg*(deg-1)), 0.0 when degree < 2).
     """
+    # Materialize the normalized edge set FIRST (the label_propagation
+    # policy): deg and the orientation join below both re-consume it,
+    # and without the checkpoint each consumer re-evaluates the whole
+    # upstream pair plan (for a kNN-graph input, the 64-column scoring
+    # subtree — measured ~2x the query's steady cost at sf0.1).
     e = (edges.select(F.least(src_col, dst_col).alias("a"),
                       F.greatest(src_col, dst_col).alias("b"))
-         .where(F.col("a") != F.col("b")).distinct())
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
     dirs = e.select(F.explode(F.array(
         F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
         F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
