@@ -6198,7 +6198,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these seven, NEW in the round-6 third/fourth/fifth
+    # (plus these nine, NEW in the round-6 third/fourth/fifth
     # continuations but outside the full 50-window — parity-gated
     # in-repo this round (test_oracle_parity), first driver check in
     # round 7's window):

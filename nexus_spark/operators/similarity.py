@@ -1472,9 +1472,14 @@ def embedding_covariance(embeddings: DataFrame, id_col: str = "vec_id",
                 "v": np.concatenate([g[(iu, ju)], x.sum(axis=0),
                                      [float(x.shape[0])]])})
 
+    # Materialize the combined moment rows ONCE (checkpoint, not
+    # exchange-reuse luck — the graph.py policy): n, mu_i, mu_j and the
+    # cov assembly below reference this frame 8x after expansion, and
+    # each un-materialized reference re-runs the corpus pass.
     parts = (embeddings.select(vec_col)
              .mapInPandas(gram, "i int, j int, v double")
-             .groupBy("i", "j").agg(F.sum("v").alias("v")))
+             .groupBy("i", "j").agg(F.sum("v").alias("v"))
+             .localCheckpoint(eager=True))
     n = parts.where(F.col("i") == -1).select(F.col("v").alias("n"))
     mu = (parts.where((F.col("i") >= 0) & (F.col("j") == -1))
           .crossJoin(F.broadcast(n))
