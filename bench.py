@@ -123,7 +123,16 @@ _QUERY_NOTES = {
         "round-6 continuation-5 rewrite made the plan LINEAR in rounds "
         "(the prev-label fallback was provably dead and doubled the "
         "subtree per round); isolated 9.0s first / 3.9s steady = kNN "
-        "graph + 4 vote/argmax rounds, each one shuffle + one window",
+        "graph + 4 vote/argmax rounds, each one shuffle + one window. "
+        "Checkpointed edge frames are session-memoized (graph._EDGE_"
+        "CACHE): per-invocation eager checkpoints previously orphaned "
+        "storage blocks sweep-wide, the mechanism behind the graph "
+        "family's roving steady>first inversions",
+    "sim_pagerank":
+        "first call materializes the memoized edge+degree frame (the "
+        "warm-state policy: the edge list is maintained neighborhood "
+        "state, like the IVF cell table); steady = 8 supersteps, each "
+        "one map-side-combined shuffle",
     "sim_triangle_stats":
         "~7-shuffle chain (normalize, degree, 2 orientation joins, "
         "wedge self-join, closing join, per-node combine) whose sf0.1 "
