@@ -565,6 +565,25 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "a2_crossover": cross,
         "queries": record,
     }
+    # Honesty decomposition, recorded so the ratio story needs no
+    # recomputation: ex-matchup drops the trio where the cell-bucketed
+    # join beats DuckDB's O(n^2) cross join 10-40x (our best weapon);
+    # ex-stream additionally drops the EXECUTED streaming queries,
+    # which pay ~1-2s of fixed stream startup/commit per run that a
+    # batch SQL replay never pays (the oracle checks their OUTPUT, not
+    # their execution model).
+    matchup = {"s8_matchup", "s8_matchup_once", "e_stream_matchup"}
+    exm = {k: v for k, v in record.items()
+           if k not in matchup and v["duckdb_sec"] is not None}
+    exs = {k: v for k, v in exm.items() if not k.startswith("e_stream_")}
+    payload["ex_matchup"] = {
+        "spark_steady_sec": round(sum(
+            v["spark_steady_sec"] for v in exm.values()), 3),
+        "duckdb_sec": round(sum(v["duckdb_sec"] for v in exm.values()), 3)}
+    payload["ex_matchup_ex_stream"] = {
+        "spark_steady_sec": round(sum(
+            v["spark_steady_sec"] for v in exs.values()), 3),
+        "duckdb_sec": round(sum(v["duckdb_sec"] for v in exs.values()), 3)}
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_NOTES.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
