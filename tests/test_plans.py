@@ -320,3 +320,36 @@ def test_nb_classifier_no_vocab_grid_join(spark):
     assert len(re.findall(r"BroadcastHashJoin", tree)) == 1
     assert len(re.findall(r"\bUnion\b", tree)) == 1
     assert "SortMergeJoin" not in tree
+
+
+def test_triangle_wedge_join_no_cartesian(spark):
+    """The wedge enumeration and the closing join are equi-joins on
+    (u) and (v, w) — a cartesian product here would be O(E^2) at any
+    scale."""
+    plan = _plan(spark, "sim_triangle_stats")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_mmr_greedy_is_one_cogroup_no_driver_loop(spark):
+    """Round-6 rewrite gate: the greedy MMR loop runs inside ONE
+    cogrouped applyInPandas (group state bounded at pool_n^2 rows by
+    construction) — the plan has exactly one FlatMapCoGroupsInPandas
+    and no cartesian fallback."""
+    plan = _plan(spark, "sim_mmr_select")
+    tree = _final_tree(plan)
+    assert len(re.findall(r"FlatMapCoGroupsInPandas", tree)) == 1
+    assert "CartesianProduct" not in tree
+
+
+def test_embedding_covariance_single_corpus_pass(spark):
+    """The covariance moment rows are checkpointed, so the (re-)invoked
+    plan reads the materialized ~2.2k-row frame — ZERO parquet scans
+    and zero mapInPandas nodes downstream: the corpus pass runs exactly
+    once per covariance, never once per consumer (n, mu_i, mu_j, cov
+    expand to 8 references)."""
+    plan = _plan(spark, "d_embed_covariance")
+    assert "FileScan parquet" not in plan
+    assert "MapInPandas" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
