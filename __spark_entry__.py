@@ -5936,6 +5936,133 @@ GROUP BY v.vec_id
 """
 
 
+def q_d_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over three tables in four scans
+    total (one aggregate pass per table + two anti-join referential
+    checks): null rates, key uniqueness, value ranges, accepted sets,
+    FK orphans — the validation report a lake pipeline runs after every
+    ingest batch. Two checks intentionally fail on the fixture (zh
+    outside the accepted lang set, n_chars above 400) so the report
+    exercises both verdicts."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.validate import expectations, ref_integrity
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    tag = lambda df, t: df.select(F.lit(t).alias("tbl"), "*")  # noqa: E731
+    out = (
+        tag(expectations(docs, not_null={"text": 0.0},
+                         unique=["doc_id"],
+                         ranges={"n_chars": (1.0, 400.0)},
+                         accepted={"lang": ["de", "en", "es", "fr"]},
+                         min_rows=1), "documents")
+        .unionByName(tag(expectations(
+            li, not_null={"l_shipdate": 0.0},
+            ranges={"l_quantity": (1.0, 50.0)}), "lineitem"))
+        .unionByName(tag(expectations(
+            events, accepted={"event_type": ["click", "purchase",
+                                             "signup", "view"]}),
+            "events"))
+        .unionByName(tag(ref_integrity(li, orders, "l_orderkey",
+                                       "o_orderkey"), "lineitem"))
+        .unionByName(tag(ref_integrity(orders, customer, "o_custkey",
+                                       "c_custkey"), "orders")))
+    return _finish(out)
+
+
+def _sql_expectations_audit() -> str:
+    return f"""
+SELECT 'documents' AS tbl, 'not_null' AS "check", 'text' AS "column",
+       ROUND(CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), {ND}) AS metric,
+       CAST(0.0 AS DOUBLE) AS threshold,
+       CAST(CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) <= 0.0 AS INT) AS ok
+FROM documents
+UNION ALL
+SELECT 'documents', 'unique', 'doc_id',
+       ROUND(CAST(COUNT(*) - SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0
+                                 END) - COUNT(DISTINCT doc_id) AS DOUBLE)
+             + (CASE WHEN SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                > 1 THEN SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                - 1 ELSE 0 END), {ND}),
+       0.0,
+       CAST((COUNT(*) - SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+             - COUNT(DISTINCT doc_id))
+            + (CASE WHEN SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+               > 1 THEN SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+               - 1 ELSE 0 END) <= 0.0 AS INT)
+FROM documents
+UNION ALL
+SELECT 'documents', 'in_range', 'n_chars',
+       ROUND(CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1.0 OR n_chars > 400.0)
+                       THEN 1 ELSE 0 END) AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                AND (n_chars < 1.0 OR n_chars > 400.0)
+                THEN 1 ELSE 0 END) <= 0.0 AS INT)
+FROM documents
+UNION ALL
+SELECT 'documents', 'accepted_values', 'lang',
+       ROUND(CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                       ('de', 'en', 'es', 'fr') THEN 1 ELSE 0 END)
+                  AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(SUM(CASE WHEN lang IS NOT NULL AND lang NOT IN
+                ('de', 'en', 'es', 'fr') THEN 1 ELSE 0 END) <= 0.0
+            AS INT)
+FROM documents
+UNION ALL
+SELECT 'documents', 'min_rows', '*',
+       ROUND(CAST(COUNT(*) AS DOUBLE), {ND}), CAST(1.0 AS DOUBLE),
+       CAST(COUNT(*) >= 1.0 AS INT)
+FROM documents
+UNION ALL
+SELECT 'lineitem', 'not_null', 'l_shipdate',
+       ROUND(CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) <= 0.0 AS INT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'in_range', 'l_quantity',
+       ROUND(CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                       AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                       THEN 1 ELSE 0 END) AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                THEN 1 ELSE 0 END) <= 0.0 AS INT)
+FROM lineitem
+UNION ALL
+SELECT 'events', 'accepted_values', 'event_type',
+       ROUND(CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type
+                       NOT IN ('click', 'purchase', 'signup', 'view')
+                       THEN 1 ELSE 0 END) AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type
+                NOT IN ('click', 'purchase', 'signup', 'view')
+                THEN 1 ELSE 0 END) <= 0.0 AS INT)
+FROM events
+UNION ALL
+SELECT 'lineitem', 'ref_integrity', 'l_orderkey',
+       ROUND(CAST(COUNT(*) AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(COUNT(*) <= 0.0 AS INT)
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders', 'ref_integrity', 'o_custkey',
+       ROUND(CAST(COUNT(*) AS DOUBLE), {ND}), CAST(0.0 AS DOUBLE),
+       CAST(COUNT(*) <= 0.0 AS INT)
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 _ANOM_MIN_Z = 2.0
 
 
@@ -6198,7 +6325,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these nine, NEW in the round-6 third/fourth/fifth
+    # (plus these ten, NEW in the round-6 third/fourth/fifth
     # continuations but outside the full 50-window — parity-gated
     # in-repo this round (test_oracle_parity), first driver check in
     # round 7's window):
@@ -6211,6 +6338,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_triangle_stats": q_sim_triangle_stats,
     "d_embed_covariance": q_d_embed_covariance,
     "d_embed_pca1": q_d_embed_pca1,
+    "d_expectations_audit": q_d_expectations_audit,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6440,6 +6568,7 @@ _ORACLES: dict[str, str] = {
     "sim_triangle_stats": _sql_triangle_stats(),
     "d_embed_covariance": _sql_embed_covariance(),
     "d_embed_pca1": _sql_embed_pca1(),
+    "d_expectations_audit": _sql_expectations_audit(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

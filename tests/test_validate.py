@@ -1,0 +1,53 @@
+"""Unit tests for the declarative expectations gate (operators/validate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_expectations_metrics_and_ok(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, -1.0), (None, "c", 7.0),
+         (None, "zz", None)],
+        "k long, s string, v double")
+    got = {(r["check"], r["column"]): (r["metric"], r["ok"])
+           for r in __import__("nexus_spark.operators.validate",
+                               fromlist=["expectations"])
+           .expectations(df,
+                         not_null={"s": 0.25, "k": 0.0},
+                         unique=["k"],
+                         ranges={"v": (0.0, 10.0)},
+                         accepted={"s": ["a", "b", "c"]},
+                         min_rows=3).collect()}
+    assert got[("not_null", "s")] == (0.2, 1)       # 1/5 <= 0.25
+    assert got[("not_null", "k")] == (0.4, 0)       # 2/5 > 0
+    # k: values 1,2,2,NULL,NULL -> 1 non-null dup + 1 extra NULL row
+    assert got[("unique", "k")] == (2.0, 0)
+    assert got[("in_range", "v")] == (2.0, 0)       # 50.0 and -1.0
+    assert got[("accepted_values", "s")] == (1.0, 0)  # "zz"
+    assert got[("min_rows", "*")] == (5.0, 1)
+
+
+def test_expectations_single_scan(spark):
+    """The whole suite compiles to ONE pass over the input."""
+    from nexus_spark.operators.validate import expectations
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    out = expectations(df, not_null={"v": 0.0}, unique=["k"],
+                       ranges={"v": (0.0, 6.0)}, min_rows=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+    assert len(out.collect()) == 4
+
+
+def test_ref_integrity_counts_orphans(spark):
+    from nexus_spark.operators.validate import ref_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = ref_integrity(child, parent, "fk", "pk").collect()[0]
+    assert row["metric"] == 1.0 and row["ok"] == 0   # 9 is orphaned
+    ok = ref_integrity(parent, parent, "pk", "pk").collect()[0]
+    assert ok["metric"] == 0.0 and ok["ok"] == 1
