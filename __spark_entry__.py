@@ -5936,6 +5936,45 @@ GROUP BY v.vec_id
 """
 
 
+_OUTLIER_TOP = 50
+
+
+def q_d_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA outlier pass: top-50 vectors by diagonal
+    Mahalanobis distance (sum of squared population z-scores per
+    dimension) — one moment pass (2*dim sums) + one scoring pass
+    against the broadcast constants, top-N via sort+limit
+    (TakeOrderedAndProject, no global window)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.similarity import embedding_outliers
+
+    return _finish(embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"), top_n=_OUTLIER_TOP))
+
+
+def _sql_embed_outliers() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+g AS (SELECT i FROM generate_series(1, 64) t(i)),
+st AS (SELECT g.i, SUM(vec[g.i]) AS s,
+              SUM(vec[g.i] * vec[g.i]) AS q, COUNT(*) AS n
+       FROM v, g GROUP BY g.i),
+ms AS (SELECT i, s / n AS mu, q / n - (s / n) * (s / n) AS var FROM st),
+sc AS (SELECT v.vec_id,
+              SUM(CASE WHEN m.var > 0.0
+                  THEN (vec[m.i] - m.mu) * (vec[m.i] - m.mu) / m.var
+                  ELSE 0.0 END) AS score
+       FROM v, ms m GROUP BY v.vec_id)
+SELECT vec_id, ROUND(score, {ND}) AS score, rank
+FROM (SELECT vec_id, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC,
+                                     vec_id) AS INT) AS rank
+      FROM sc)
+WHERE rank <= {_OUTLIER_TOP}
+"""
+
+
 def q_d_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over three tables in four scans
     total (one aggregate pass per table + two anti-join referential
@@ -6325,7 +6364,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these ten, NEW in the round-6 third/fourth/fifth
+    # (plus these eleven, NEW in the round-6 third/fourth/fifth
     # continuations but outside the full 50-window — parity-gated
     # in-repo this round (test_oracle_parity), first driver check in
     # round 7's window):
@@ -6339,6 +6378,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_embed_covariance": q_d_embed_covariance,
     "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
+    "d_embed_outliers": q_d_embed_outliers,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6569,6 +6609,7 @@ _ORACLES: dict[str, str] = {
     "d_embed_covariance": _sql_embed_covariance(),
     "d_embed_pca1": _sql_embed_pca1(),
     "d_expectations_audit": _sql_expectations_audit(),
+    "d_embed_outliers": _sql_embed_outliers(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

@@ -1533,3 +1533,49 @@ def pca_top_component(embeddings: DataFrame, id_col: str = "vec_id",
     proj = " + ".join(f"(c{i} - {mu[i]!r}) * {v[i]!r}" for i in range(d))
     return flat.select(F.col("id").alias(id_col),
                        F.expr(proj).alias("pc1"))
+
+
+def embedding_outliers(embeddings: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = DIM,
+                       top_n: int = 50) -> DataFrame:
+    """Per-vector outlier score = sum of squared per-dimension z-scores
+    (diagonal Mahalanobis distance), top-N — the embedding-QA pass that
+    surfaces encoder failures (zero vectors, saturated dims, wrong-model
+    batches) before they poison dedup thresholds or IVF training.
+
+    One corpus pass for the per-dimension moments (a 1-row aggregate of
+    2*dim sums over the cached flat frame), broadcast into a single
+    unrolled JVM scoring expression on a second streaming pass —
+    no Python in either pass, state bounded at 2*dim scalars. The
+    z-denominator is the POPULATION stddev (sqrt(E[x^2] - E[x]^2),
+    computed from the same sums an oracle replays exactly); zero-
+    variance dims contribute 0 by convention.
+
+    Output: (id_col, score, rank) — rank 1..top_n by (rounded score
+    desc, id asc), the shared deterministic top-k contract.
+    """
+    flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
+    stats = flat.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(dim)],
+        *[F.sum(F.col(f"c{i}") * F.col(f"c{i}")).alias(f"q{i}")
+          for i in range(dim)])
+    row = stats.collect()[0]  # 2*dim+1 scalars — size-independent state
+    n = row["n"]
+    terms = []
+    for i in range(dim):
+        mu = row[f"s{i}"] / n
+        var = row[f"q{i}"] / n - mu * mu
+        if var > 0.0:
+            terms.append(f"(c{i} - {mu!r}) * (c{i} - {mu!r}) / {var!r}")
+    score = " + ".join(terms) if terms else "0.0"
+    # Global top-N as sort+limit (TakeOrderedAndProject — per-partition
+    # top-N then a top_n-row merge, never a single-partition global
+    # sort); rank assigned by a window over the LIMITED top_n rows only.
+    top = (flat.select("id", F.expr(score).alias("score"))
+           .orderBy(F.round(F.col("score"), 6).desc(), F.col("id").asc())
+           .limit(top_n))
+    w = Window.orderBy(F.round(F.col("score"), 6).desc(),
+                       F.col("id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("id").alias(id_col), "score", "rank"))

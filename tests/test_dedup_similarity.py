@@ -754,3 +754,26 @@ def test_pca_top_component_matches_replayed_power_iteration(spark):
     assert np.abs(got_arr - want).max() < 1e-6
     true_proj = (x32 - mu) @ np.linalg.eigh(cov)[1][:, -1]
     assert abs(np.corrcoef(got_arr, true_proj)[0, 1]) > 0.999
+
+
+def test_embedding_outliers_finds_planted_vector(spark):
+    """Diagonal-Mahalanobis top-N: a planted saturated vector ranks 1
+    and the score matches the numpy replay of the same population-z
+    formula."""
+    import numpy as np
+    from nexus_spark.operators.similarity import embedding_outliers
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(100, 8)
+    x[7] = 25.0                                   # saturated outlier
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>").repartition(4)
+    got = embedding_outliers(emb, dim=8, top_n=5).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["rank"] == 1
+    x32 = x.astype(np.float32).astype(np.float64)
+    mu = x32.mean(axis=0)
+    var = (x32 * x32).mean(axis=0) - mu * mu
+    want = (((x32[7] - mu) ** 2) / var).sum()
+    assert abs(got[0]["score"] - want) < 1e-6
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
