@@ -526,7 +526,7 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         # a deployment actually pays per query. CC memo cleared again so
         # the steady run still pays its own convergence. Taken as the
         # MIN of two warm runs: a single sample occasionally lands on a
-        # multi-second GC pause of the long-lived 134-query session
+        # multi-second GC pause of the long-lived full-sweep session
         # (observed as roving 4-10x steady>first inversions that never
         # reproduce in isolation — a different query each sweep), which
         # measures the sweep harness, not the query.
@@ -602,7 +602,7 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
         "`steady s` = MIN of two identical re-runs on the warm plan/codegen",
         "caches — the recurring per-query cost a deployment pays. Min-of-2",
         "because a single warm sample occasionally lands on a multi-second",
-        "GC pause of the long-lived 134-query sweep session (a roving",
+        "GC pause of the long-lived full-sweep session (a roving",
         "steady>first inversion, different query each sweep, never",
         "reproducible in isolation). The difference first−steady isolates",
         "compile cost from execution cost.",
