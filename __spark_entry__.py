@@ -5936,6 +5936,79 @@ GROUP BY v.vec_id
 """
 
 
+def q_e_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality gate executed as a REAL stream: the near-dup
+    arrival directory drains through a foreachBatch router that appends
+    passing rows to a lake directory and failing rows to a quarantine
+    directory tagged with the names of the failed rules — the
+    enforcement counterpart of the batch d_expectations_audit report.
+    Routing is row-level (no cross-row state), so any micro-batch
+    partitioning produces the same split and the batch oracle replays
+    it exactly.
+
+    Output: route, fails, lang, n_docs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nexus_spark.streaming.quality import stream_quality_gate
+
+    feed = _staged_feed(spark, sf_dir, "neardup_feed")
+    schema = spark.read.parquet(feed).schema
+    rules = [
+        ("len_range", F.col("n_chars").between(1, 400)),
+        ("lang_ok", F.col("lang").isin("de", "en", "es", "fr")),
+        ("text_nonempty", F.col("text").isNotNull()
+         & (F.length("text") > 0)),
+    ]
+    work = tempfile.mkdtemp(prefix="nexus_qgate_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    good, quar, ckpt = f"{work}/good", f"{work}/quarantine", f"{work}/ckpt"
+    # Seed both sinks with a schema-bearing empty write so an all-good
+    # (or all-bad) drain still leaves readable directories.
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("append").parquet(good)
+    empty.withColumn("fails", F.lit("")).write.mode("append").parquet(quar)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    with _stream_job_conf(spark):
+        q = stream_quality_gate(stream, rules, good, quar, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming quality-gate drain exceeded 300s")
+
+    g = (spark.read.parquet(good)
+         .select(F.lit("good").alias("route"), F.lit("").alias("fails"),
+                 "lang"))
+    b = (spark.read.parquet(quar).where(F.col("fails") != "")
+         .select(F.lit("quarantine").alias("route"), "fails", "lang"))
+    out = (g.unionByName(b).groupBy("route", "fails", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    return _finish(out)
+
+
+def _sql_stream_quality_gate() -> str:
+    """Oracle: batch replay of the row-level rule routing over the same
+    feed subset (doc_id % 3 <> 0), with the identical declaration-order
+    fails string (concat_ws skips NULLs in both engines)."""
+    return """
+WITH feed AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+r AS (SELECT lang,
+             concat_ws(',',
+               CASE WHEN n_chars BETWEEN 1 AND 400 THEN NULL
+                    ELSE 'len_range' END,
+               CASE WHEN lang IN ('de', 'en', 'es', 'fr') THEN NULL
+                    ELSE 'lang_ok' END,
+               CASE WHEN text IS NOT NULL AND length(text) > 0 THEN NULL
+                    ELSE 'text_nonempty' END) AS fails
+      FROM feed)
+SELECT CASE WHEN fails = '' THEN 'good' ELSE 'quarantine' END AS route,
+       fails, lang, COUNT(*) AS n_docs
+FROM r GROUP BY 1, 2, 3
+"""
+
+
 _OUTLIER_TOP = 50
 
 
@@ -6364,7 +6437,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # then the r05/r06-checked block (the round-6 window above
     # refreshes groups A-C, so after this round the stalest surviving
     # rows are exactly these 44): ---
-    # (plus these eleven, NEW in the round-6 third/fourth/fifth
+    # (plus these twelve, NEW in the round-6 third/fourth/fifth
     # continuations but outside the full 50-window — parity-gated
     # in-repo this round (test_oracle_parity), first driver check in
     # round 7's window):
@@ -6379,6 +6452,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
     "d_embed_outliers": q_d_embed_outliers,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
@@ -6610,6 +6684,7 @@ _ORACLES: dict[str, str] = {
     "d_embed_pca1": _sql_embed_pca1(),
     "d_expectations_audit": _sql_expectations_audit(),
     "d_embed_outliers": _sql_embed_outliers(),
+    "e_stream_quality_gate": _sql_stream_quality_gate(),
     "d_corpus_diff": SQL_D_CORPUS_DIFF,
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),

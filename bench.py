@@ -113,6 +113,10 @@ _QUERY_NOTES = {
     "e_stream_window_watermark":
         "same executed-stream fixed cost as e_stream_dedup_exact, plus "
         "the watermark flush batch; staged feed memoized likewise",
+    "e_stream_quality_gate":
+        "executes a REAL 4-micro-batch foreachBatch router (two parquet "
+        "appends per batch) plus the post-drain read-back aggregate; "
+        "the usual ~1-2s fixed stream startup/commit cost applies",
     "sim_pq_recall_at_k":
         "runs BOTH the exact float top-k and the PQ/ADC search by "
         "design (it measures recall between them); isolated steady "

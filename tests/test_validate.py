@@ -51,3 +51,20 @@ def test_ref_integrity_counts_orphans(spark):
     assert row["metric"] == 1.0 and row["ok"] == 0   # 9 is orphaned
     ok = ref_integrity(parent, parent, "pk", "pk").collect()[0]
     assert ok["metric"] == 0.0 and ok["ok"] == 1
+
+
+def test_stream_gate_fails_column_order_and_nulls(spark):
+    """fails_column: declaration order, NULL verdict counts as failed,
+    '' when all rules pass."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.streaming.quality import fails_column
+
+    df = spark.createDataFrame(
+        [(300, "en"), (900, "zz"), (None, "en"), (200, None)],
+        "n_chars int, lang string")
+    rules = [("len_range", F.col("n_chars").between(1, 400)),
+             ("lang_ok", F.col("lang").isin("en", "de"))]
+    got = [r["f"] for r in df.select(fails_column(rules).alias("f"))
+           .collect()]
+    assert got == ["", "len_range,lang_ok", "len_range", "lang_ok"]
