@@ -68,3 +68,44 @@ def test_stream_gate_fails_column_order_and_nulls(spark):
     got = [r["f"] for r in df.select(fails_column(rules).alias("f"))
            .collect()]
     assert got == ["", "len_range,lang_ok", "len_range", "lang_ok"]
+
+
+def test_stream_gate_partitions_feed_exactly(spark, tmp_path):
+    """Executed gate drain: good + quarantine is an exact partition of
+    the feed (no row lost, none duplicated across micro-batches), and
+    quarantined rows carry the right fails tags."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.streaming.quality import stream_quality_gate
+
+    feed_dir = str(tmp_path / "feed")
+    rows = [(i, ("x" * 50) if i % 5 else "", "en" if i % 3 else "zz")
+            for i in range(40)]
+    feed = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    feed.repartition(4).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("append").parquet(good)
+    empty.withColumn("fails", F.lit("")).write.mode("append").parquet(quar)
+    rules = [("text_nonempty", F.length("text") > 0),
+             ("lang_ok", F.col("lang").isin("en", "de"))]
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed_dir))
+    q = stream_quality_gate(stream, rules, good, quar,
+                            str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    g = {r["doc_id"] for r in spark.read.parquet(good).collect()}
+    b = {r["doc_id"]: r["fails"]
+         for r in spark.read.parquet(quar)
+         .where(F.col("fails") != "").collect()}
+    assert g.isdisjoint(b)
+    assert g | set(b) == set(range(40))
+    for i, fails in b.items():
+        want = ",".join(n for n, bad in
+                        [("text_nonempty", i % 5 == 0),
+                         ("lang_ok", i % 3 == 0)] if bad)
+        assert fails == want, (i, fails, want)
