@@ -29,20 +29,46 @@ def ensure_parallelism(df: DataFrame, factor: int = 4) -> DataFrame:
         return df  # .rdd is illegal on a stream; micro-batches parallelize
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # Cheap probe first: for a file-scan input, the file count bounds the
-    # split count from below, and if files alone already provide the
+    # Cheap probe first: for a BARE scan/projection the file count bounds
+    # the split count from below, and if files alone already provide the
     # parallelism there is nothing to do. len(inputFiles()) is ~25x
     # cheaper than the .rdd conversion (4ms vs ~100ms of analysis per
-    # plan build), which this guard sits on the build path of.
+    # plan build), which this guard sits on the build path of. The
+    # shortcut is only valid when no exchange sits below: a shuffle/AQE
+    # coalesce/limit can collapse the partitioning well under the scan's
+    # file count, so wide plans always take the precise probe.
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files * factor >= target:
+    if n_files * factor >= target and not _has_wide_node(df):
         return df
     if df.rdd.getNumPartitions() * factor < target:
         return df.repartition(target)
     return df
+
+
+_WIDE_NODE_PREFIXES = (
+    "Join", "Aggregate", "Sort", "Repartition", "Window", "Deduplicate",
+    "Distinct", "Intersect", "Except", "GlobalLimit", "Limit",
+    "CoGroup", "FlatMapGroups", "MapGroups", "FlatMapCoGroups", "Union",
+)
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    """True if the parsed logical plan contains any node that can change
+    the output partitioning away from the scan's file splits (exchange,
+    coalesce, limit). Conservative: unreadable plan -> True, so callers
+    fall back to the precise getNumPartitions probe."""
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        return True
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-*").split(" ", 1)[0].split("(", 1)[0]
+        if node.startswith(_WIDE_NODE_PREFIXES):
+            return True
+    return False
 
 
 def with_salt(df: DataFrame, salts: int = 16,

@@ -135,7 +135,7 @@ def clear_cache() -> None:
             except Exception:
                 pass
         cache.clear()
-    for _, (_, codes) in _PQ_CACHE.values():
+    for _, _, codes in _PQ_CACHE.values():
         try:
             codes.unpersist()
         except Exception:
@@ -817,7 +817,7 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
 # ivf_write_pq persists at write time, so in-session it is maintained
 # state, not a query result (same warm-state classification as
 # ivf_cells_cached). Keyed/confirmed like _FLAT_CACHE.
-_PQ_CACHE: dict[tuple, tuple[DataFrame, tuple]] = {}
+_PQ_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def pq_index_cached(embeddings: DataFrame, id_col: str = "vec_id",
@@ -836,11 +836,15 @@ def pq_index_cached(embeddings: DataFrame, id_col: str = "vec_id",
            iters)
     hit = _PQ_CACHE.get(key)
     if hit is not None and hit[0].sameSemantics(embeddings):
-        return hit[1]
+        return hit[1], hit[2]
     codebook = pq_train(embeddings, id_col, vec_col, dim, m, ksub, iters)
     codes = pq_encode(embeddings, codebook, id_col, vec_col,
                       dim, m).cache()
-    _bounded_put(_PQ_CACHE, key, (embeddings, (codebook, codes)))
+    # Flat (embeddings, codebook, codes) with frame_idx=2 so eviction
+    # unpersists the cache()'d codes frame (a nested tuple at idx 1 made
+    # the unpersist silently no-op and leak executor storage).
+    _bounded_put(_PQ_CACHE, key, (embeddings, codebook, codes),
+                 frame_idx=2)
     return codebook, codes
 
 
@@ -1250,7 +1254,7 @@ def ivf_search_bin(spark, path: str, queries: DataFrame,
 # MMR pool memo: the per-query candidate pool is reused by the pair
 # matrix and the greedy cogroup within one call and across repeated
 # calls in a session; bounded/evicting like _FLAT_CACHE.
-_MMR_POOL_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_MMR_POOL_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -1295,15 +1299,20 @@ def mmr_select(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             embeddings.semanticHash(), queries.semanticHash(),
             pool_n, id_col, vec_col, dim)
     hit = _MMR_POOL_CACHE.get(mkey)
-    if hit is not None and hit[0].sameSemantics(embeddings):
-        rel = hit[1]
+    # Confirm on BOTH frames: the key carries queries only via
+    # semanticHash, so a hash collision between different query sets
+    # over the same corpus would otherwise return a wrong cached pool.
+    if (hit is not None and hit[0].sameSemantics(embeddings)
+            and hit[1].sameSemantics(queries)):
+        rel = hit[2]
     else:
         rel = (knn_bruteforce(embeddings, queries, k=pool_n,
                               id_col=id_col, vec_col=vec_col, dim=dim)
                .select("query_id", "neighbor_id",
                        F.col("cosine").alias("rel"))
                .persist())
-        _bounded_put(_MMR_POOL_CACHE, mkey, (embeddings, rel))
+        _bounded_put(_MMR_POOL_CACHE, mkey, (embeddings, queries, rel),
+                     frame_idx=2)
     flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
     fa = flat.select(F.col("id").alias("ca"), F.col("nrm").alias("na"),
                      *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])

@@ -138,28 +138,83 @@ def cdc_compact(state: DataFrame, batch: DataFrame,
     a late-arriving lower-seq update can never resurrect a deleted key,
     so any micro-batch partitioning of the same change set converges to
     the same state (the compaction semantics log-structured stores use).
-    Readers filter op != 'D' (`read_cdc_state`)."""
+    Readers filter op != 'D' (`read_cdc_state`).
+
+    Tie-breaking is fully deterministic so the convergence guarantee
+    holds even for ill-behaved feeds that reuse a seq per key: equal-seq
+    ties resolve delete-first (a tombstone is terminal, so 'D' beats a
+    same-seq 'U'), then by a stable hash of the whole row — never by
+    partition-order row_number, which would make the winner depend on
+    micro-batch layout."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-    return (state.unionByName(batch.select(*state.columns))
+    cols = state.columns
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc(),
+        F.xxhash64(*cols).asc())
+    return (state.unionByName(batch.select(*cols))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def _state_fs(spark: SparkSession, state_dir: str):
+    """(Hadoop FileSystem, jvm) for `state_dir` — works for local paths
+    in tests and for HDFS/object-store URIs on a cluster."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _committed_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """Version numbers of COMMITTED state snapshots under `state_dir`:
+    v{N} directories that contain the parquet committer's _SUCCESS
+    marker. A directory without the marker is an interrupted write and
+    is invisible to readers."""
+    fs, jvm = _state_fs(spark, state_dir)
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name.startswith("v")
+                and name[1:].isdigit()
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS"))):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def resolve_cdc_state(spark: SparkSession, state_dir: str) -> str:
+    """Path of the newest committed state snapshot: the highest
+    _SUCCESS-marked v{N} directory, or `state_dir` itself for the seeded
+    base-snapshot layout (plain parquet files, no versions yet)."""
+    versions = _committed_versions(spark, state_dir)
+    return (f"{state_dir}/v{versions[-1]:08d}" if versions
+            else state_dir)
+
+
 def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
                      key_cols: list[str], seq_col: str = "seq",
-                     op_col: str = "op",
-                     available_now: bool = True) -> StreamingQuery:
+                     op_col: str = "op", available_now: bool = True,
+                     keep_versions: int = 2) -> StreamingQuery:
     """Continuously apply a CDC change stream to a persistent state
     table via foreachBatch — the streaming MERGE INTO. `state_dir` must
     be pre-seeded with the base snapshot (base rows carry seq below any
     change seq, op='U').
 
     Each commit compacts state ∪ micro-batch to one winning row per key
-    (`cdc_compact`) and atomically replaces the state table; the
-    checkpoint log makes each change file apply exactly once across
-    restarts. At 100 TB the rewrite is partition-pruned
+    (`cdc_compact`) and publishes it as a NEW snapshot version
+    `state_dir/v{N}` — never an in-place overwrite of files a reader (or
+    the merge plan itself) may hold open. The _SUCCESS marker the
+    parquet committer writes is the commit point: a crash mid-write
+    leaves an uncommitted directory that `resolve_cdc_state` ignores,
+    the previous version (and the seeded base) stay intact, and the
+    checkpoint replay overwrites the partial directory — so recovery is
+    exactly-once with no lost state. The last `keep_versions` committed
+    snapshots are retained; older ones are pruned after each commit.
+    At 100 TB the rewrite is partition-pruned
     (lake.merge_into_partitions): cost follows the batch's partition
     footprint, not the table.
     """
@@ -167,11 +222,18 @@ def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        cur = spark.read.parquet(state_dir)
+        cur = spark.read.parquet(resolve_cdc_state(spark, state_dir))
         merged = cdc_compact(cur, batch, key_cols, seq_col, op_col)
-        # Materialize before overwriting the files the plan reads.
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        versions = _committed_versions(spark, state_dir)
+        nxt = (versions[-1] if versions else 0) + 1
+        # overwrite mode cleans a partial directory left by a crashed
+        # attempt of this same version before rewriting it
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/v{nxt:08d}")
+        fs, jvm = _state_fs(spark, state_dir)
+        for old in _committed_versions(spark, state_dir)[:-keep_versions]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{state_dir}/v{old:08d}"), True)
 
     writer = (changes.writeStream.foreachBatch(step)
               .option("checkpointLocation", checkpoint))
@@ -182,5 +244,7 @@ def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
 
 def read_cdc_state(spark: SparkSession, state_dir: str,
                    op_col: str = "op") -> DataFrame:
-    """The live view of a CDC state table: winners minus tombstones."""
-    return spark.read.parquet(state_dir).where(F.col(op_col) != "D")
+    """The live view of a CDC state table: winners minus tombstones,
+    read from the newest committed snapshot version."""
+    return (spark.read.parquet(resolve_cdc_state(spark, state_dir))
+            .where(F.col(op_col) != "D"))
