@@ -2425,12 +2425,31 @@ _SPAN_W = 8  # span-dedup window length (tokens); docs are 10-99 tokens
 def q_scrub_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact-substring span marks (relational Lee-et-al-
     style span dedup): maximal token spans whose 8-gram windows occur in
-    >= 2 distinct documents."""
+    >= 2 distinct documents. Runs the xxhash64 window-hash fast path
+    (one JVM hash over the token-slice array, no concat/digest — the
+    r6 verdict's md5-bound tokenize fix); the hash is equality-only
+    plumbing, so the md5-based oracle still matches exactly, and
+    scrub_span_dedup_md5_parity pins the md5 family green as well."""
     from nexus_spark.catalog import load_table
     from nexus_spark.operators.scrub import span_dedup_marks
 
     marks = span_dedup_marks(load_table(spark, sf_dir, "documents"),
                              window=_SPAN_W)
+    return _finish(marks.withColumnRenamed("id", "doc_id"))
+
+
+def q_scrub_span_md5_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-parity sibling of scrub_span_dedup (the d_dedup_lsh_xx_parity
+    pattern): the identical span-mark plan with the engine-portable md5
+    window digest, checked against the same DuckDB oracle — any
+    divergence between the xxhash64 fast path and the md5 family's
+    window-equality classes surfaces as a hash mismatch on one of the
+    two rows."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.scrub import span_dedup_marks
+
+    marks = span_dedup_marks(load_table(spark, sf_dir, "documents"),
+                             window=_SPAN_W, hash_fn="md5")
     return _finish(marks.withColumnRenamed("id", "doc_id"))
 
 
@@ -6457,6 +6476,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
     "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "sketch_profile": q_sketch_profile,
     "m_multimodal_metadata": q_m_metadata,
     "warc_ingest": q_warc_ingest,
@@ -6634,6 +6654,7 @@ _ORACLES: dict[str, str] = {
     "scrub_pii": _sql_scrub_pii(),
     "scrub_repetition": SQL_SCRUB_REPETITION,
     "scrub_span_dedup": SQL_SCRUB_SPAN,
+    "scrub_span_dedup_md5_parity": SQL_SCRUB_SPAN,
     "scrub_span_apply": SQL_SCRUB_SPAN_APPLY,
     "text_bpe_tokens": _sql_bpe_tokens(),
     "warc_ingest": SQL_WARC_INGEST,
@@ -6769,7 +6790,8 @@ _MATERIALIZE_ORACLES = frozenset({
     "d_dedup_components", "d_dedup_winnow", "d_dedup_containment",
     "text_bpe_tokenize", "d_dedup_ngram_jaccard", "sim_pagerank",
     "d_dedup_simhash_xx_recall", "d_corpus_mix", "d_curation_pipeline",
-    "text_nb_classifier", "scrub_span_dedup", "sim_ann_lsh",
+    "text_nb_classifier", "scrub_span_dedup",
+    "scrub_span_dedup_md5_parity", "sim_ann_lsh",
     "g_gaussian_interp", "text_bpe_learn",
 })
 
