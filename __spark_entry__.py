@@ -1704,9 +1704,9 @@ def q_d_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _finish(curate(docs, min_quality=0.6))
 
 
-def _sql_curation() -> str:
+def _sql_curation(source: str = "documents") -> str:
     return f"""
-WITH stats AS ({_sql_text_stats()}),
+WITH stats AS ({_sql_text_stats(source)}),
 gated AS (SELECT * FROM stats WHERE quality >= 0.6),
 kept AS (SELECT fingerprint, MIN(doc_id) AS doc_id,
                 COUNT(*) AS dup_cnt
@@ -1812,6 +1812,98 @@ SELECT doc_id, n_tokens, pack_id, offset_in_pack, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard
             ORDER BY skey, doc_id) AS INT) AS pos_in_shard
 FROM s
+"""
+
+
+def q_d_gated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT WITH THE EXPECTATIONS GATE IN THE PIPELINE: row-level
+    quality rules (the streaming gate's rule compiler,
+    streaming/quality.fails_column) route documents BEFORE curation —
+    failing rows land in the quarantine branch tagged with the names of
+    the rules they failed; passing rows flow through the unchanged
+    curate → pack → shard export. One declarative plan, two branches of
+    one scan: the gate is a JVM predicate fused into the document scan,
+    so the hard-rule enforcement costs nothing at 100 TB beyond the
+    export scan it now fronts. (Curation's quality/dup cuts are NOT
+    quarantine — a below-threshold doc is simply not exported; the
+    quarantine branch is for rule VIOLATIONS that need replay/fixing.)
+
+    Output: doc_id, route ('export'|'quarantine'), fails, and the shard-
+    writer surface (n_tokens, pack_id, offset_in_pack, shard,
+    pos_in_shard — NULL on the quarantine branch)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.sampling import pack_sequences, shuffle_shards
+    from nexus_spark.operators.text import curate
+    from nexus_spark.streaming.quality import fails_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn("fails", fails_column(_GATE_RULES()))
+    curated = curate(tagged.where(F.col("fails") == "").drop("fails"),
+                     min_quality=0.6)
+    packed = pack_sequences(curated, budget=_PACK_BUDGET,
+                            n_buckets=_PACK_BUCKETS, tokens_col="n_tokens")
+    sharded = shuffle_shards(packed, n_shards=_N_SHARDS, seed="r4")
+    exported = sharded.select(
+        "doc_id", F.lit("export").alias("route"), F.lit("").alias("fails"),
+        "n_tokens", "pack_id", "offset_in_pack", "shard", "pos_in_shard")
+    qsel = [F.col("doc_id"), F.lit("quarantine").alias("route"),
+            F.col("fails")]
+    qsel += [F.lit(None).cast(f.dataType).alias(f.name)
+             for f in exported.schema.fields[3:]]
+    quarantined = tagged.where(F.col("fails") != "").select(*qsel)
+    return _finish(exported.unionByName(quarantined))
+
+
+def _GATE_RULES() -> list:
+    """The shared hard-rule set of the gated export and the executed
+    streaming quality gate — declared once so batch enforcement, stream
+    enforcement and both oracles stay in lockstep."""
+    return [
+        ("len_range", F.col("n_chars").between(1, 400)),
+        ("lang_ok", F.col("lang").isin("de", "en", "es", "fr")),
+        ("text_nonempty", F.col("text").isNotNull()
+         & (F.length("text") > 0)),
+    ]
+
+
+_SQL_GATE_FAILS = """concat_ws(',',
+  CASE WHEN n_chars BETWEEN 1 AND 400 THEN NULL ELSE 'len_range' END,
+  CASE WHEN lang IN ('de', 'en', 'es', 'fr') THEN NULL
+       ELSE 'lang_ok' END,
+  CASE WHEN text IS NOT NULL AND length(text) > 0 THEN NULL
+       ELSE 'text_nonempty' END)"""
+
+
+def _sql_gated_export() -> str:
+    return f"""
+WITH f AS (SELECT *, {_SQL_GATE_FAILS} AS fails FROM documents),
+gdocs AS (SELECT * EXCLUDE (fails) FROM f WHERE fails = ''),
+cur AS ({_sql_curation(source="gdocs")}),
+t AS (SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             CAST(n_tokens AS INT) AS n_tokens
+      FROM cur),
+c AS (SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_excl
+      FROM t),
+p AS (SELECT doc_id, n_tokens,
+             CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {_PACK_BUDGET})
+                  AS BIGINT) AS pack_id,
+             CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack,
+             substr(md5('r4:' || CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+      FROM c),
+s AS (SELECT *, ('0x' || skey)::BIGINT % {_N_SHARDS} AS shard FROM p)
+SELECT doc_id, 'export' AS route, '' AS fails, n_tokens, pack_id,
+       offset_in_pack, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY skey, doc_id) AS INT) AS pos_in_shard
+FROM s
+UNION ALL
+SELECT doc_id, 'quarantine' AS route, fails, CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS INT)
+FROM f WHERE fails <> ''
 """
 
 
@@ -2109,7 +2201,7 @@ def _sql_lang_score(lang_markers) -> str:
         m=", ".join(f"'{w}'" for w in lang_markers))
 
 
-def _sql_text_stats() -> str:
+def _sql_text_stats(source: str = "documents") -> str:
     from nexus_spark.operators.text import LANG_MARKERS, STOPWORDS
 
     scores = {lang: _sql_lang_score(m) for lang, m in LANG_MARKERS.items()}
@@ -2124,7 +2216,7 @@ def _sql_text_stats() -> str:
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
 WITH d AS (
-  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM {source}),
 scored AS (
   SELECT doc_id, text, words,
          {", ".join(f"{s} AS s_{lang}" for lang, s in scores.items())},
@@ -5974,12 +6066,7 @@ def q_e_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = _staged_feed(spark, sf_dir, "neardup_feed")
     schema = spark.read.parquet(feed).schema
-    rules = [
-        ("len_range", F.col("n_chars").between(1, 400)),
-        ("lang_ok", F.col("lang").isin("de", "en", "es", "fr")),
-        ("text_nonempty", F.col("text").isNotNull()
-         & (F.length("text") > 0)),
-    ]
+    rules = _GATE_RULES()  # shared with the batch d_gated_export
     work = tempfile.mkdtemp(prefix="nexus_qgate_run_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     good, quar, ckpt = f"{work}/good", f"{work}/quarantine", f"{work}/ckpt"
@@ -6524,6 +6611,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
+    "d_gated_export": q_d_gated_export,
     "d_topic_clusters": q_d_topic_clusters,
     "d_kmeans_round": q_d_kmeans_round,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
@@ -6710,6 +6798,7 @@ _ORACLES: dict[str, str] = {
     "sim_mean_pool": SQL_SIM_MEAN_POOL,
     "sim_int8_recall_at_k": _sql_sim_int8_recall(),
     "d_export_pipeline": _sql_export_pipeline(),
+    "d_gated_export": _sql_gated_export(),
     "d_topic_clusters": _sql_topic_clusters(),
     "d_kmeans_round": _sql_kmeans_round(),
     "e_stream_dedup_exact": SQL_E_STREAM_DEDUP,
