@@ -405,6 +405,12 @@ SF1_EXTRA = (
     "sim_label_propagation",
     "sim_triangle_stats",
     "d_embed_covariance",
+    # round-7: the two compositions the r6 verdict flagged as lacking an
+    # sf1 row — the IVF-pairs -> CC -> survivors chain (most expensive
+    # non-stream sf0.1 query) and the PCA power-iteration replay — plus
+    # the span-dedup fast path after the xxhash64 rewrite
+    "d_semantic_dedup",
+    "d_embed_pca1",
 )
 
 
