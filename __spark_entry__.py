@@ -6049,18 +6049,22 @@ GROUP BY v.vec_id
 
 def q_e_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quality gate executed as a REAL stream: the near-dup
-    arrival directory drains through a foreachBatch router that appends
-    passing rows to a lake directory and failing rows to a quarantine
-    directory tagged with the names of the failed rules — the
+    arrival directory drains through a foreachBatch router that lands
+    every row in ONE route-partitioned append (route=good passing,
+    route=quarantine tagged with the failed rule names) — the
     enforcement counterpart of the batch d_expectations_audit report.
     Routing is row-level (no cross-row state), so any micro-batch
     partitioning produces the same split and the batch oracle replays
-    it exactly.
+    it exactly. (r7: the two-sink commit was merged into one
+    partitioned write — the r6 flat-steady item was two file commits
+    per micro-batch on 10-row batches.)
 
     Output: route, fails, lang, n_docs."""
     import atexit
     import shutil
     import tempfile
+
+    from pyspark.sql.types import StringType, StructField
 
     from nexus_spark.streaming.quality import stream_quality_gate
 
@@ -6069,27 +6073,22 @@ def q_e_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = _GATE_RULES()  # shared with the batch d_gated_export
     work = tempfile.mkdtemp(prefix="nexus_qgate_run_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    good, quar, ckpt = f"{work}/good", f"{work}/quarantine", f"{work}/ckpt"
-    # Seed both sinks with a schema-bearing empty write so an all-good
-    # (or all-bad) drain still leaves readable directories.
-    empty = spark.createDataFrame([], schema)
-    empty.write.mode("append").parquet(good)
-    empty.withColumn("fails", F.lit("")).write.mode("append").parquet(quar)
+    gated, ckpt = f"{work}/gated", f"{work}/ckpt"
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed))
     with _stream_job_conf(spark):
-        q = stream_quality_gate(stream, rules, good, quar, ckpt)
+        q = stream_quality_gate(stream, rules, gated, ckpt)
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming quality-gate drain exceeded 300s")
 
-    g = (spark.read.parquet(good)
-         .select(F.lit("good").alias("route"), F.lit("").alias("fails"),
-                 "lang"))
-    b = (spark.read.parquet(quar).where(F.col("fails") != "")
-         .select(F.lit("quarantine").alias("route"), "fails", "lang"))
-    out = (g.unionByName(b).groupBy("route", "fails", "lang")
+    # Explicit schema (feed + fails + route partition col): readable
+    # even if a drain leaves one route empty.
+    gschema = (schema.add(StructField("fails", StringType()))
+               .add(StructField("route", StringType())))
+    out = (spark.read.schema(gschema).parquet(gated)
+           .groupBy("route", "fails", "lang")
            .agg(F.count(F.lit(1)).alias("n_docs")))
     return _finish(out)
 

@@ -1,8 +1,9 @@
 """Streaming data-quality gate: the ingest-time enforcement of the
 batch expectations suite (operators/validate) — every micro-batch is
-routed ROW-level through declarative rules, passing rows append to the
-lake, failing rows append to a quarantine directory WITH the names of
-the rules they failed. The batch gate reports; this gate enforces.
+routed ROW-level through declarative rules into a route-partitioned
+lake directory: passing rows land under route=good, failing rows under
+route=quarantine WITH the names of the rules they failed. The batch
+gate reports; this gate enforces.
 
 At 100 TB the point is placement: a bad feed is stopped at the arrival
 directory, before it reaches dedup signatures, vector indexes or
@@ -10,11 +11,15 @@ training shards — all downstream state stays clean, and the quarantine
 side is replayable (fix the rule or the data, re-ingest the directory).
 
 Scale shape: rules are plain JVM column predicates evaluated inside
-the micro-batch (no Python, no shuffle — the router is two filters over
-the batch); per-batch output is two appends. Routing is
-micro-batch-partitioning-independent (row-level rules, no cross-row
-state), which is what makes the executed stream's output exactly
-replayable by a batch oracle.
+the micro-batch (no Python, no shuffle), and the router is ONE
+partitionBy(route) append per micro-batch — a single job, a single
+file commit, one pass over the batch. (The first cut filtered the
+tagged batch twice into two sink directories; merging the sinks halved
+the per-batch commit latency, which dominated the drain on small
+batches.) Routing is micro-batch-partitioning-independent (row-level
+rules, no cross-row state), which is what makes the executed stream's
+output exactly replayable by a batch oracle; downstream readers get
+partition pruning on the route column for free.
 """
 from __future__ import annotations
 
@@ -33,24 +38,20 @@ def fails_column(rules: list[tuple[str, Column]]) -> Column:
 
 def stream_quality_gate(stream_df: DataFrame,
                         rules: list[tuple[str, Column]],
-                        good_dir: str, quarantine_dir: str,
-                        checkpoint: str):
-    """Start a foreachBatch router: rows passing ALL rules append to
-    `good_dir` (original schema); the rest append to `quarantine_dir`
-    with a `fails` column naming the failed rules. Returns the
-    StreamingQuery (caller drains it)."""
+                        base_dir: str, checkpoint: str):
+    """Start a foreachBatch router: every row lands in ONE partitioned
+    append under `base_dir` — route=good for rows passing ALL rules
+    (fails=''), route=quarantine for the rest with `fails` naming the
+    failed rules. Returns the StreamingQuery (caller drains it)."""
     fails = fails_column(rules)
 
     def step(batch_df: DataFrame, _batch_id: int) -> None:
-        tagged = batch_df.withColumn("_fails", fails).persist()
-        try:
-            (tagged.where(F.col("_fails") == "").drop("_fails")
-             .write.mode("append").parquet(good_dir))
-            (tagged.where(F.col("_fails") != "")
-             .withColumnRenamed("_fails", "fails")
-             .write.mode("append").parquet(quarantine_dir))
-        finally:
-            tagged.unpersist()
+        (batch_df
+         .withColumn("fails", fails)
+         .withColumn("route",
+                     F.when(F.col("fails") == "", F.lit("good"))
+                     .otherwise(F.lit("quarantine")))
+         .write.mode("append").partitionBy("route").parquet(base_dir))
 
     return (stream_df.writeStream.foreachBatch(step)
             .option("checkpointLocation", checkpoint)

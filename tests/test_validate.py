@@ -86,22 +86,19 @@ def test_stream_gate_partitions_feed_exactly(spark, tmp_path):
     feed.repartition(4).write.parquet(feed_dir)
     schema = spark.read.parquet(feed_dir).schema
 
-    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
-    empty = spark.createDataFrame([], schema)
-    empty.write.mode("append").parquet(good)
-    empty.withColumn("fails", F.lit("")).write.mode("append").parquet(quar)
+    gated = str(tmp_path / "gated")
     rules = [("text_nonempty", F.length("text") > 0),
              ("lang_ok", F.col("lang").isin("en", "de"))]
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed_dir))
-    q = stream_quality_gate(stream, rules, good, quar,
-                            str(tmp_path / "ckpt"))
+    q = stream_quality_gate(stream, rules, gated, str(tmp_path / "ckpt"))
     assert q.awaitTermination(120)
 
-    g = {r["doc_id"] for r in spark.read.parquet(good).collect()}
+    routed = spark.read.parquet(gated)
+    g = {r["doc_id"] for r in routed
+         .where(F.col("route") == "good").collect()}
     b = {r["doc_id"]: r["fails"]
-         for r in spark.read.parquet(quar)
-         .where(F.col("fails") != "").collect()}
+         for r in routed.where(F.col("route") == "quarantine").collect()}
     assert g.isdisjoint(b)
     assert g | set(b) == set(range(40))
     for i, fails in b.items():
