@@ -6448,104 +6448,10 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 # "done = green" was an explicit round-3 task) = the 50-entry window;
 # see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-6 window (first 50): executes the rotation planned in
-    # the round-5 tail comment.
-    # group A (24): last driver-checked in round 3 — the stalest rows,
-    # leading per the round-5 VERDICT ask ---
-    "f_lowpass": q_f_lowpass,
-    "sim_knn_bruteforce": q_sim_knn,
-    "d_dedup_winnow": q_d_dedup_winnow,
-    "t_asof_doy": q_t_asof_doy,
-    "f_seasonal_filter": q_f_seasonal,
-    "etl_regrid": q_etl_regrid,
-    "d_dedup_exact": q_d_dedup_exact,
-    "d_stratified_sample": q_d_stratified_sample,
-    "e_sliding_events": q_e_sliding_events,
-    "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    "d_dedup_simhash": q_d_simhash,
-    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
-    "sql_quantiles": q_sql_quantiles,
-    "sql_json_extract": q_sql_json,
-    "sql_distinct_counts": q_sql_distinct,
-    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
-    "d_curation_pipeline": q_d_curation_pipeline,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
-    "d_sample_exact_n": q_d_sample_exact_n,
-    "d_token_packing": q_d_token_packing,
-    "text_tfidf_top_terms": q_text_tfidf,
-    "text_unigram_nll": q_text_unigram_nll,
-    "s1_time_series_compare": q_s1_compare,
-    "s8_matchup": q_s8_matchup,
-    # group B (14): NEW in round 6 (must be driver-checked this round):
-    # the pinned-length Butterworth oracle, the executed
-    # incremental-near-dup stream, the PQ family (ADC search, IVF+PQ,
-    # PQ recall@k, streaming index ingest), the binary-quantization
-    # family (sign-bit packing, Hamming+rerank search, recall@k), the
-    # Gopher quality-rule suite, the executed streaming drift monitor,
-    # MMR diversified retrieval, and the feature-hashing embedder +
-    # its sparse-join kNN composition ---
-    "f_lowpass_checked": q_f_lowpass_checked,
-    "e_stream_near_dup": q_e_stream_near_dup,
-    "sim_ann_pq": q_sim_ann_pq,
-    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
-    "sim_pq_recall_at_k": q_sim_pq_recall,
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "sim_quantize_binary": q_sim_quantize_binary,
-    "sim_ann_hamming": q_sim_ann_hamming,
-    "sim_binary_recall_at_k": q_sim_binary_recall,
-    "text_gopher_quality": q_text_gopher_quality,
-    "e_stream_drift_psi": q_e_stream_drift_psi,
-    "sim_mmr_select": q_sim_mmr_select,
-    "text_hash_embed": q_text_hash_embed,
-    "sim_hash_embed_knn": q_sim_hash_embed_knn,
-    # (continuation-3 additions, same NEW-this-round group): grouping
-    # sets, the per-source quality funnel, directed n-gram containment,
-    # the mutual kNN graph, and the CDC latest-wins merge ---
-    "sql_grouping_sets": q_sql_grouping_sets,
-    "d_quality_funnel": q_d_quality_funnel,
-    "d_dedup_containment": q_d_dedup_containment,
-    "sim_knn_graph": q_sim_knn_graph,
-    "d_lake_merge_upsert": q_d_lake_merge_upsert,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    # group C (5): implementation changed in round 6 (gaussian_interp
-    # single-subtree scatter, NB collapse x2, lsh-parity shared verify,
-    # minhash candidates refactor) ---
-    "g_gaussian_interp": q_gauss_interp,
-    "text_nb_classifier": q_text_nb_classifier,
-    "text_nb_confusion": q_text_nb_confusion,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    # group D (9): r04-checked refreshes — family-central/expensive
-    # picks (scrub quartet, semantic dedup, sketches, tiled lake,
-    # multimodal metadata, recall@k; m_frame_sample,
-    # d_temperature_mix, corpus_drift_psi, warc_ingest displaced to
-    # the tail by the four PQ entries, m_resize_features,
-    # m_resample_audio, sim_filtered_knn by the three
-    # binary-quantization entries, d_dedup_simhash_xx_recall by the
-    # Gopher suite, m_multimodal_features by the streaming drift
-    # monitor, d_near_dup_embedding_ivf by MMR, and scrub_span_apply +
-    # sim_ann_recall_at_k by the hash-embed pair, and scrub_pii,
-    # scrub_repetition, scrub_span_dedup, sketch_profile,
-    # m_multimodal_metadata + a2_tiled_lake_pruned by the six
-    # continuation-3 entries — all join the round-7 leading set) ---
-    "d_semantic_dedup": q_d_semantic_dedup,
-    # --- tail (entry 51+): rotates in for round 7. The 44 r04-checked
-    # entries below (26 planned + m_frame_sample, d_temperature_mix,
-    # corpus_drift_psi, warc_ingest, m_resize_features,
-    # m_resample_audio, sim_filtered_knn, d_dedup_simhash_xx_recall,
-    # m_multimodal_features, d_near_dup_embedding_ivf,
-    # scrub_span_apply, sim_ann_recall_at_k, scrub_pii,
-    # scrub_repetition, scrub_span_dedup, sketch_profile,
-    # m_multimodal_metadata and a2_tiled_lake_pruned, displaced from
-    # the window by the eighteen new round-6 entries) will be exactly
-    # 2 rounds stale after this round and must LEAD round 7's window;
-    # then the r05/r06-checked block (the round-6 window above
-    # refreshes groups A-C, so after this round the stalest surviving
-    # rows are exactly these 44): ---
-    # (plus these twelve, NEW in the round-6 third/fourth/fifth
-    # continuations but outside the full 50-window — parity-gated
-    # in-repo this round (test_oracle_parity), first driver check in
-    # round 7's window):
+    # --- ROUND-7 WINDOW (first 50): executes the rotation planned in
+    # the round-6 tail comment + the round-6 VERDICT ask #1.
+    # group A (12): round-6 additions NEVER driver-checked (parity-gated
+    # in-repo only) — the verdict's top ask; they lead unconditionally ---
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "sim_pagerank": q_sim_pagerank,
@@ -6558,11 +6464,29 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_expectations_audit": q_d_expectations_audit,
     "d_embed_outliers": q_d_embed_outliers,
     "e_stream_quality_gate": q_e_stream_quality_gate,
+    # group B (2): NEW in round 7 — the md5-parity sibling of the
+    # xxhash64 span-dedup fast path, and the expectations-gated export
+    # (verdict asks #2 and #6) ---
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "d_gated_export": q_d_gated_export,
+    # group C (7): implementation CHANGED in round 7 (span-window
+    # hashing rewritten xxhash64-first — span_dedup + both
+    # cross-contamination consumers; CDC state now versioned-commit —
+    # lake_upsert stream; CC edge frame memoized as maintained state —
+    # all three CC consumers) ---
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    # group D (29): r04-checked rows, exactly 2 rounds stale — the
+    # stalest surviving block (29 of 43; the displaced 14 lead round 8,
+    # see the tail comment) ---
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
     "scrub_repetition": q_scrub_repetition,
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "sketch_profile": q_sketch_profile,
     "m_multimodal_metadata": q_m_metadata,
     "warc_ingest": q_warc_ingest,
@@ -6589,6 +6513,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
+    # --- tail (entry 51+): rotates in for round 8, stalest first.
+    # These 14 r04-checked rows were displaced from the round-7 window
+    # by the never-checked/new/changed groups above; they will be 3
+    # rounds stale after this round and MUST lead round 8's window: ---
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
     "t_distinct_bboxes": q_t_distinct_bboxes,
@@ -6603,22 +6531,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
-    # --- tail: checked in round 5 (freshest; rotate last) ---
+    # --- checked in round 5 (next-stalest; the four rows promoted to
+    # the window's changed group are no longer listed here) ---
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
     "d_corpus_diff": q_d_corpus_diff,
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
-    "d_gated_export": q_d_gated_export,
     "d_topic_clusters": q_d_topic_clusters,
     "d_kmeans_round": q_d_kmeans_round,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
     "text_lang_segments": q_text_lang_segments,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
     "e_stream_matchup": q_e_stream_matchup,
     "e_stream_sessionize": q_e_stream_sessionize,
     "text_zipf_profile": q_text_zipf_profile,
@@ -6630,8 +6556,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_semi_join": q_sql_semi_join,
     "d8_insitu_subset": q_d8_insitu_subset,
     "a2_stats_from_summary": q_a2_stats_from_summary,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "s1_time_series": q_s1_time_series,
@@ -6653,6 +6577,55 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    # --- checked in round 6 (freshest; rotate last) ---
+    "f_lowpass": q_f_lowpass,
+    "sim_knn_bruteforce": q_sim_knn,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "t_asof_doy": q_t_asof_doy,
+    "f_seasonal_filter": q_f_seasonal,
+    "etl_regrid": q_etl_regrid,
+    "d_dedup_exact": q_d_dedup_exact,
+    "d_stratified_sample": q_d_stratified_sample,
+    "e_sliding_events": q_e_sliding_events,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
+    "d_dedup_simhash": q_d_simhash,
+    "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
+    "sql_quantiles": q_sql_quantiles,
+    "sql_json_extract": q_sql_json,
+    "sql_distinct_counts": q_sql_distinct,
+    "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
+    "d_curation_pipeline": q_d_curation_pipeline,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_sample_exact_n": q_d_sample_exact_n,
+    "d_token_packing": q_d_token_packing,
+    "text_tfidf_top_terms": q_text_tfidf,
+    "text_unigram_nll": q_text_unigram_nll,
+    "s1_time_series_compare": q_s1_compare,
+    "s8_matchup": q_s8_matchup,
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "e_stream_near_dup": q_e_stream_near_dup,
+    "sim_ann_pq": q_sim_ann_pq,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "sim_pq_recall_at_k": q_sim_pq_recall,
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    "text_gopher_quality": q_text_gopher_quality,
+    "e_stream_drift_psi": q_e_stream_drift_psi,
+    "sim_mmr_select": q_sim_mmr_select,
+    "text_hash_embed": q_text_hash_embed,
+    "sim_hash_embed_knn": q_sim_hash_embed_knn,
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "d_quality_funnel": q_d_quality_funnel,
+    "d_dedup_containment": q_d_dedup_containment,
+    "sim_knn_graph": q_sim_knn_graph,
+    "d_lake_merge_upsert": q_d_lake_merge_upsert,
+    "g_gaussian_interp": q_gauss_interp,
+    "text_nb_classifier": q_text_nb_classifier,
+    "text_nb_confusion": q_text_nb_confusion,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
 }
 
 _ORACLES: dict[str, str] = {
