@@ -167,3 +167,66 @@ def test_cdc_compact_is_batching_independent(spark):
     expect = [(1, "one"), (3, "three-v1"), (4, "four")]
     assert final(sa) == expect
     assert final(sb) == expect
+
+
+def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
+    """The versioned-commit protocol: an interrupted snapshot write (a
+    v{N} directory WITHOUT the committer's _SUCCESS marker) is invisible
+    to readers — resolve_cdc_state keeps serving the previous committed
+    version, and a replayed apply overwrites the partial directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nexus_spark.streaming.ingest import (read_cdc_state,
+                                              resolve_cdc_state,
+                                              stream_cdc_apply)
+
+    state_dir = str(tmp_path / "state")
+    schema = "doc_id long, text string, seq int, op string"
+    base = spark.createDataFrame(
+        [(1, "one", 0, "U"), (2, "two", 0, "U")], schema)
+    base.write.parquet(state_dir)
+    # seeded layout resolves to the bare dir
+    assert resolve_cdc_state(spark, state_dir) == state_dir
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([(2, "two-v1", 1, "U"), (3, "three", 1, "U")],
+                          schema).write.parquet(feed)
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_cdc_apply(stream, state_dir, str(tmp_path / "ckpt"),
+                         ["doc_id"])
+    assert q.awaitTermination(120)
+    v1 = resolve_cdc_state(spark, state_dir)
+    assert "/v" in v1  # a committed snapshot version, not the bare dir
+    live = {(r.doc_id, r.text)
+            for r in read_cdc_state(spark, state_dir).collect()}
+    assert live == {(1, "one"), (2, "two-v1"), (3, "three")}
+
+    # simulate a crash mid-commit: a partial NEXT version with data but
+    # NO _SUCCESS marker
+    n1 = int(v1.rsplit("v", 1)[1])
+    partial = str(tmp_path / "state" / f"v{n1 + 1:08d}")
+    spark.createDataFrame([(9, "garbage", 9, "U")], schema) \
+        .write.parquet(partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    assert resolve_cdc_state(spark, state_dir) == v1  # still serves v1
+    live2 = {(r.doc_id, r.text)
+             for r in read_cdc_state(spark, state_dir).collect()}
+    assert live2 == live
+
+    # replay applies the next change ON TOP of v1, overwriting the
+    # partial directory with a committed snapshot
+    spark.createDataFrame([(1, None, 2, "D")], schema) \
+        .write.mode("append").parquet(feed)
+    stream2 = (spark.readStream.schema(base.schema)
+               .option("maxFilesPerTrigger", 1).parquet(feed))
+    q2 = stream_cdc_apply(stream2, state_dir, str(tmp_path / "ckpt2"),
+                          ["doc_id"])
+    assert q2.awaitTermination(120)
+    final = {(r.doc_id, r.text)
+             for r in read_cdc_state(spark, state_dir).collect()}
+    assert (9, "garbage") not in final
+    assert (1, "one") not in final  # tombstoned
+    assert (2, "two-v1") in final and (3, "three") in final
