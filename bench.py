@@ -295,7 +295,17 @@ def _build_sf1(spark, src_dir: str) -> str:
     out = "/tmp/nexus_sf1"
     marker = os.path.join(out, "_built")
     if os.path.exists(marker):
-        return out
+        # staleness guard: the driver can regenerate the testdata
+        # between rounds; a lake built from the previous generation
+        # would silently skew every sf1 row
+        try:
+            src_m = os.path.getmtime(f"{src_dir}/documents.parquet")
+        except OSError:
+            src_m = 0.0
+        if os.path.getmtime(marker) >= src_m:
+            return out
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
@@ -412,6 +422,149 @@ SF1_EXTRA = (
     "d_semantic_dedup",
     "d_embed_pca1",
 )
+
+
+# Queries EXCLUDED from the full-registry sf1 sweep — only the two
+# labeled O(n^2)-by-design brute baselines (the GEMM fits-in-memory
+# contract and the declared brute pair scan): at 100k sf1 vectors their
+# PAIR volume is ~10^10 and their DuckDB oracles are the same cross
+# join. Their routed scale-path alternatives (IVF / LSH / semantic
+# dedup / banded families) ARE in the sweep; the skip is printed and
+# recorded in the payload, never silent.
+SF1_FULL_SKIP = ("d_near_dup_embedding", "d_near_dup_embedding_gemm")
+
+
+def _duck_timed(con, sql: str, limit_s: int = 900):
+    """Time one DuckDB oracle with a watchdog: interrupt after limit_s
+    and record the timeout instead of hanging the sweep."""
+    import threading
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(limit_s):
+            try:
+                con.interrupt()
+            except Exception:
+                pass
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(sql).fetchall()
+        return round(time.perf_counter() - t0, 3), False
+    except Exception:
+        return None, True
+    finally:
+        done.set()
+
+
+def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
+    """--sf1-full: the FULL registry at sf1 (10x the bench scale) — the
+    round-6 verdict's honest-ratio ask: record ex-matchup and
+    ex-matchup-ex-stream Spark/DuckDB totals at the scale where the
+    per-stage floor stops dominating. Same warm-state policy as --full;
+    per-query scale factors vs the latest sf0.1 BENCH_NOTES."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sf1 = _build_sf1(spark, src_dir)
+    _warm(spark, entry_mod, sf1)
+    con = _duck_connect(sf1)
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "BENCH_NOTES.json")) as fh:
+            sf01 = json.load(fh)["queries"]
+    except Exception:
+        sf01 = {}
+
+    record: dict[str, dict] = {}
+    timeouts: list[str] = []
+    from nexus_spark.operators import dedup as _dedup
+    for name in sorted(qs):
+        if name in SF1_FULL_SKIP:
+            print(f"# sf1-full SKIP {name} (labeled O(n^2) brute "
+                  "baseline; routed alternatives are recorded)",
+                  file=sys.stderr)
+            continue
+        _dedup._CC_CACHE.clear()
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf1).count()
+        first = round(time.perf_counter() - t0, 3)
+        steady = None
+        for _ in range(2):
+            _dedup._CC_CACHE.clear()
+            t0 = time.perf_counter()
+            qs[name](spark, sf1).count()
+            got = round(time.perf_counter() - t0, 3)
+            steady = got if steady is None else min(steady, got)
+        duck = None
+        if name in oracles and name != "s8_matchup_once":
+            duck, timed_out = _duck_timed(con, oracles[name])
+            if timed_out:
+                timeouts.append(name)
+        base = (sf01.get(name) or {}).get("spark_steady_sec")
+        scale = round(steady / base, 2) if base else None
+        record[name] = {"rows": n, "spark_sec": first,
+                        "spark_steady_sec": steady, "duckdb_sec": duck,
+                        "scale_vs_sf01_steady": scale}
+        print(f"# sf1-full {name}: spark {first:.3f}s steady "
+              f"{steady:.3f}s duckdb "
+              f"{'-' if duck is None else f'{duck:.3f}s'} "
+              f"scale x{scale} ({n} rows)", file=sys.stderr)
+
+    matchup = {"s8_matchup", "s8_matchup_once", "e_stream_matchup"}
+    exm = {k: v for k, v in record.items()
+           if k not in matchup and v["duckdb_sec"] is not None}
+    exs = {k: v for k, v in exm.items() if not k.startswith("e_stream_")}
+
+    def _cut(d):
+        return {"n": len(d),
+                "spark_steady_sec": round(sum(
+                    v["spark_steady_sec"] for v in d.values()), 3),
+                "duckdb_sec": round(sum(
+                    v["duckdb_sec"] for v in d.values()), 3)}
+
+    payload = {
+        "sf": 1.0,
+        "note": ("FULL registry at the synthesized 10x sf0.1 lake "
+                 "(_build_sf1), minus the two labeled O(n^2) brute "
+                 "baselines (SF1_FULL_SKIP — their routed scale-path "
+                 "alternatives are included). Same warm-state policy "
+                 "as --full (CC result memo cleared per timed query). "
+                 "ex_matchup drops the matchup trio; "
+                 "ex_matchup_ex_stream additionally drops the executed "
+                 "streams (fixed startup/commit cost a batch SQL "
+                 "replay never pays). DuckDB oracles run with a 900s "
+                 "interrupt watchdog; any timeout is listed in "
+                 "duckdb_timeouts and excluded from the cuts on BOTH "
+                 "sides."),
+        "n_queries": len(record),
+        "skipped": list(SF1_FULL_SKIP),
+        "duckdb_timeouts": timeouts,
+        "spark_total_sec": round(sum(
+            v["spark_sec"] for v in record.values()), 3),
+        "spark_steady_total_sec": round(sum(
+            v["spark_steady_sec"] for v in record.values()), 3),
+        "ex_matchup": _cut(exm),
+        "ex_matchup_ex_stream": _cut(exs),
+        "queries": record,
+    }
+    with open(os.path.join(root, "BENCH_SF1_FULL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(json.dumps({
+        "metric": "sf1_full_sweep",
+        "value": payload["spark_steady_total_sec"],
+        "unit": "sec",
+        "sf": 1.0,
+        "n_queries": len(record),
+        "ex_matchup_ratio": round(
+            payload["ex_matchup"]["spark_steady_sec"]
+            / max(payload["ex_matchup"]["duckdb_sec"], 1e-9), 3),
+        "ex_matchup_ex_stream_ratio": round(
+            payload["ex_matchup_ex_stream"]["spark_steady_sec"]
+            / max(payload["ex_matchup_ex_stream"]["duckdb_sec"], 1e-9),
+            3),
+    }))
 
 
 def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
@@ -729,6 +882,10 @@ def main() -> None:
     if "--a2-crossover" in sys.argv:  # standalone dense-lake demo
         print(json.dumps({"metric": "a2_crossover",
                           **_bench_a2_crossover(spark)}))
+        return
+
+    if "--sf1-full" in sys.argv:  # FULL registry at sf1 (honest ratio)
+        _bench_sf1_full(spark, entry_mod, sf_dir)
         return
 
     if "--sf1" in sys.argv:  # scale rehearsal on the synthesized sf1 lake
