@@ -616,6 +616,79 @@ GROUP BY dataset, lat, lon
 """
 
 
+_ASOF_TOL_S = 7200  # purchase matches the latest click <= 2h before it
+
+
+def q_t_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic keyed event-time AS-OF join (operators/asof.py): every
+    purchase event picks the user's most recent click at-or-before it,
+    within a 2h tolerance — the point-in-time alignment a feature store
+    / trade-vs-quote pipeline runs. The Spark plan is the union +
+    running-carry formulation (ONE shuffle, no join node, no range-join
+    candidate blow-up); the oracle is DuckDB's NATIVE ASOF LEFT JOIN —
+    two independent algorithms checking the same semantics. Right side
+    pre-aggregated unique per (user, ts) (ARG_MAX by event_id), the
+    operator's documented uniqueness contract."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (ev.where(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("click_id")))
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    "ts"))
+    out = asof_join(left, right, ["user_id"], "ts", ["click_id"],
+                    tolerance_s=_ASOF_TOL_S)
+    return _finish(out)
+
+
+SQL_T_ASOF_EVENTS = f"""
+WITH r AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+l AS (SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT l.user_id, l.ts, l.purchase_id, r.click_id, r.ts AS rts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+t AS (SELECT *,
+             rts IS NOT NULL AND FLOOR(epoch(ts)) - FLOOR(epoch(rts))
+               <= {_ASOF_TOL_S} AS in_tol
+      FROM j)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, purchase_id,
+       CASE WHEN in_tol THEN click_id END AS click_id,
+       CASE WHEN in_tol THEN strftime(rts, '%Y-%m-%d %H:%M:%S') END
+         AS asof_ts
+FROM t
+"""
+
+
+def q_sql_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (functions/skew.salted_count) over a
+    synthesized hot key (two of five user-id residues collapse onto one
+    'hot' value = ~40% of all events): groupBy(key, content-salt) ->
+    groupBy(key), spreading the hot reducer over 16. The driver check
+    pins the technique's EXACTNESS — the salted two-phase result must
+    hash-match the plain GROUP BY the oracle runs."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.functions.skew import salted_count
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("k", F.when(F.col("user_id") % 5 < 2, F.lit("hot"))
+                      .otherwise(F.col("user_id").cast("string"))))
+    return _finish(salted_count(ev, ["k"], salts=16,
+                                out_col="n_events"))
+
+
+SQL_SALTED_HOT_KEY = """
+SELECT CASE WHEN user_id % 5 < 2 THEN 'hot'
+            ELSE CAST(user_id AS VARCHAR) END AS k,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_t_distinct_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_spark.operators.tile_service import distinct_bounding_boxes
 
@@ -6469,6 +6542,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (verdict asks #2 and #6) ---
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "d_gated_export": q_d_gated_export,
+    "t_asof_events": q_t_asof_events,
+    "sql_salted_hot_key": q_sql_salted_hot_key,
     # group C (7): implementation CHANGED in round 7 (span-window
     # hashing rewritten xxhash64-first — span_dedup + both
     # cross-contamination consumers; CDC state now versioned-commit —
@@ -6511,12 +6586,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
     "g_spatial_smooth": q_spatial_smooth,
+    # --- tail (entry 51+): rotates in for round 8, stalest first.
+    # These 16 r04-checked rows were displaced from the round-7 window
+    # by the never-checked/new/changed groups above (f_hof_deseason and
+    # s3_clim_map specifically by the two late round-7 additions
+    # t_asof_events / sql_salted_hot_key); they will be 3 rounds stale
+    # after this round and MUST lead round 8's window: ---
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
-    # --- tail (entry 51+): rotates in for round 8, stalest first.
-    # These 14 r04-checked rows were displaced from the round-7 window
-    # by the never-checked/new/changed groups above; they will be 3
-    # rounds stale after this round and MUST lead round 8's window: ---
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
     "t_distinct_bboxes": q_t_distinct_bboxes,
@@ -6648,6 +6725,8 @@ _ORACLES: dict[str, str] = {
     "t_tiles_in_box": SQL_T_TILES,
     "t_days_in_range": SQL_T_DAYS,
     "t_asof_doy": SQL_T_ASOF,
+    "t_asof_events": SQL_T_ASOF_EVENTS,
+    "sql_salted_hot_key": SQL_SALTED_HOT_KEY,
     "t_distinct_bboxes": SQL_T_BBOXES,
     "f_seasonal_filter": SQL_F_SEASONAL,
     "f_lowpass_checked": _sql_lowpass_checked(),

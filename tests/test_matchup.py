@@ -97,3 +97,37 @@ def test_no_duplicate_pairs_from_bucket_explode(spark, frames):
     )
     out = matchup(p, s, radius_km=5.0, time_tolerance_s=60).collect()
     assert len(out) == 1
+
+
+def test_asof_join_semantics(spark):
+    """Generic keyed as-of join: latest right at-or-before (ties at
+    equal ts MATCH), tolerance nulls out stale matches, left rows with
+    no prior right stay NULL, one output row per left row."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 205, "l2"), (1, 200, "l3"),
+         (2, 50, "l4"), (2, 400, "l5")],
+        "k long, t long, lbl string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "lbl")
+    right = spark.createDataFrame(
+        [(1, 90, 900), (1, 200, 920), (2, 399, 930)],
+        "k long, t long, rv long").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "rv")
+
+    out = asof_join(left, right, ["k"], "ts", ["rv"], tolerance_s=60)
+    got = {r.lbl: (r.rv, r.asof_ts) for r in out.collect()}
+    assert len(got) == 5
+    assert got["l1"][0] == 900          # 90 <= 100, within 60s
+    assert got["l3"][0] == 920          # tie at ts=200 matches (<=)
+    assert got["l2"][0] == 920          # 200 <= 205
+    assert got["l4"] == (None, None)    # no right at-or-before
+    assert got["l5"][0] == 930          # 399 <= 400, within 60s
+
+    stale = asof_join(left, right, ["k"], "ts", ["rv"], tolerance_s=4)
+    got2 = {r.lbl: r.rv for r in stale.collect()}
+    assert got2["l1"] is None           # 10s gap > 4s tolerance
+    assert got2["l3"] == 920            # 0s gap still in
+    assert got2["l2"] is None           # 5s gap > 4s tolerance
