@@ -765,6 +765,25 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_NOTES.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
+    _write_notes_md(payload)
+    print(json.dumps({"metric": "full_sweep_total_runtime",
+                      "value": spark_total, "unit": "sec",
+                      "steady_value": steady_total,
+                      "duckdb_oracled_total_sec": duck_total,
+                      "n_queries": len(record), "sf": payload["sf"]}))
+
+
+def _write_notes_md(payload: dict) -> None:
+    """Render BENCH_NOTES.md from the machine-readable payload (also
+    re-runnable offline via --notes-md after --sf1/--sf1-full refresh
+    their JSON records)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    record = payload["queries"]
+    cross = payload["a2_crossover"]
+    sf = payload["sf"]
+    spark_total = payload["spark_total_sec"]
+    steady_total = payload["spark_steady_total_sec"]
+    duck_total = payload["duckdb_oracled_total_sec"]
 
     lines = [
         "# BENCH_NOTES — full query-set comparison at sf%s (local[%s])" % (
@@ -862,23 +881,51 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
                   else f"{r['duckdb_sec']:.3f}")
             lines.append(f"| {n} | {r['rows']} | {r['spark_sec']:.3f} | "
                          f"{r['spark_steady_sec']:.3f} | {d1} |")
+    sf1f_path = os.path.join(root, "BENCH_SF1_FULL.json")
+    if os.path.exists(sf1f_path):
+        with open(sf1f_path) as fh:
+            sf1f = json.load(fh)
+        exm, exs = sf1f["ex_matchup"], sf1f["ex_matchup_ex_stream"]
+        lines += [
+            "",
+            "## sf1 FULL-registry sweep (the honest ratio at 10x)",
+            "",
+            "Every registry query on the same synthesized sf1 lake "
+            "(`python bench.py --sf1-full`, record in "
+            "BENCH_SF1_FULL.json; per-query rows there).",
+            sf1f["note"],
+            "",
+            f"**{sf1f['n_queries']} queries: Spark "
+            f"{sf1f['spark_steady_total_sec']}s steady total. "
+            f"Ex-matchup ({exm['n']} oracled): Spark "
+            f"{exm['spark_steady_sec']}s vs DuckDB {exm['duckdb_sec']}s "
+            f"(ratio "
+            f"{exm['spark_steady_sec'] / max(exm['duckdb_sec'], 1e-9):.2f}); "
+            f"ex-matchup-ex-stream ({exs['n']}): "
+            f"{exs['spark_steady_sec']}s vs {exs['duckdb_sec']}s (ratio "
+            f"{exs['spark_steady_sec'] / max(exs['duckdb_sec'], 1e-9):.2f}).**",
+            f"Skipped: {', '.join(sf1f['skipped'])}. DuckDB timeouts: "
+            f"{', '.join(sf1f['duckdb_timeouts']) or 'none'}.",
+        ]
     noted = [n for n in sorted(_QUERY_NOTES) if n in record]
     if noted:
         lines += ["", "Per-query notes:", ""]
         lines += [f"- `{n}` — {_QUERY_NOTES[n]}" for n in noted]
     with open(os.path.join(root, "BENCH_NOTES.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({"metric": "full_sweep_total_runtime",
-                      "value": spark_total, "unit": "sec",
-                      "steady_value": steady_total,
-                      "duckdb_oracled_total_sec": duck_total,
-                      "n_queries": len(record), "sf": payload["sf"]}))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
     from nexus_spark.session import get_session
+
+    if "--notes-md" in sys.argv:  # offline md regeneration
+        root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(root, "BENCH_NOTES.json")) as fh:
+            _write_notes_md(json.load(fh))
+        print(json.dumps({"metric": "notes_md_regenerated", "value": 1}))
+        return
 
     spark = get_session("nexus_spark_bench")
     # Pin the state-store maintenance cadence for the WHOLE bench session.
