@@ -3907,15 +3907,25 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_matchup(ps, ss, radius_km=_MU_R,
                             time_tolerance_s=_MU_TT,
                             watermark="3650 days")
-    _STREAM_Q_N[0] += 1
-    name = f"stream_mu_out_{_STREAM_Q_N[0]}"
+    # Parquet file sink, not a memory sink: matched pairs land
+    # executor-side like a real deployment's lake append — a memory
+    # sink serializes every match to the driver, which breaks
+    # spark.driver.maxResultSize at sf1's ~100x pair volume.
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="nexus_smu_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     with _stream_job_conf(spark):
-        q = (out.writeStream.format("memory").queryName(name)
+        q = (out.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
              .outputMode("append").trigger(availableNow=True).start())
         if not q.awaitTermination(300):  # False = timeout (no raise)
             q.stop()
             raise TimeoutError("streaming matchup drain exceeded 300s")
-    return _finish(spark.table(name).select(
+    return _finish(spark.read.parquet(f"{work}/out").select(
         "primary_id", "p_time", "p_lat", "p_lon", "p_value",
         "secondary_id", "s_time", "s_lat", "s_lon", "s_value",
         "dist_km", "dt_s"))
@@ -6537,18 +6547,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_expectations_audit": q_d_expectations_audit,
     "d_embed_outliers": q_d_embed_outliers,
     "e_stream_quality_gate": q_e_stream_quality_gate,
-    # group B (2): NEW in round 7 — the md5-parity sibling of the
-    # xxhash64 span-dedup fast path, and the expectations-gated export
-    # (verdict asks #2 and #6) ---
+    # group B (4): NEW in round 7 — the md5-parity sibling of the
+    # xxhash64 span-dedup fast path, the expectations-gated export
+    # (verdict asks #2 and #6), the generic event-time AS-OF join
+    # (oracle = DuckDB's native ASOF JOIN) and the salted hot-key
+    # aggregation exactness check ---
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "d_gated_export": q_d_gated_export,
     "t_asof_events": q_t_asof_events,
     "sql_salted_hot_key": q_sql_salted_hot_key,
-    # group C (7): implementation CHANGED in round 7 (span-window
+    # group C (8): implementation CHANGED in round 7 (span-window
     # hashing rewritten xxhash64-first — span_dedup + both
     # cross-contamination consumers; CDC state now versioned-commit —
     # lake_upsert stream; CC edge frame memoized as maintained state —
-    # all three CC consumers) ---
+    # all three CC consumers; streaming matchup's sink switched from
+    # driver memory to a parquet file sink) ---
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_cross_contamination": q_scrub_cross_contamination,
     "scrub_decontaminate": q_scrub_decontaminate,
@@ -6556,8 +6569,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_semantic_dedup": q_d_semantic_dedup,
     "d_dedup_components": q_d_dedup_components,
     "d_cluster_stats": q_d_cluster_stats,
-    # group D (29): r04-checked rows, exactly 2 rounds stale — the
-    # stalest surviving block (29 of 43; the displaced 14 lead round 8,
+    "e_stream_matchup": q_e_stream_matchup,
+    # group D (26): r04-checked rows, exactly 2 rounds stale — the
+    # stalest surviving block (26 of 43; the displaced 17 lead round 8,
     # see the tail comment) ---
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
     "scrub_pii": q_scrub_pii,
@@ -6585,13 +6599,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_sessionize": q_sql_sessionize,
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
-    "g_spatial_smooth": q_spatial_smooth,
     # --- tail (entry 51+): rotates in for round 8, stalest first.
-    # These 16 r04-checked rows were displaced from the round-7 window
-    # by the never-checked/new/changed groups above (f_hof_deseason and
-    # s3_clim_map specifically by the two late round-7 additions
-    # t_asof_events / sql_salted_hot_key); they will be 3 rounds stale
-    # after this round and MUST lead round 8's window: ---
+    # These 17 r04-checked rows were displaced from the round-7 window
+    # by the never-checked/new/changed groups above (g_spatial_smooth,
+    # f_hof_deseason and s3_clim_map specifically by the late round-7
+    # additions t_asof_events / sql_salted_hot_key and the changed
+    # e_stream_matchup); they will be 3 rounds stale after this round
+    # and MUST lead round 8's window: ---
+    "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
@@ -6622,7 +6637,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
     "text_lang_segments": q_text_lang_segments,
-    "e_stream_matchup": q_e_stream_matchup,
     "e_stream_sessionize": q_e_stream_sessionize,
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
