@@ -501,19 +501,32 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
                   "baseline; routed alternatives are recorded)",
                   file=sys.stderr)
             continue
-        _dedup._CC_CACHE.clear()
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf1).count()
-        first = round(time.perf_counter() - t0, 3)
-        steady = None
-        for _ in range(2):
+        try:
             _dedup._CC_CACHE.clear()
             t0 = time.perf_counter()
-            qs[name](spark, sf1).count()
-            got = round(time.perf_counter() - t0, 3)
-            steady = got if steady is None else min(steady, got)
+            n = qs[name](spark, sf1).count()
+            first = round(time.perf_counter() - t0, 3)
+            steady = None
+            for _ in range(2):
+                _dedup._CC_CACHE.clear()
+                t0 = time.perf_counter()
+                qs[name](spark, sf1).count()
+                got = round(time.perf_counter() - t0, 3)
+                steady = got if steady is None else min(steady, got)
+        except Exception as exc:  # isolate: one bad query, not the sweep
+            record[name] = {"rows": None, "spark_sec": None,
+                            "spark_steady_sec": None, "duckdb_sec": None,
+                            "scale_vs_sf01_steady": None,
+                            "error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"# sf1-full {name}: SPARK ERROR "
+                  f"{type(exc).__name__}", file=sys.stderr)
+            continue
         duck = None
-        if name in oracles and name != "s8_matchup_once":
+        # matchup-family oracles are the O(n^2) distance cross join
+        # (~100x cost at 10x points) AND already excluded from every
+        # recorded cut — skipping them saves 2x the 900s watchdog.
+        if name in oracles and name not in ("s8_matchup_once",
+                                            "e_stream_matchup"):
             duck, timed_out = _duck_timed(con, oracles[name])
             if timed_out:
                 timeouts.append(name)
@@ -555,11 +568,14 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
                  "sides."),
         "n_queries": len(record),
         "skipped": list(SF1_FULL_SKIP),
+        "errors": sorted(k for k, v in record.items() if "error" in v),
         "duckdb_timeouts": timeouts,
         "spark_total_sec": round(sum(
-            v["spark_sec"] for v in record.values()), 3),
+            v["spark_sec"] for v in record.values()
+            if v["spark_sec"] is not None), 3),
         "spark_steady_total_sec": round(sum(
-            v["spark_steady_sec"] for v in record.values()), 3),
+            v["spark_steady_sec"] for v in record.values()
+            if v["spark_steady_sec"] is not None), 3),
         "ex_matchup": _cut(exm),
         "ex_matchup_ex_stream": _cut(exs),
         "queries": record,
