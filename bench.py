@@ -933,6 +933,12 @@ def _write_notes_md(payload: dict) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The full-registry sf1 sweep accumulates ~150 queries of warm state
+    # plus an 18M-row streaming matchup in ONE local-mode JVM; the 16g
+    # default heap died at ~108 queries (GCLocker alloc storms). Must be
+    # set before get_session creates the JVM; explicit env still wins.
+    if "--sf1-full" in sys.argv:
+        os.environ.setdefault("NEXUS_SPARK_DRIVER_MEMORY", "48g")
     import __spark_entry__ as entry_mod
     from nexus_spark.session import get_session
 
