@@ -3925,7 +3925,12 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):  # False = timeout (no raise)
             q.stop()
             raise TimeoutError("streaming matchup drain exceeded 300s")
-    return _finish(spark.read.parquet(f"{work}/out").select(
+    # Explicit schema on the read-back: a zero-match drain leaves only
+    # _spark_metadata in the sink directory, and schema inference would
+    # raise 'Unable to infer schema' where the old memory sink returned
+    # an empty table.
+    return _finish(spark.read.schema(out.schema)
+                   .parquet(f"{work}/out").select(
         "primary_id", "p_time", "p_lat", "p_lon", "p_value",
         "secondary_id", "s_time", "s_lat", "s_lon", "s_value",
         "dist_km", "dt_s"))

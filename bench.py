@@ -451,12 +451,19 @@ SF1_FULL_SKIP = ("d_near_dup_embedding", "d_near_dup_embedding_gemm")
 
 def _duck_timed(con, sql: str, limit_s: int = 900):
     """Time one DuckDB oracle with a watchdog: interrupt after limit_s
-    and record the timeout instead of hanging the sweep."""
+    and record the timeout instead of hanging the sweep.
+
+    Returns (sec, timed_out, error): an exception is a TIMEOUT only if
+    the watchdog actually fired first — a genuine oracle failure
+    (binder/SQL error) is returned as `error` so it is recorded as a
+    broken oracle, not mislabeled as a slow one."""
     import threading
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
         if not done.wait(limit_s):
+            fired.set()
             try:
                 con.interrupt()
             except Exception:
@@ -467,9 +474,11 @@ def _duck_timed(con, sql: str, limit_s: int = 900):
     t0 = time.perf_counter()
     try:
         con.execute(sql).fetchall()
-        return round(time.perf_counter() - t0, 3), False
-    except Exception:
-        return None, True
+        return round(time.perf_counter() - t0, 3), False, None
+    except Exception as exc:
+        if fired.is_set():
+            return None, True, None
+        return None, False, f"{type(exc).__name__}: {exc}"[:300]
     finally:
         done.set()
 
@@ -494,6 +503,7 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
 
     record: dict[str, dict] = {}
     timeouts: list[str] = []
+    oracle_errors: dict[str, str] = {}
     from nexus_spark.operators import dedup as _dedup
     for name in sorted(qs):
         if name in SF1_FULL_SKIP:
@@ -527,9 +537,13 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
         # recorded cut — skipping them saves 2x the 900s watchdog.
         if name in oracles and name not in ("s8_matchup_once",
                                             "e_stream_matchup"):
-            duck, timed_out = _duck_timed(con, oracles[name])
+            duck, timed_out, oerr = _duck_timed(con, oracles[name])
             if timed_out:
                 timeouts.append(name)
+            elif oerr is not None:
+                oracle_errors[name] = oerr
+                print(f"# sf1-full {name}: ORACLE ERROR {oerr}",
+                      file=sys.stderr)
         base = (sf01.get(name) or {}).get("spark_steady_sec")
         scale = round(steady / base, 2) if base else None
         record[name] = {"rows": n, "spark_sec": first,
@@ -565,11 +579,14 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
                  "replay never pays). DuckDB oracles run with a 900s "
                  "interrupt watchdog; any timeout is listed in "
                  "duckdb_timeouts and excluded from the cuts on BOTH "
-                 "sides."),
+                 "sides; a genuine oracle failure (binder/SQL error) "
+                 "is recorded in duckdb_oracle_errors instead of "
+                 "being mislabeled a timeout."),
         "n_queries": len(record),
         "skipped": list(SF1_FULL_SKIP),
         "errors": sorted(k for k, v in record.items() if "error" in v),
         "duckdb_timeouts": timeouts,
+        "duckdb_oracle_errors": oracle_errors,
         "spark_total_sec": round(sum(
             v["spark_sec"] for v in record.values()
             if v["spark_sec"] is not None), 3),

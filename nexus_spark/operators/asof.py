@@ -24,6 +24,13 @@ be unique per (key, time) — pre-aggregate ties (e.g. ARG_MAX by a seq
 column) or the carried payload would depend on partition order. This is
 the same uniqueness contract DuckDB's native ASOF JOIN and kdb's aj
 assume.
+
+NULL-payload safety: the carry moves ONE struct per right row (all
+payload columns + the right timestamp together), not one `last()` per
+column — a matched right row whose payload value is NULL therefore
+carries that NULL forward instead of skipping back to an older right
+row's value, which a per-column carry would do (it would stitch a
+"frankenrow" mixing fields of different right rows).
 """
 from __future__ import annotations
 
@@ -64,23 +71,26 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.col(time_col).asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
+    # One atomic struct per right row: NULL for left rows, non-NULL for
+    # every right row even when individual payload VALUES are NULL, so
+    # last(ignorenulls) either carries a whole right row or none of it.
+    r_row = F.when(F.col("_side") == 0,
+                   F.struct(*[F.col(c) for c in payload_cols],
+                            F.col("_r_ts")))
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
-          for c in payload_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"))
+        "*", F.last(r_row, ignorenulls=True).over(w).alias("_c"))
 
-    in_tol = F.col("_c_ts").isNotNull()
+    in_tol = F.col("_c").isNotNull()
     if tolerance_s is not None:
         # cast through TIMESTAMP: TIMESTAMP_NTZ has no direct long cast,
         # and the session-tz offset cancels in the difference
         def secs(c):
             return F.col(c).cast("timestamp").cast("long")
-        in_tol = in_tol & (secs(time_col) - secs("_c_ts")
+        in_tol = in_tol & (secs(time_col) - secs("_c._r_ts")
                            <= F.lit(int(tolerance_s)))
     return (carried.where(F.col("_side") == 1)
             .select(*key_cols, time_col, *lcols,
-                    *[F.when(in_tol, F.col(f"_c_{c}")).alias(c)
+                    *[F.when(in_tol, F.col(f"_c.{c}")).alias(c)
                       for c in payload_cols],
-                    F.when(in_tol, F.col("_c_ts"))
+                    F.when(in_tol, F.col("_c._r_ts"))
                     .alias(right_time_alias)))

@@ -217,7 +217,24 @@ def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
     At 100 TB the rewrite is partition-pruned
     (lake.merge_into_partitions): cost follows the batch's partition
     footprint, not the table.
+
+    Retention / read-latency contract: `read_cdc_state` resolves the
+    snapshot path at PLAN time but executes lazily, so pruning can
+    delete a snapshot a concurrent reader's DataFrame still references.
+    `keep_versions` must therefore be >= 2 (enforced): a reader that
+    planned against version N stays valid until at least version N+1
+    has committed AND a further commit prunes N — i.e. for at least one
+    full commit interval. Readers that may lag more than
+    `keep_versions - 1` commits between planning and executing must
+    either raise `keep_versions` accordingly or re-resolve (call
+    `read_cdc_state` again) per action.
     """
+    if keep_versions < 2:
+        raise ValueError(
+            f"keep_versions must be >= 2, got {keep_versions}: pruning "
+            "the only previous snapshot would break concurrent readers "
+            "whose plans still reference it (see retention contract)")
+
     def step(batch: DataFrame, _epoch: int) -> None:
         if batch.isEmpty():
             return

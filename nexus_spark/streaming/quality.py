@@ -43,6 +43,13 @@ def stream_quality_gate(stream_df: DataFrame,
     append under `base_dir` — route=good for rows passing ALL rules
     (fails=''), route=quarantine for the rest with `fails` naming the
     failed rules. Returns the StreamingQuery (caller drains it)."""
+    clash = {"fails", "route"} & set(stream_df.columns)
+    if clash:
+        # withColumn would silently overwrite user data and the route
+        # partition column would collide with an input column.
+        raise ValueError(
+            f"stream columns {sorted(clash)} are reserved by the "
+            "quality gate ('fails', 'route') — rename them upstream")
     fails = fails_column(rules)
 
     def step(batch_df: DataFrame, _batch_id: int) -> None:

@@ -131,3 +131,32 @@ def test_asof_join_semantics(spark):
     assert got2["l1"] is None           # 10s gap > 4s tolerance
     assert got2["l3"] == 920            # 0s gap still in
     assert got2["l2"] is None           # 5s gap > 4s tolerance
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """A matched right row with a NULL payload VALUE must carry that
+    NULL — not skip back to an older right row's value for that column
+    while other columns carry the newer match (the frankenrow bug: the
+    carry must move one struct per right row, not one last() per
+    column)."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 300, "l1")], "k long, t long, lbl string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "lbl")
+    # older right row has BOTH payloads; the newest (matching) right row
+    # has rv=NULL but rw set — output must be (NULL, 21), asof_ts=200.
+    right = spark.createDataFrame(
+        [(1, 100, 11, 10), (1, 200, None, 21)],
+        "k long, t long, rv long, rw long").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "rv", "rw")
+
+    out = asof_join(left, right, ["k"], "ts", ["rv", "rw"]).select(
+        "rv", "rw", F.col("asof_ts").cast("timestamp").cast("long")
+        .alias("asof_epoch"))
+    row = out.collect()[0]
+    assert row.rw == 21
+    assert row.rv is None, "per-column carry skipped back to stale rv"
+    assert row.asof_epoch == 200

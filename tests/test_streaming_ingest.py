@@ -169,6 +169,26 @@ def test_cdc_compact_is_batching_independent(spark):
     assert final(sb) == expect
 
 
+def test_cdc_apply_enforces_retention_contract(spark, tmp_path):
+    """keep_versions < 2 would let pruning delete the one snapshot a
+    concurrent reader's lazily-executed plan still references — the
+    apply must refuse it up front."""
+    import pytest
+
+    from nexus_spark.streaming.ingest import stream_cdc_apply
+
+    schema = "doc_id long, text string, seq int, op string"
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "one", 1, "U")], schema) \
+        .write.parquet(feed)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(feed).schema).parquet(feed))
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_cdc_apply(stream, str(tmp_path / "state"),
+                         str(tmp_path / "ckpt"), ["doc_id"],
+                         keep_versions=1)
+
+
 def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
     """The versioned-commit protocol: an interrupted snapshot write (a
     v{N} directory WITHOUT the committer's _SUCCESS marker) is invisible

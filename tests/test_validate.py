@@ -106,3 +106,24 @@ def test_stream_gate_partitions_feed_exactly(spark, tmp_path):
                         [("text_nonempty", i % 5 == 0),
                          ("lang_ok", i % 3 == 0)] if bad)
         assert fails == want, (i, fails, want)
+
+
+def test_stream_gate_rejects_reserved_columns(spark, tmp_path):
+    """'fails' and 'route' are reserved output/partition names — a feed
+    that already carries one must be rejected up front, not silently
+    overwritten."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nexus_spark.streaming.quality import stream_quality_gate
+
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "good")], "doc_id long, route string") \
+        .write.parquet(feed_dir)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(feed_dir).schema)
+              .parquet(feed_dir))
+    with pytest.raises(ValueError, match="reserved"):
+        stream_quality_gate(stream, [("ok", F.lit(True))],
+                            str(tmp_path / "gated"),
+                            str(tmp_path / "ckpt"))
