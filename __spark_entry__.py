@@ -19,7 +19,7 @@ import contextlib
 import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DateType, DoubleType, FloatType,
                                TimestampNTZType, TimestampType)
@@ -3407,6 +3407,14 @@ def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
         from nexus_spark.catalog import load_table
         (load_table(spark, sf_dir, "embeddings").repartition(4)
          .write.mode("overwrite").parquet(base))
+    elif kind == "error_feed":
+        # the error-event slice as a 4-file arrival directory for the
+        # streaming as-of enrichment drain
+        from nexus_spark.catalog import load_table
+        (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type") == "error")
+         .select("user_id", F.col("event_id").alias("error_id"), "ts")
+         .repartition(4).write.mode("overwrite").parquet(base))
     elif kind == "cdc_feed":
         # deterministic CDC change batch over documents (upserts,
         # tombstones, inserts; per-key-unique seqs) as a 4-file arrival
@@ -6528,6 +6536,331 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 
 
 # --------------------------------------------------------------------------
+# round 8: interval operators, pivot/cumulative SQL surface, perplexity
+# buckets, dedup survivorship, streaming as-of enrichment
+# --------------------------------------------------------------------------
+
+_RJ_BIN_S = 3600          # range-join bin width (s)
+_IU_DAYS = 7              # interval-union window length per order
+_PPL_T1, _PPL_T2 = 29.0, 30.0   # fixed CCNet-style ppl bucket cuts
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_SQL_SESSION_CTES = f"""
+b AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) IS NULL
+              OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events),
+s AS (
+  SELECT *, CAST(SUM(is_break) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_seq
+  FROM b),
+g AS (SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+      FROM s GROUP BY user_id, session_seq)
+"""
+
+
+def q_t_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic keyed interval-overlap join (operators/range_join.py):
+    every error event is attributed to the enclosing 30-min-gap session
+    of the same user. The Spark plan is the BINNED formulation — the
+    interval side explodes to its covered hour bins and the join is a
+    plain (key, bin) equi-join with an exact range post-filter — so no
+    per-key point x interval pair blow-up ever materializes; the oracle
+    is DuckDB's native inequality join over the identical session CTE,
+    two independent algorithms checking the same semantics."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.range_join import range_join
+    from nexus_spark.operators.sql_surface import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev).select(
+        "user_id", "session_seq", "session_start", "session_end")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts")
+    out = range_join(errors, sessions, ["user_id"], "ts",
+                     "session_start", "session_end",
+                     bin_seconds=_RJ_BIN_S)
+    return _finish(out.select("user_id", "error_id", "ts", "session_seq",
+                              "session_start", "session_end"))
+
+
+SQL_T_RANGE_JOIN = _with(_SQL_SESSION_CTES.strip()) + """,
+p AS (SELECT user_id, event_id AS error_id, ts FROM events
+      WHERE event_type = 'error')
+SELECT p.user_id, p.error_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       g.session_seq,
+       strftime(g.st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(g.en, '%Y-%m-%d %H:%M:%S') AS session_end
+FROM p JOIN g ON p.user_id = g.user_id AND p.ts BETWEEN g.st AND g.en
+"""
+
+
+def q_t_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / island merge (operators/range_join.py): each
+    customer's 7-day post-order windows merged into contiguous coverage
+    islands — one windowed running-max pass per key, the coverage-report
+    primitive (on-call rosters, SLA windows, validity periods)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.range_join import interval_union
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey", F.col("o_orderdate").alias("w_start"),
+        F.expr(f"o_orderdate + INTERVAL {_IU_DAYS} DAYS").alias("w_end"))
+    return _finish(interval_union(iv, ["o_custkey"], "w_start", "w_end"))
+
+
+SQL_T_INTERVAL_UNION = f"""
+WITH iv AS (SELECT o_custkey, o_orderdate AS s,
+                   o_orderdate + INTERVAL {_IU_DAYS} DAY AS e
+            FROM orders),
+b AS (
+  SELECT *, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                 THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+r AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY o_custkey ORDER BY s, e
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM b)
+SELECT o_custkey, island,
+       strftime(MIN(s), '%Y-%m-%d %H:%M:%S') AS island_start,
+       strftime(MAX(e), '%Y-%m-%d %H:%M:%S') AS island_end,
+       COUNT(*) AS n_intervals
+FROM r GROUP BY o_custkey, island
+"""
+
+
+def q_sql_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: monthly event counts spread into one column
+    per event type (groupBy().pivot() with EXPLICIT values — no extra
+    distinct-scan job, stable column order). Missing cells coalesce to
+    0 to match the oracle's FILTER counts."""
+    from nexus_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.withColumn(
+        "month",
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM"))
+    out = (m.groupBy("month").pivot("event_type", list(_EVENT_TYPES))
+           .agg(F.count(F.lit(1))))
+    return _finish(out.select(
+        "month", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                   for t in _EVENT_TYPES]))
+
+
+SQL_PIVOT_MONTHLY = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_sql_cumulative_revenue(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Running-total window surface: monthly order revenue with a
+    cumulative sum and cumulative share of total. The global running
+    window is a single-partition window over the MONTHLY aggregate
+    (tens of rows at any corpus scale — the reduction happened in the
+    map-side-combined groupBy, so the unpartitioned window is safe by
+    construction)."""
+    from nexus_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                 "yyyy-MM").alias("month"))
+         .agg(F.sum("o_totalprice").alias("rev_raw"),
+              F.count(F.lit(1)).alias("n_orders")))
+    # Accumulate in DECIMAL, not double: the cumulative sum reaches
+    # ~1e9+ where the 6-decimal hash granularity sits below the double
+    # ulp, and windowed sums don't even fix an addition order (DuckDB's
+    # running aggregate is a segment tree). Rounding each month's rev
+    # to decimal(38,6) and summing decimals makes the accumulation
+    # EXACT on both engines; the share division happens double/double
+    # at ~O(1) magnitude where round-6 is safe.
+    m = m.select(
+        "month", "n_orders",
+        F.round(F.col("rev_raw").cast("decimal(38,7)"), ND).alias("rev"))
+    run = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0)
+    full = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return _finish(m.select(
+        "month", "n_orders", F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(run).cast("double").alias("cum_rev"),
+        (F.sum("rev").over(run).cast("double")
+         / F.sum("rev").over(full).cast("double")).alias("cum_share")))
+
+
+SQL_CUMULATIVE_REVENUE = f"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(ROUND(SUM(o_totalprice), {ND}) AS DECIMAL(38,6)) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT month, n_orders, CAST(rev AS DOUBLE) AS rev,
+       CAST(SUM(rev) OVER w AS DOUBLE) AS cum_rev,
+       ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE), {ND}) AS cum_share
+FROM m
+WINDOW w AS (ORDER BY month ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document scored by the
+    corpus-fit bigram LM (text.bigram_nll), assigned head/middle/tail
+    by FIXED ppl cuts, rolled up per (lang, bucket). Fixed thresholds
+    (not ntile) keep the bucket boundary independent of cross-engine
+    float ordering; the boundary test uses the same decimal round-6
+    as every hashed float."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.text import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = bigram_nll(docs).select("doc_id", "ppl")
+    r = F.round(F.col("ppl").cast("decimal(38,7)"), ND).cast("double")
+    bucket = (F.when(r <= _PPL_T1, "head")
+              .when(r <= _PPL_T2, "middle").otherwise("tail"))
+    j = (ppl.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+         .withColumn("bucket", bucket))
+    return _finish(j.groupBy("lang", "bucket")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("ppl").alias("avg_ppl"),
+                        F.avg("n_chars").alias("avg_chars")))
+
+
+SQL_TEXT_PPL_BUCKETS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, words[i] AS prev, words[i + 1] AS cur
+  FROM d, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)),
+cb AS (SELECT prev, cur, COUNT(*) AS c_bc FROM big GROUP BY prev, cur),
+cu AS (SELECT prev, SUM(c_bc) AS c_b FROM cb GROUP BY prev),
+sc AS (SELECT doc_id, -ln(CAST(c_bc AS DOUBLE) / c_b) AS nl
+       FROM big JOIN cb USING (prev, cur) JOIN cu USING (prev)),
+pp AS (SELECT doc_id, EXP(AVG(nl)) AS ppl FROM sc GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, ppl,
+         CASE WHEN ROUND(ppl, {ND}) <= {_PPL_T1} THEN 'head'
+              WHEN ROUND(ppl, {ND}) <= {_PPL_T2} THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM pp)
+SELECT doc.lang, bk.bucket, COUNT(*) AS n_docs,
+       ROUND(AVG(bk.ppl), {ND}) AS avg_ppl,
+       ROUND(AVG(doc.n_chars), {ND}) AS avg_chars
+FROM bk JOIN documents doc USING (doc_id)
+GROUP BY doc.lang, bk.bucket
+"""
+
+
+def q_d_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivorship: the canonical (keep-the-best) document per
+    near-dup cluster, chosen by (n_chars DESC, doc_id ASC) — the step
+    after cluster resolution that decides which member ships to the
+    training mix (dedup.canonical_survivors: one id-equi join + one
+    max_by aggregate, no window)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (canonical_survivors,
+                                             connected_components,
+                                             ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = connected_components(
+        ngram_jaccard_pairs(docs, threshold=_JACCARD_T), docs)
+    return _finish(canonical_survivors(comps, docs))
+
+
+SQL_D_CANONICAL = _SQL_CC_CTES + """,
+j AS (SELECT c.component, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)),
+ag AS (SELECT component, COUNT(*) AS n_members,
+              MAX(n_chars) AS canonical_n_chars
+       FROM j GROUP BY component),
+wn AS (SELECT component, doc_id AS canonical_id FROM j
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+               ORDER BY n_chars DESC, doc_id ASC) = 1)
+SELECT ag.component, wn.canonical_id, ag.canonical_n_chars, ag.n_members
+FROM ag JOIN wn USING (component)
+"""
+
+
+def q_e_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time AS-OF enrichment as a REAL executed stream: error
+    events arrive as a 4-file feed and every micro-batch is enriched with
+    the user's most recent click at-or-before it (operators/asof.py
+    against the static click-state snapshot), landing in a parquet
+    sink. As-of against a fixed right side is per-row deterministic, so
+    the drained sink must equal the batch replay — the oracle is
+    DuckDB's native ASOF LEFT JOIN over the same feed cut."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (ev.where(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("click_id")))
+
+    feed = _staged_feed(spark, sf_dir, "error_feed")
+    schema = spark.read.parquet(feed).schema
+    work = tempfile.mkdtemp(prefix="nexus_asof_enrich_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+
+    def step(batch_df, _batch_id):
+        out = asof_join(batch_df, right, ["user_id"], "ts",
+                        ["click_id"], tolerance_s=_ASOF_TOL_S)
+        out.write.mode("append").parquet(f"{work}/out")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(feed))
+    with _stream_job_conf(spark):
+        q = (stream.writeStream.foreachBatch(step)
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming as-of drain exceeded 300s")
+    return _finish(spark.read.parquet(f"{work}/out").select(
+        "user_id", "error_id", "ts", "click_id", "asof_ts"))
+
+
+SQL_E_STREAM_ASOF = f"""
+WITH r AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+l AS (SELECT user_id, event_id AS error_id, ts
+      FROM events WHERE event_type = 'error'),
+j AS (SELECT l.user_id, l.ts, l.error_id, r.click_id, r.ts AS rts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+t AS (SELECT *,
+             rts IS NOT NULL AND FLOOR(epoch(ts)) - FLOOR(epoch(rts))
+               <= {_ASOF_TOL_S} AS in_tol
+      FROM j)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, error_id,
+       CASE WHEN in_tol THEN click_id END AS click_id,
+       CASE WHEN in_tol THEN strftime(rts, '%Y-%m-%d %H:%M:%S') END
+         AS asof_ts
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6548,81 +6881,10 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 # "done = green" was an explicit round-3 task) = the 50-entry window;
 # see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-7 WINDOW (first 50): executes the rotation planned in
-    # the round-6 tail comment + the round-6 VERDICT ask #1.
-    # group A (12): round-6 additions NEVER driver-checked (parity-gated
-    # in-repo only) — the verdict's top ask; they lead unconditionally ---
-    "sql_step_funnel": q_sql_step_funnel,
-    "sql_retention_cohorts": q_sql_retention_cohorts,
-    "sim_pagerank": q_sim_pagerank,
-    "e_anomaly_zscore": q_e_anomaly_zscore,
-    "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
-    "d_embed_covariance": q_d_embed_covariance,
-    "d_embed_pca1": q_d_embed_pca1,
-    "d_expectations_audit": q_d_expectations_audit,
-    "d_embed_outliers": q_d_embed_outliers,
-    "e_stream_quality_gate": q_e_stream_quality_gate,
-    # group B (4): NEW in round 7 — the md5-parity sibling of the
-    # xxhash64 span-dedup fast path, the expectations-gated export
-    # (verdict asks #2 and #6), the generic event-time AS-OF join
-    # (oracle = DuckDB's native ASOF JOIN) and the salted hot-key
-    # aggregation exactness check ---
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
-    "d_gated_export": q_d_gated_export,
-    "t_asof_events": q_t_asof_events,
-    "sql_salted_hot_key": q_sql_salted_hot_key,
-    # group C (8): implementation CHANGED in round 7 (span-window
-    # hashing rewritten xxhash64-first — span_dedup + both
-    # cross-contamination consumers; CDC state now versioned-commit —
-    # lake_upsert stream; CC edge frame memoized as maintained state —
-    # all three CC consumers; streaming matchup's sink switched from
-    # driver memory to a parquet file sink) ---
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "e_stream_matchup": q_e_stream_matchup,
-    # group D (26): r04-checked rows, exactly 2 rounds stale — the
-    # stalest surviving block (26 of 43; the displaced 17 lead round 8,
-    # see the tail comment) ---
-    "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    "sketch_profile": q_sketch_profile,
-    "m_multimodal_metadata": q_m_metadata,
-    "warc_ingest": q_warc_ingest,
-    "scrub_span_apply": q_scrub_span_apply,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    "m_frame_sample": q_m_frame_sample,
-    "m_resize_features": q_m_resize_features,
-    "m_resample_audio": q_m_resample_audio,
-    "sim_filtered_knn": q_sim_filtered_knn,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "m_multimodal_features": q_m_features,
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_temperature_mix": q_d_temperature_mix,
-    "corpus_drift_psi": q_corpus_drift,
-    "text_stats": q_text_stats,
-    "sql_pricing_summary": q_sql_pricing,
-    "sql_shipping_priority": q_sql_shipping,
-    "sql_regional_revenue": q_sql_regional,
-    "sql_set_ops": q_sql_setops,
-    "sql_anti_join": q_sql_anti,
-    "sql_sessionize": q_sql_sessionize,
-    "clim_nday": q_clim_nday,
-    "clim_pixel_stats": q_pixel_stats,
-    # --- tail (entry 51+): rotates in for round 8, stalest first.
-    # These 17 r04-checked rows were displaced from the round-7 window
-    # by the never-checked/new/changed groups above (g_spatial_smooth,
-    # f_hof_deseason and s3_clim_map specifically by the late round-7
-    # additions t_asof_events / sql_salted_hot_key and the changed
-    # e_stream_matchup); they will be 3 rounds stale after this round
-    # and MUST lead round 8's window: ---
+    # --- ROUND-8 WINDOW (first 50): executes the rotation planned in
+    # the round-7 tail comment.
+    # group A (17): r04-checked rows displaced from the round-7 window —
+    # 3 rounds stale after r7, they lead unconditionally ---
     "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
     "s3_clim_map": q_s3_clim_map,
@@ -6640,8 +6902,31 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
-    # --- checked in round 5 (next-stalest; the four rows promoted to
-    # the window's changed group are no longer listed here) ---
+    # group B (7): NEW in round 8 — binned range join + interval union
+    # (operators/range_join.py), pivot + cumulative-share SQL surface,
+    # CCNet-style perplexity buckets, dedup cluster survivorship, and
+    # the executed streaming as-of enrichment ---
+    "t_range_join": q_t_range_join,
+    "t_interval_union": q_t_interval_union,
+    "sql_pivot_monthly": q_sql_pivot_monthly,
+    "sql_cumulative_revenue": q_sql_cumulative_revenue,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "d_dedup_canonical": q_d_dedup_canonical,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    # group C (6): implementation CHANGED in round 8 (as-of carry made
+    # struct-atomic for NULL payloads; streaming-matchup sink read-back
+    # schema pinned; EDGE fixture columnar + memoized; binary sign-pack
+    # rewritten as a fold so the fused stage stays JIT-compiled, and
+    # hamming stage-1 top-k bounded by the histogram cut) ---
+    "t_asof_events": q_t_asof_events,
+    "e_stream_matchup": q_e_stream_matchup,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    # group D (20): r05-checked rows, exactly 2 rounds stale — the
+    # stalest surviving block (20 of 42; the displaced 22 lead round 9,
+    # see the tail comment) ---
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
     "d_corpus_diff": q_d_corpus_diff,
@@ -6662,7 +6947,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
-    "d8_insitu_subset": q_d8_insitu_subset,
+    # --- tail (entry 51+): rotates in for round 9, stalest first.
+    # These 22 r05-checked rows were displaced from the round-8 window
+    # by the never-checked/new/changed groups above; they will be 3
+    # rounds stale after this round and MUST lead round 9's window: ---
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -6685,7 +6973,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # --- checked in round 6 (freshest; rotate last) ---
+    # --- checked in round 6 (next-stalest) ---
     "f_lowpass": q_f_lowpass,
     "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
@@ -6716,9 +7004,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
     "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "sim_quantize_binary": q_sim_quantize_binary,
-    "sim_ann_hamming": q_sim_ann_hamming,
-    "sim_binary_recall_at_k": q_sim_binary_recall,
     "text_gopher_quality": q_text_gopher_quality,
     "e_stream_drift_psi": q_e_stream_drift_psi,
     "sim_mmr_select": q_sim_mmr_select,
@@ -6734,6 +7019,55 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_confusion": q_text_nb_confusion,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "d_dedup_minhash_md5": q_d_minhash_md5,
+    # --- checked in round 7 (freshest; rotate last) ---
+    "sql_step_funnel": q_sql_step_funnel,
+    "sql_retention_cohorts": q_sql_retention_cohorts,
+    "sim_pagerank": q_sim_pagerank,
+    "e_anomaly_zscore": q_e_anomaly_zscore,
+    "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    "d_embed_covariance": q_d_embed_covariance,
+    "d_embed_pca1": q_d_embed_pca1,
+    "d_expectations_audit": q_d_expectations_audit,
+    "d_embed_outliers": q_d_embed_outliers,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "d_gated_export": q_d_gated_export,
+    "sql_salted_hot_key": q_sql_salted_hot_key,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "sketch_profile": q_sketch_profile,
+    "m_multimodal_metadata": q_m_metadata,
+    "warc_ingest": q_warc_ingest,
+    "scrub_span_apply": q_scrub_span_apply,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    "m_frame_sample": q_m_frame_sample,
+    "m_resize_features": q_m_resize_features,
+    "m_resample_audio": q_m_resample_audio,
+    "sim_filtered_knn": q_sim_filtered_knn,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "m_multimodal_features": q_m_features,
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "d_temperature_mix": q_d_temperature_mix,
+    "corpus_drift_psi": q_corpus_drift,
+    "text_stats": q_text_stats,
+    "sql_pricing_summary": q_sql_pricing,
+    "sql_shipping_priority": q_sql_shipping,
+    "sql_regional_revenue": q_sql_regional,
+    "sql_set_ops": q_sql_setops,
+    "sql_anti_join": q_sql_anti,
+    "sql_sessionize": q_sql_sessionize,
+    "clim_nday": q_clim_nday,
+    "clim_pixel_stats": q_pixel_stats,
 }
 
 _ORACLES: dict[str, str] = {
@@ -6757,6 +7091,13 @@ _ORACLES: dict[str, str] = {
     "t_days_in_range": SQL_T_DAYS,
     "t_asof_doy": SQL_T_ASOF,
     "t_asof_events": SQL_T_ASOF_EVENTS,
+    "t_range_join": SQL_T_RANGE_JOIN,
+    "t_interval_union": SQL_T_INTERVAL_UNION,
+    "sql_pivot_monthly": SQL_PIVOT_MONTHLY,
+    "sql_cumulative_revenue": SQL_CUMULATIVE_REVENUE,
+    "text_ppl_buckets": SQL_TEXT_PPL_BUCKETS,
+    "d_dedup_canonical": SQL_D_CANONICAL,
+    "e_stream_asof_enrich": SQL_E_STREAM_ASOF,
     "sql_salted_hot_key": SQL_SALTED_HOT_KEY,
     "t_distinct_bboxes": SQL_T_BBOXES,
     "f_seasonal_filter": SQL_F_SEASONAL,
@@ -6957,6 +7298,7 @@ def _stable_round_sql(sql: str) -> str:
 # 0.94s -> 1.47s). Keeping the slow default would flatter the recorded
 # Spark/DuckDB ratio with an optimizer artifact, not a real win.
 _MATERIALIZE_ORACLES = frozenset({
+    "d_dedup_canonical", "text_ppl_buckets",
     "d_cluster_stats", "d_semantic_dedup", "sim_mmr_select",
     "d_dedup_components", "d_dedup_winnow", "d_dedup_containment",
     "text_bpe_tokenize", "d_dedup_ngram_jaccard", "sim_pagerank",

@@ -923,6 +923,34 @@ def cluster_representatives(components: DataFrame,
                        .otherwise(0)).alias("n_duplicates")))
 
 
+def canonical_survivors(components: DataFrame, docs: DataFrame,
+                        id_col: str = "doc_id",
+                        quality_col: str = "n_chars") -> DataFrame:
+    """Survivorship: the canonical document per near-dup cluster, chosen
+    by (quality_col DESC, id ASC) — the keep-the-best step that follows
+    cluster resolution in every dedup pipeline (min-id representatives,
+    cluster_representatives, keep whichever row the label landed on;
+    this keeps the best-quality member instead).
+
+    One id-equi join of the components frame onto the quality column and
+    ONE max_by aggregate per cluster — no window, no sort; the arg-max
+    runs map-side-combined like any other aggregate, so cost is one
+    shuffle of (component, id, quality) triples regardless of cluster
+    skew.
+
+    Output: component, canonical_id, canonical_<quality_col>, n_members.
+    """
+    j = components.select("component", id_col).join(
+        docs.select(id_col, quality_col), id_col)
+    return (j.groupBy("component")
+            .agg(F.max_by(
+                id_col,
+                F.struct(F.col(quality_col).alias("q"),
+                         (-F.col(id_col)).alias("t"))).alias("canonical_id"),
+                 F.max(quality_col).alias(f"canonical_{quality_col}"),
+                 F.count(F.lit(1)).alias("n_members")))
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         k: int = 4, w: int = 4) -> DataFrame:
