@@ -45,6 +45,34 @@ HEADLINE = (
 # the durable explanation for entries whose sweep time is dominated by
 # something other than steady-state plan execution.
 _QUERY_NOTES = {
+    "d8_insitu_subset":
+        "round-8 fix of the superlinear scale factor (5.87 at r7): the "
+        "fixture endpoint re-scanned the whole record list per page "
+        "TASK in a per-record Python loop (each task deserializes a "
+        "fresh fetcher, so the memo never hit across tasks) — "
+        "O(records x pages) parses. Filter columns are now parsed once "
+        "at construction into numpy arrays (vectorized time/point "
+        "parse) and each page evaluates boolean masks over the "
+        "broadcast corpus; the endpoint itself is memoized per sf_dir "
+        "(a remote EDGE service exists before the query does). sf1 "
+        "steady 4.35s -> 1.35s",
+    "text_bigram_nll":
+        "round-8 fix: split(text) referenced inside the transform "
+        "lambda re-tokenized the document once per element_at (twice "
+        "per bigram) on each of the plan's three corpus scans; "
+        "hoisting the token array into its own projection splits each "
+        "document once per scan. sf1 steady 6.5s -> 2.0s (ratio 4.65 "
+        "-> ~1.4)",
+    "sim_ann_hamming":
+        "round-8 stage attribution (the r6 watch item): neither the "
+        "unpack nor the top-k merge — the 64-term unrolled CASE pack "
+        "expression pushed the fused scan+pack+join+popcount stage's "
+        "generated method past HotSpot's JIT compile threshold, so the "
+        "whole stage ran INTERPRETED (pair scan 1.75s -> 0.22s once "
+        "compiled). Pack is now a compact aggregate-over-slice fold; "
+        "stage-1 top-k additionally bounded by a per-query hamming "
+        "histogram cut (<= dim+1 distinct values) instead of windowing "
+        "the full pair stream. sf1 steady 2.6s -> 1.6s",
     "d_semantic_dedup":
         "first-call Catalyst+codegen over the widest plan in the suite "
         "(64-col IVF pair stage) plus the per-policy unmemoized CC "
@@ -436,6 +464,15 @@ SF1_EXTRA = (
     # the span-dedup fast path after the xxhash64 rewrite
     "d_semantic_dedup",
     "d_embed_pca1",
+    # round-8: the new interval operators at 10x events/orders (the
+    # binned range join's fan-out claim and the island-merge window),
+    # the bigram-LM bucket rollup after the split-hoist fix, the CC ->
+    # survivorship chain, and the executed streaming as-of enrichment
+    "t_range_join",
+    "t_interval_union",
+    "text_ppl_buckets",
+    "d_dedup_canonical",
+    "e_stream_asof_enrich",
 )
 
 
