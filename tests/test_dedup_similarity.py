@@ -612,6 +612,41 @@ def test_knn_graph_edges_are_mutual_and_ranked(spark):
         assert abs(cos - r.cosine) < 1e-6
 
 
+def test_knn_graph_tie_groups_rank_by_id(spark):
+    """Exact duplicate vectors produce cosine-1.0 tie groups — the
+    per-cell k-cut must keep whole tie groups before the id tiebreak
+    (the structured-tie case the round-6 dup lake makes common), so the
+    selected neighbor set equals the rounded-order window's: lowest ids
+    first within a tie."""
+    import numpy as np
+
+    from nexus_spark.operators.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 64))
+    rows = []
+    # ids 0..19: five exact copies of each of 4 distinct vectors
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i % 4]]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    k = 3
+    edges = knn_graph_ivf(df, k=k, n_centroids=2, nprobe=1).collect()
+    by_src: dict[int, list[int]] = {}
+    for r in edges:
+        by_src.setdefault(r.id_a, []).append(r.id_b)
+        by_src.setdefault(r.id_b, []).append(r.id_a)
+    # every vector's duplicates tie at cosine 1.0; the top-k must be
+    # the k LOWEST other ids among its duplicate group
+    for src, nbrs in by_src.items():
+        dups = sorted(i for i in range(20)
+                      if i != src and i % 4 == src % 4)
+        expect = [d for d in dups[:k + 1]]
+        for nb in nbrs:
+            if nb % 4 == src % 4:
+                assert nb in expect, (src, nb, nbrs)
+
+
 def test_pagerank_conserves_mass_and_matches_power_iteration(spark):
     """Mean-1 PageRank on a fixed path+triangle graph: total rank mass
     stays N every superstep (no dangling nodes on an undirected edge
