@@ -6797,6 +6797,106 @@ FROM ag JOIN wn USING (component)
 """
 
 
+def q_t_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided NEAREST-in-time join (operators/asof.asof_nearest):
+    every purchase picks the user's closest click in EITHER direction
+    within 2h — sensor-alignment semantics. One shuffle, two
+    in-partition sorts (backward + forward carry), ties resolve to the
+    earlier right row. Oracle composes DuckDB's native ASOF in both
+    directions and replays the pick."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.asof import asof_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    right = (ev.where(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("click_id")))
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    "ts"))
+    return _finish(asof_nearest(left, right, ["user_id"], "ts",
+                                ["click_id"], tolerance_s=_ASOF_TOL_S))
+
+
+SQL_T_ASOF_NEAREST = f"""
+WITH r AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+l AS (SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+jb AS (SELECT l.user_id, l.ts, l.purchase_id,
+              r.click_id AS b_click, r.ts AS bt
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.ts),
+jf AS (SELECT l.user_id, l.ts, l.purchase_id,
+              r.click_id AS f_click, r.ts AS ft
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts <= r.ts),
+j AS (SELECT jb.user_id, jb.ts, jb.purchase_id,
+             jb.b_click, jb.bt, jf.f_click, jf.ft
+      FROM jb JOIN jf USING (user_id, ts, purchase_id)),
+p AS (SELECT *,
+        bt IS NOT NULL
+          AND FLOOR(epoch(ts)) - FLOOR(epoch(bt)) <= {_ASOF_TOL_S}
+          AS b_ok,
+        ft IS NOT NULL
+          AND FLOOR(epoch(ft)) - FLOOR(epoch(ts)) <= {_ASOF_TOL_S}
+          AS f_ok,
+        FLOOR(epoch(ts)) - FLOOR(epoch(bt)) AS dtb,
+        FLOOR(epoch(ft)) - FLOOR(epoch(ts)) AS dtf
+      FROM j)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, purchase_id,
+       CASE WHEN b_ok AND (NOT f_ok OR dtb <= dtf) THEN b_click
+            WHEN f_ok THEN f_click END AS click_id,
+       CASE WHEN b_ok AND (NOT f_ok OR dtb <= dtf)
+              THEN strftime(bt, '%Y-%m-%d %H:%M:%S')
+            WHEN f_ok THEN strftime(ft, '%Y-%m-%d %H:%M:%S') END
+         AS nearest_ts
+FROM p
+"""
+
+
+def q_sql_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: 7-day rolling revenue over the daily
+    order aggregate (rangeBetween on epoch seconds — the time-frame
+    window feature, distinct from every ROWS frame in the registry).
+    The global window runs over the DAILY aggregate (thousands of rows
+    at any corpus scale — the reduction happened in the
+    map-side-combined groupBy). Revenue accumulates in DECIMAL for the
+    same cross-engine exactness as sql_cumulative_revenue."""
+    from nexus_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format(F.date_trunc("day", "o_orderdate"),
+                                 "yyyy-MM-dd").alias("day"))
+         .agg(F.sum("o_totalprice").alias("rev_raw"),
+              F.count(F.lit(1)).alias("n_orders")))
+    m = m.select(
+        "day", "n_orders",
+        F.round(F.col("rev_raw").cast("decimal(38,7)"), ND).alias("rev"))
+    w = (Window.orderBy(F.to_date("day").cast("timestamp").cast("long"))
+         .rangeBetween(-6 * 86400, 0))
+    return _finish(m.select(
+        "day", "n_orders", F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d")))
+
+
+SQL_ROLLING_REVENUE = f"""
+WITH m AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(ROUND(SUM(o_totalprice), {ND}) AS DECIMAL(38,6)) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_orders,
+       CAST(rev AS DOUBLE) AS rev,
+       CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+       COUNT(*) OVER w AS n_days_7d
+FROM m
+WINDOW w AS (ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_e_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time AS-OF enrichment as a REAL executed stream: error
     events arrive as a 4-file feed and every micro-batch is enriched with
@@ -6913,6 +7013,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ppl_buckets": q_text_ppl_buckets,
     "d_dedup_canonical": q_d_dedup_canonical,
     "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "t_asof_nearest": q_t_asof_nearest,
+    "sql_rolling_revenue": q_sql_rolling_revenue,
     # group C (6): implementation CHANGED in round 8 (as-of carry made
     # struct-atomic for NULL payloads; streaming-matchup sink read-back
     # schema pinned; EDGE fixture columnar + memoized; binary sign-pack
@@ -6945,12 +7047,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_source_caps": q_d_source_caps,
     "text_bpe_learn": q_text_bpe_learn,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    # --- tail (entry 51+): rotates in for round 9, stalest first.
+    # These 24 r05-checked rows (incl. sql_left_join / sql_semi_join,
+    # displaced late by the two extra round-8 additions t_asof_nearest /
+    # sql_rolling_revenue) were displaced from the round-8 window by the
+    # new/changed groups above; they will be 3 rounds stale after this
+    # round and MUST lead round 9's window: ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
-    # --- tail (entry 51+): rotates in for round 9, stalest first.
-    # These 22 r05-checked rows were displaced from the round-8 window
-    # by the never-checked/new/changed groups above; they will be 3
-    # rounds stale after this round and MUST lead round 9's window: ---
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -7098,6 +7202,8 @@ _ORACLES: dict[str, str] = {
     "text_ppl_buckets": SQL_TEXT_PPL_BUCKETS,
     "d_dedup_canonical": SQL_D_CANONICAL,
     "e_stream_asof_enrich": SQL_E_STREAM_ASOF,
+    "t_asof_nearest": SQL_T_ASOF_NEAREST,
+    "sql_rolling_revenue": SQL_ROLLING_REVENUE,
     "sql_salted_hot_key": SQL_SALTED_HOT_KEY,
     "t_distinct_bboxes": SQL_T_BBOXES,
     "f_seasonal_filter": SQL_F_SEASONAL,

@@ -97,11 +97,6 @@ _QUERY_NOTES = {
         "executed stream (foreachBatch counting commits x4 files) with "
         "the usual ~1-2s fixed startup/commit cost; the PSI grid itself "
         "is a broadcast-sized cross join over merged kilobyte counts",
-    "sim_ann_hamming":
-        "two-stage search: integer XOR+popcount scan then float rerank "
-        "of 40 candidates/query; isolated steady ~1.1s — sweep-recorded "
-        "steady can inflate 2-4x from mid-sweep JVM/code-cache pressure "
-        "(same mechanism as the round-6 lsh_xx_parity note)",
     "d_dedup_lsh_xx_parity":
         "verification harness: runs BOTH hash families' LSH banding, "
         "then ONE shared exact-jaccard verify over the candidate union "
@@ -109,11 +104,6 @@ _QUERY_NOTES = {
         "index consumers, which degraded 4x when sweep-wide memory "
         "pressure evicted the postings cache; flags are candidate-set "
         "membership, equivalent post-threshold)",
-    "d8_insitu_subset":
-        "network-adapter simulation: paged EDGE responses normalized "
-        "with vectorized pandas ops inside each page task (round-5 "
-        "change; the row-wise reference parser remains the semantic "
-        "contract, parity-pinned in test_edge)",
     "d_dedup_components":
         "iterative log-diameter convergence, paid per query per the "
         "warm-state policy (DuckDB pays its recursive CTE likewise)",
@@ -181,10 +171,6 @@ _QUERY_NOTES = {
         "though id-order would suffice at this fixture size. Edge set "
         "checkpointed FIRST (continuation-5, the LPA policy) so the "
         "upstream kNN pair plan runs once: isolated steady 5.9 -> 2.2s",
-    "text_bigram_nll":
-        "isolated 2.2s first / 1.3s steady; sweep-recorded inversions "
-        "here are the same mid-sweep pressure noted for "
-        "sim_ann_hamming",
     "e_stream_near_dup":
         "executes a REAL 4-micro-batch incremental stream: per batch it "
         "LSH-matches against the persisted signature store AND itself, "
@@ -470,6 +456,7 @@ SF1_EXTRA = (
     # survivorship chain, and the executed streaming as-of enrichment
     "t_range_join",
     "t_interval_union",
+    "t_asof_nearest",
     "text_ppl_buckets",
     "d_dedup_canonical",
     "e_stream_asof_enrich",

@@ -94,3 +94,79 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
                       for c in payload_cols],
                     F.when(in_tol, F.col("_c._r_ts"))
                     .alias(right_time_alias)))
+
+
+def asof_nearest(left: DataFrame, right: DataFrame, key_cols: list[str],
+                 time_col: str, payload_cols: list[str],
+                 tolerance_s: int | None = None,
+                 right_time_alias: str = "nearest_ts") -> DataFrame:
+    """NEAREST-in-time LEFT join: for every left row, the right row of
+    the same key closest in EITHER direction (sensor alignment /
+    gap-tolerant enrichment — the two-sided sibling of asof_join).
+
+    Same union + running-carry scale shape, run in both directions:
+    one shuffle on the key, two in-partition sorts (ascending carries
+    the latest right at-or-before, descending carries the earliest
+    right at-or-after — Catalyst reuses the exchange, only the sort
+    differs), then one projection picks whichever side is closer.
+    Ties (equidistant before/after) resolve to the EARLIER right row —
+    a fixed convention so results are engine-replayable. `tolerance_s`
+    nulls out matches farther than the tolerance in their direction.
+    Carries are struct-atomic like asof_join (NULL payload values ride
+    with their row).
+    """
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with left: {clash}")
+
+    lcols = [c for c in left.columns
+             if c not in key_cols and c != time_col]
+    l_tagged = left.select(
+        *key_cols, F.col(time_col), F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in payload_cols],
+        F.lit(None).cast(right.schema[time_col].dataType)
+        .alias("_r_ts"))
+    r_tagged = right.select(
+        *key_cols, F.col(time_col), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        *payload_cols,
+        F.col(time_col).alias("_r_ts"))
+
+    # right rows sort before left rows at equal time in BOTH directions,
+    # so an exactly-simultaneous right row is eligible either way
+    wb = (Window.partitionBy(*key_cols)
+          .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*key_cols)
+          .orderBy(F.col(time_col).desc(), F.col("_side").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    r_row = F.when(F.col("_side") == 0,
+                   F.struct(*[F.col(c) for c in payload_cols],
+                            F.col("_r_ts")))
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        F.last(r_row, ignorenulls=True).over(wb).alias("_b"),
+        F.last(r_row, ignorenulls=True).over(wf).alias("_f"))
+
+    def secs(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    dt_b = secs(time_col) - secs("_b._r_ts")
+    dt_f = secs("_f._r_ts") - secs(time_col)
+    if tolerance_s is not None:
+        tol = F.lit(int(tolerance_s))
+        b_ok = F.col("_b").isNotNull() & (dt_b <= tol)
+        f_ok = F.col("_f").isNotNull() & (dt_f <= tol)
+    else:
+        b_ok = F.col("_b").isNotNull()
+        f_ok = F.col("_f").isNotNull()
+    use_b = b_ok & (~f_ok | (dt_b <= dt_f))
+    chosen = F.when(use_b, F.col("_b")).when(f_ok, F.col("_f"))
+    return (carried.where(F.col("_side") == 1)
+            .withColumn("_c", chosen)
+            .select(*key_cols, time_col, *lcols,
+                    *[F.col(f"_c.{c}").alias(c) for c in payload_cols],
+                    F.col("_c._r_ts").alias(right_time_alias)))

@@ -133,6 +133,43 @@ def test_asof_join_semantics(spark):
     assert got2["l2"] is None           # 5s gap > 4s tolerance
 
 
+def test_asof_nearest_picks_closer_side(spark):
+    """Two-sided nearest: closer side wins, equidistant ties resolve to
+    the EARLIER right row, tolerance applies per direction, and a key
+    with right rows only after the left ts still matches forward."""
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"),   # b at 90 (10s), f at 140 (40s) -> backward
+         (1, 130, "l2"),   # b at 90 (40s), f at 140 (10s) -> forward
+         (1, 115, "l3"),   # equidistant 90/140 (25s) -> earlier (90)
+         (2, 50, "l4")],   # only forward right at 60
+        "k long, t long, lbl string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "lbl")
+    right = spark.createDataFrame(
+        [(1, 90, 900), (1, 140, 901), (2, 60, 902)],
+        "k long, t long, rv long").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "rv")
+
+    out = asof_nearest(left, right, ["k"], "ts", ["rv"]).select(
+        "lbl", "rv", F.col("nearest_ts").cast("timestamp").cast("long")
+        .alias("nt"))
+    got = {r.lbl: (r.rv, r.nt) for r in out.collect()}
+    assert got["l1"] == (900, 90)
+    assert got["l2"] == (901, 140)
+    assert got["l3"] == (900, 90)    # tie -> earlier
+    assert got["l4"] == (902, 60)    # forward-only match
+
+    tol = asof_nearest(left, right, ["k"], "ts", ["rv"], tolerance_s=12)
+    got2 = {r.lbl: r.rv for r in tol.collect()}
+    assert got2["l1"] == 900         # 10s in tolerance
+    assert got2["l2"] == 901         # 10s forward in tolerance
+    assert got2["l3"] is None        # both sides 25s > 12s
+    assert got2["l4"] == 902         # 10s forward
+
+
 def test_asof_join_null_payload_is_atomic(spark):
     """A matched right row with a NULL payload VALUE must carry that
     NULL — not skip back to an older right row's value for that column

@@ -130,6 +130,17 @@ def test_asof_join_is_broadcast_not_range(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_is_equi_join_on_bins(spark):
+    """t_range_join must execute as a hash equi-join on (key, bin) with
+    the exact range test riding the join — never a nested-loop /
+    cartesian range join, and the error filter must reach the scan."""
+    plan = _plan(spark, "t_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [EqualTo(event_type,error)]" in plan \
+        or "EqualTo(event_type,error)" in plan
+
+
 def test_ann_lsh_joins_on_buckets(spark):
     plan = _plan(spark, "sim_ann_lsh")
     assert "CartesianProduct" not in plan
