@@ -6897,6 +6897,114 @@ WINDOW w AS (ORDER BY d
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 500.0, 25
+
+
+def q_sql_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram with DENSIFIED buckets: every bin in
+    [lo, hi) appears even when empty (the reporting contract a chart
+    needs), out-of-range values clamp into the edge bins. One map-side-
+    combined aggregate; the empty-bucket frame explodes from a literal
+    sequence (no data scan) and left-joins the counts — bin-count-
+    bounded, never data-bounded."""
+    from nexus_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_NBINS
+    bin_ = F.least(F.lit(_HIST_NBINS - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("value") - F.lit(_HIST_LO)) / F.lit(width)))).cast("int")
+    counts = (ev.where(F.col("value").isNotNull())
+              .groupBy(bin_.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("v_sum")))
+    bins = spark.range(_HIST_NBINS).select(F.col("id").cast("int")
+                                           .alias("bin"))
+    return _finish(
+        bins.join(counts, "bin", "left")
+        .select("bin",
+                (F.lit(_HIST_LO) + F.col("bin") * F.lit(width))
+                .alias("bin_lo"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                F.coalesce(F.col("v_sum"), F.lit(0.0)).alias("v_sum")))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH c AS (
+  SELECT LEAST({_HIST_NBINS - 1}, GREATEST(0, CAST(FLOOR(
+           (value - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_NBINS})
+           AS INT))) AS bin,
+         COUNT(*) AS n, SUM(value) AS v_sum
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT b.bin,
+       CAST({_HIST_LO} + b.bin * {(_HIST_HI - _HIST_LO) / _HIST_NBINS}
+            AS DOUBLE) AS bin_lo,
+       COALESCE(c.n, 0) AS n,
+       ROUND(COALESCE(c.v_sum, 0.0), {ND}) AS v_sum
+FROM (SELECT CAST(i AS INT) AS bin
+      FROM unnest(generate_series(0, {_HIST_NBINS - 1})) AS t(i)) b
+LEFT JOIN c USING (bin)
+"""
+
+
+def q_t_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime report: the GAPS between a key's coverage islands
+    (interval_union composed with one lag window) — the complement view
+    an SLA/on-call audit reads. Gap rows exist only between consecutive
+    islands; single-island keys produce none."""
+    from pyspark.sql import Window as W
+
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.range_join import interval_union
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey", F.col("o_orderdate").alias("w_start"),
+        F.expr(f"o_orderdate + INTERVAL {_IU_DAYS} DAYS").alias("w_end"))
+    isl = interval_union(iv, ["o_custkey"], "w_start", "w_end")
+    w = W.partitionBy("o_custkey").orderBy("island")
+    prev_end = F.lag("island_end").over(w)
+    return _finish(
+        isl.withColumn("gap_start", prev_end)
+        .where(F.col("gap_start").isNotNull())
+        .select("o_custkey",
+                (F.col("island") - 1).alias("after_island"),
+                "gap_start",
+                F.col("island_start").alias("gap_end"),
+                ((F.col("island_start").cast("timestamp").cast("long")
+                  - F.col("gap_start").cast("timestamp").cast("long"))
+                 / F.lit(86400.0)).alias("gap_days")))
+
+
+SQL_T_INTERVAL_GAPS = f"""
+WITH iv AS (SELECT o_custkey, o_orderdate AS s,
+                   o_orderdate + INTERVAL {_IU_DAYS} DAY AS e
+            FROM orders),
+b AS (
+  SELECT *, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                 THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+r AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY o_custkey ORDER BY s, e
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM b),
+g AS (SELECT o_custkey, island, MIN(s) AS island_start,
+             MAX(e) AS island_end
+      FROM r GROUP BY o_custkey, island),
+lagged AS (
+  SELECT *, LAG(island_end) OVER (PARTITION BY o_custkey
+                                  ORDER BY island) AS gap_start
+  FROM g)
+SELECT o_custkey, island - 1 AS after_island,
+       strftime(gap_start, '%Y-%m-%d %H:%M:%S') AS gap_start,
+       strftime(island_start, '%Y-%m-%d %H:%M:%S') AS gap_end,
+       ROUND((FLOOR(epoch(island_start)) - FLOOR(epoch(gap_start)))
+             / 86400.0, {ND}) AS gap_days
+FROM lagged WHERE gap_start IS NOT NULL
+"""
+
+
 def q_e_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time AS-OF enrichment as a REAL executed stream: error
     events arrive as a 4-file feed and every micro-batch is enriched with
@@ -7015,6 +7123,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_asof_enrich": q_e_stream_asof_enrich,
     "t_asof_nearest": q_t_asof_nearest,
     "sql_rolling_revenue": q_sql_rolling_revenue,
+    "sql_value_histogram": q_sql_value_histogram,
+    "t_interval_gaps": q_t_interval_gaps,
     # group C (6): implementation CHANGED in round 8 (as-of carry made
     # struct-atomic for NULL payloads; streaming-matchup sink read-back
     # schema pinned; EDGE fixture columnar + memoized; binary sign-pack
@@ -7045,14 +7155,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
-    "text_bpe_learn": q_text_bpe_learn,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
     # --- tail (entry 51+): rotates in for round 9, stalest first.
     # These 24 r05-checked rows (incl. sql_left_join / sql_semi_join,
     # displaced late by the two extra round-8 additions t_asof_nearest /
     # sql_rolling_revenue) were displaced from the round-8 window by the
     # new/changed groups above; they will be 3 rounds stale after this
     # round and MUST lead round 9's window: ---
+    "text_bpe_learn": q_text_bpe_learn,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "a2_stats_from_summary": q_a2_stats_from_summary,
@@ -7204,6 +7314,8 @@ _ORACLES: dict[str, str] = {
     "e_stream_asof_enrich": SQL_E_STREAM_ASOF,
     "t_asof_nearest": SQL_T_ASOF_NEAREST,
     "sql_rolling_revenue": SQL_ROLLING_REVENUE,
+    "sql_value_histogram": SQL_VALUE_HISTOGRAM,
+    "t_interval_gaps": SQL_T_INTERVAL_GAPS,
     "sql_salted_hot_key": SQL_SALTED_HOT_KEY,
     "t_distinct_bboxes": SQL_T_BBOXES,
     "f_seasonal_filter": SQL_F_SEASONAL,
