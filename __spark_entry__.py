@@ -7110,10 +7110,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
-    # group B (7): NEW in round 8 — binned range join + interval union
-    # (operators/range_join.py), pivot + cumulative-share SQL surface,
-    # CCNet-style perplexity buckets, dedup cluster survivorship, and
-    # the executed streaming as-of enrichment ---
+    # group B (11): NEW in round 8 — binned range join + interval union
+    # + gap report (operators/range_join.py), pivot / cumulative-share /
+    # RANGE-frame rolling / densified-histogram SQL surface, CCNet-style
+    # perplexity buckets, dedup cluster survivorship, the two-sided
+    # nearest-in-time join, and the executed streaming as-of
+    # enrichment ---
     "t_range_join": q_t_range_join,
     "t_interval_union": q_t_interval_union,
     "sql_pivot_monthly": q_sql_pivot_monthly,
@@ -7136,8 +7138,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_quantize_binary": q_sim_quantize_binary,
     "sim_ann_hamming": q_sim_ann_hamming,
     "sim_binary_recall_at_k": q_sim_binary_recall,
-    # group D (20): r05-checked rows, exactly 2 rounds stale — the
-    # stalest surviving block (20 of 42; the displaced 22 lead round 9,
+    # group D (16): r05-checked rows, exactly 2 rounds stale — the
+    # stalest surviving block (16 of 42; the displaced 26, including the
+    # four rows the late round-8 additions pushed out, lead round 9 —
     # see the tail comment) ---
     "d_weighted_sample": q_d_weighted_sample,
     "sim_ann_int8": q_sim_ann_int8,
@@ -7156,11 +7159,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
     # --- tail (entry 51+): rotates in for round 9, stalest first.
-    # These 24 r05-checked rows (incl. sql_left_join / sql_semi_join,
-    # displaced late by the two extra round-8 additions t_asof_nearest /
-    # sql_rolling_revenue) were displaced from the round-8 window by the
-    # new/changed groups above; they will be 3 rounds stale after this
-    # round and MUST lead round 9's window: ---
+    # These 26 r05-checked rows (incl. text_bpe_learn / text_bpe_tokenize
+    # / sql_left_join / sql_semi_join, displaced late by the four extra
+    # round-8 additions t_asof_nearest / sql_rolling_revenue /
+    # sql_value_histogram / t_interval_gaps) were displaced from the
+    # round-8 window by the new/changed groups above; they will be 3
+    # rounds stale after this round and MUST lead round 9's window: ---
     "text_bpe_learn": q_text_bpe_learn,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "sql_left_join": q_sql_left_join,
