@@ -457,6 +457,9 @@ SF1_EXTRA = (
     "t_range_join",
     "t_interval_union",
     "t_asof_nearest",
+    "t_interval_gaps",
+    "sql_rolling_revenue",
+    "sql_value_histogram",
     "text_ppl_buckets",
     "d_dedup_canonical",
     "e_stream_asof_enrich",
