@@ -4999,7 +4999,7 @@ FROM hr WHERE rank <= {_KNN_K}
 
 # The synthesized EDGE "server" per sf_dir (see q_d8_insitu_subset's
 # docstring): fixture-not-adapter, so built once per process.
-_D8_EP_CACHE: dict[str, dict] = {}
+_D8_EP_CACHE: dict[tuple, dict] = {}
 
 
 def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5024,7 +5024,12 @@ def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nexus_spark.sources.edge import insitu_subset, make_fixture_endpoint
 
-    ep = _D8_EP_CACHE.get(sf_dir)
+    # Key on (sf_dir, applicationId): the endpoint holds a Spark
+    # broadcast bound to the creating SparkContext, so a cached entry
+    # must not outlive its context — a restarted session in the same
+    # process would dereference a destroyed broadcast.
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
+    ep = _D8_EP_CACHE.get(cache_key)
     if ep is None:
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
                           columns=["event_id", "user_id", "ts", "value",
@@ -5042,7 +5047,9 @@ def q_d8_insitu_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   t["value"])]
         ep = make_fixture_endpoint(records, name="events_edge",
                                    items_per_page=2000, spark=spark)
-        _D8_EP_CACHE[sf_dir] = ep
+        for k in [k for k in _D8_EP_CACHE if k[1] != cache_key[1]]:
+            del _D8_EP_CACHE[k]  # drop endpoints of dead contexts
+        _D8_EP_CACHE[cache_key] = ep
     df = insitu_subset(spark, ep, "2024-01-01T00:00:00Z",
                        "2027-12-31T23:59:59Z", "-10,-5,5,3",
                        parameter="sst", depth_min=2.0, depth_max=8.0,
@@ -7035,6 +7042,15 @@ def q_e_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["click_id"], tolerance_s=_ASOF_TOL_S)
         out.write.mode("append").parquet(f"{work}/out")
 
+    # Pin the read-back schema (asof_join output on a zero-row batch):
+    # an empty error-feed cut drains nothing, leaving only
+    # _spark_metadata in the sink, and schema inference would raise
+    # 'Unable to infer schema' — same failure mode the streaming-matchup
+    # read-back fixed in round 8.
+    out_schema = asof_join(
+        spark.read.schema(schema).parquet(feed).limit(0), right,
+        ["user_id"], "ts", ["click_id"], tolerance_s=_ASOF_TOL_S).schema
+
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 2).parquet(feed))
     with _stream_job_conf(spark):
@@ -7044,7 +7060,8 @@ def q_e_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming as-of drain exceeded 300s")
-    return _finish(spark.read.parquet(f"{work}/out").select(
+    return _finish(spark.read.schema(out_schema)
+                   .parquet(f"{work}/out").select(
         "user_id", "error_id", "ts", "click_id", "asof_ts"))
 
 

@@ -484,9 +484,18 @@ def make_fixture_endpoint(records: list[dict], name: str = "fixture",
              for r in records], dtype=bool)
 
     payload = (records, cols)
-    b_payload = (spark.sparkContext.broadcast(payload)
-                 if spark is not None else None)
+    b_payload = None
+    if spark is not None:
+        b_payload = spark.sparkContext.broadcast(payload)
+        # Drop the local reference so fetcher/_select close over ONLY the
+        # broadcast handle: otherwise every page task re-pickles the full
+        # corpus + parsed columns into its closure and the broadcast
+        # saves nothing.
+        payload = None
     memo: dict[tuple, Any] = {}
+
+    def _payload():
+        return b_payload.value if b_payload is not None else payload
 
     def _select(params: dict):
         """Indices (np.ndarray, corpus order) of records matching the
@@ -499,7 +508,7 @@ def make_fixture_endpoint(records: list[dict], name: str = "fixture",
         got = memo.get(key)
         if got is not None:
             return got
-        _, c = b_payload.value if b_payload is not None else payload
+        _, c = _payload()
         mask = ((c["time_ms"] >= _parse_time_ms(params["startTime"]))
                 & (c["time_ms"] <= _parse_time_ms(params["endTime"])))
         if "bbox" in params:
@@ -516,8 +525,7 @@ def make_fixture_endpoint(records: list[dict], name: str = "fixture",
         if params.get("variable"):
             has = c.get(f"has:{params['variable']}")
             if has is None:  # variable outside the precomputed set
-                recs = (b_payload.value if b_payload is not None
-                        else payload)[0]
+                recs = _payload()[0]
                 has = np.array([params["variable"] in r for r in recs],
                                dtype=bool)
             mask &= has
@@ -527,7 +535,7 @@ def make_fixture_endpoint(records: list[dict], name: str = "fixture",
 
     def fetcher(url: str, params: dict) -> dict:
         idx = _select(params)
-        recs = (b_payload.value if b_payload is not None else payload)[0]
+        recs = _payload()[0]
         ipp = forced_items_per_page or int(params.get("itemsPerPage", 1000))
         start = int(params.get("startIndex", 0))
         page = ([recs[i] for i in idx[start:start + ipp]] if ipp else [])
