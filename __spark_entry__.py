@@ -3609,6 +3609,13 @@ def q_e_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch replay: the oracle recomputes every vector's cell and m codes
     with the shared trainer CTEs.
 
+    Round-9 mechanism: the per-batch encode is pq_stream_encoder's
+    single mapInPandas stage over broadcast-by-closure numpy state
+    (bit-exact with the relational bulk encode, unit-pinned) — the
+    earlier relational per-batch plan paid ~0.6s Py4J construction +
+    three near-empty shuffle stages per micro-batch (stage attribution
+    in BENCH_NOTES.md).
+
     Output: vec_id, cell_id, sub, code (long format, one row per
     vector-subspace)."""
     import atexit
@@ -3617,19 +3624,22 @@ def q_e_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from nexus_spark.catalog import load_table
-    from nexus_spark.operators.similarity import (_cell_scores, _flat,
-                                                  _flat_cached,
-                                                  _pq_assign,
-                                                  _pq_subspaces,
+    from nexus_spark.operators.similarity import (_flat_cached,
                                                   _select_centroids,
-                                                  pq_index_cached)
+                                                  pq_index_cached,
+                                                  pq_stream_encoder)
 
     emb = load_table(spark, sf_dir, "embeddings")
     codebook, _ = pq_index_cached(emb, m=_PQ_M, ksub=_PQ_KSUB)
     corpus = _flat_cached(emb, "vec_id", "embedding", 64, "c")
-    cents_df = _select_centroids(corpus, 32, 64)
-    # k-row training-time state, materialized once for the batch loop
-    cents = spark.createDataFrame(cents_df.collect(), cents_df.schema)
+    # k-row training-time state, collected once for the batch loop: the
+    # encoder captures it as numpy arrays so each micro-batch is ONE
+    # narrow mapInPandas stage (scan -> encode -> partitioned write, no
+    # shuffle, no 64-column plan to rebuild per batch). Bit-exact with
+    # the relational bulk-build encode — see pq_stream_encoder.
+    cent_rows = _select_centroids(corpus, 32, 64).collect()
+    enc, enc_schema = pq_stream_encoder(cent_rows, codebook.collect(),
+                                        64, _PQ_M)
 
     feed = _staged_feed(spark, sf_dir, "vec_feed")
     work = tempfile.mkdtemp(prefix="nexus_pq_ingest_")
@@ -3637,24 +3647,12 @@ def q_e_stream_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, ckpt = f"{work}/store", f"{work}/ckpt"
 
     def step(batch_df, _batch_id):
-        flat = _flat(batch_df, "vec_id", "embedding", 64, "c")
-        cell = (_cell_scores(flat, cents, 64, "c")
-                .groupBy("id")
-                .agg(F.max_by(
-                    "cent_id",
-                    F.struct(F.round(F.col("c_cos"), 6).alias("s"),
-                             (-F.col("cent_id")).alias("t")))
-                    .alias("cell_id")))
-        codes = _pq_assign(_pq_subspaces(flat, 64, _PQ_M, "c"),
-                           codebook, 64 // _PQ_M)
-        (codes.join(cell, "id")
-         .select(F.col("id").alias("vec_id"), "cell_id", "sub", "code")
+        (batch_df.mapInPandas(enc, enc_schema)
          .write.mode("append").partitionBy("cell_id").parquet(store))
 
     schema = spark.read.parquet(feed).schema
     # 2 files per trigger: still a multi-commit incremental drain, but
-    # each micro-batch pays the fixed cost (plan analysis of the 64-col
-    # encode + 2 aggregate stages + partitioned write) once per 2 files
+    # each micro-batch is a single narrow stage + partitioned append
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 2)
               .option("pathGlobFilter", "*.parquet").parquet(feed))
@@ -3850,22 +3848,36 @@ def q_e_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds that set relationally: gaps-and-islands sessions with the
     merge-on-touch break condition (delta > gap — per-event windows
     merge when they touch, so an event exactly gap after the last still
-    EXTENDS the session) and the same emission cut."""
+    EXTENDS the session) and the same emission cut.
+
+    Sink is parquet + schema-pinned read-back (round 9): the memory
+    sink collected every emitted session to the driver — ~2s of the
+    4.1s sf1 steady for 953k rows, and a driver-memory ceiling a real
+    deployment doesn't have; the distributed sink keeps emission
+    executor-side (sf1 steady 4.1 -> ~2.5s, attribution in
+    BENCH_NOTES.md)."""
+    import atexit
+    import shutil
+    import tempfile
+
     from nexus_spark.streaming.events import session_stats
 
     watch = _staged_feed(spark, sf_dir, "events")
     schema = spark.read.parquet(watch).schema
     stream = spark.readStream.schema(schema).parquet(watch)
     out = session_stats(stream, gap="30 minutes", watermark="30 minutes")
-    _STREAM_Q_N[0] += 1
-    name = f"stream_sess_out_{_STREAM_Q_N[0]}"
+    work = tempfile.mkdtemp(prefix="nexus_sess_out_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     with _stream_job_conf(spark):
-        q = (out.writeStream.format("memory").queryName(name)
+        q = (out.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
              .outputMode("append").trigger(availableNow=True).start())
         if not q.awaitTermination(300):  # False = timeout (no raise)
             q.stop()
             raise TimeoutError("streaming sessionize drain exceeded 300s")
-    return _finish(spark.table(name))
+    # Explicit schema: a zero-emission drain leaves only _spark_metadata
+    return _finish(spark.read.schema(out.schema).parquet(f"{work}/out"))
 
 
 SQL_E_STREAM_SESSIONS = f"""

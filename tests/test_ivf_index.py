@@ -216,3 +216,43 @@ def test_ivf_bin_layout_recall_and_pruning(spark, tmp_path):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_pq_stream_encoder_matches_relational_encode(spark):
+    """The streaming ingest's single-stage numpy encoder must be
+    bit-exact with the relational bulk-build encode (same left-to-right
+    accumulation, same (ss - 2*st) + tt association, same HALF_UP 6-dp
+    tie-breaks) — e_stream_pq_ingest's drained store is oracle-compared
+    against the relational trainer CTEs, so any divergence here is a
+    driver red row."""
+    from nexus_spark.operators.similarity import (_cell_scores, _flat,
+                                                  _flat_cached,
+                                                  _pq_assign,
+                                                  _pq_subspaces,
+                                                  _select_centroids,
+                                                  pq_stream_encoder,
+                                                  pq_train)
+
+    emb = _emb(spark)
+    codebook = pq_train(emb, m=8, ksub=16)
+    corpus = _flat_cached(emb, "vec_id", "embedding", 64, "c")
+    cents_df = _select_centroids(corpus, 8, 64)
+    cent_rows = cents_df.collect()
+    cents = spark.createDataFrame(cent_rows, cents_df.schema)
+
+    flat = _flat(emb, "vec_id", "embedding", 64, "c")
+    cell = (_cell_scores(flat, cents, 64, "c").groupBy("id")
+            .agg(F.max_by(
+                "cent_id",
+                F.struct(F.round(F.col("c_cos"), 6).alias("s"),
+                         (-F.col("cent_id")).alias("t"))).alias("cell_id")))
+    codes = _pq_assign(_pq_subspaces(flat, 64, 8, "c"), codebook, 8)
+    relational = set(map(tuple, (
+        codes.join(cell, "id")
+        .select(F.col("id").alias("vec_id"),
+                F.col("cell_id").cast("long").alias("cell_id"),
+                "sub", "code")).collect()))
+
+    enc, schema = pq_stream_encoder(cent_rows, codebook.collect(), 64, 8)
+    streamed = set(map(tuple, emb.mapInPandas(enc, schema).collect()))
+    assert streamed == relational
