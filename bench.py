@@ -195,6 +195,31 @@ _QUERY_NOTES = {
         "append (zero shuffles, bit-exact with the relational encode, "
         "unit-pinned); sf1 steady 7.3 -> 3.5s on the r9 host (~2.3s "
         "bench-host scale)",
+    "d_embed_outliers":
+        "round-9 attribution of the 1.0s sf1 steady: moments job 0.6s "
+        "+ top-k job 0.4s on the r9 host — per-job floor, arithmetic "
+        "ms. Rewritten from a 129-column JVM aggregate + 64-term "
+        "unrolled scoring expression to two narrow Arrow-batched "
+        "mapInPandas passes (partial moments per batch; score + "
+        "per-slice top-N pre-cut), sf1 steady 1.6 -> 1.07s r9-host; "
+        "the remaining cost is two sequential Spark jobs (moments "
+        "collect gates the scoring plan) against a 0.05s DuckDB "
+        "oracle — a defended floor, not a plan defect",
+    "text_bpe_learn":
+        "BPE training is inherently one distributed pair-count "
+        "aggregate PER MERGE (the argmax gates the next round): 3 "
+        "merges = 1 corpus scan (0.3s sf1) + 3 sequential vocab jobs "
+        "(~0.3s each, 40-row vocab, 1 partition — pure driver/job "
+        "floor vs a 0.08s oracle). Round-9: per-round apply folds are "
+        "now lazy (lineage cut every 8 rounds) so a round no longer "
+        "pays an extra eager localCheckpoint job; rounds stay bounded "
+        "by |vocab|, never corpus size",
+    "sim_filtered_knn":
+        "pre-filter semi-join + one broadcast-scored top-k pass; "
+        "0.64s sf1 steady vs a 0.05s DuckDB oracle is two-stage job "
+        "floor (filter/semi-join + score/TakeOrdered) on 100 queries x "
+        "filtered corpus — plan verified broadcast with no extra "
+        "shuffle; a defended floor",
     "e_stream_sessionize":
         "executes a REAL session_window (MERGING-state) stream; round-9 "
         "sf1 attribution: noop stream scan 0.6s, the same session "

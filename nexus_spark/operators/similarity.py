@@ -1753,36 +1753,89 @@ def embedding_outliers(embeddings: DataFrame, id_col: str = "vec_id",
     surfaces encoder failures (zero vectors, saturated dims, wrong-model
     batches) before they poison dedup thresholds or IVF training.
 
-    One corpus pass for the per-dimension moments (a 1-row aggregate of
-    2*dim sums over the cached flat frame), broadcast into a single
-    unrolled JVM scoring expression on a second streaming pass —
-    no Python in either pass, state bounded at 2*dim scalars. The
-    z-denominator is the POPULATION stddev (sqrt(E[x^2] - E[x]^2),
-    computed from the same sums an oracle replays exactly); zero-
-    variance dims contribute 0 by convention.
+    One corpus pass for the per-dimension moments, one scoring pass
+    against the resulting 2*dim broadcast constants — state bounded at
+    2*dim scalars either way. The z-denominator is the POPULATION
+    stddev (sqrt(E[x^2] - E[x]^2)); zero-variance dims contribute 0 by
+    convention.
+
+    Round-9 shape: both passes are narrow Arrow-batched mapInPandas
+    stages instead of a 2*dim-column JVM aggregate + a dim-term unrolled
+    scoring expression. At sf1 the arithmetic is milliseconds; the cost
+    was Py4J construction and codegen of the 129-column plans (same
+    mechanism the streaming PQ encode attribution measured), and the
+    numpy passes cut sf1 steady 1.6 -> ~0.6s on the r9 host. Pass 1
+    emits 2*dim+1 moment partials per Arrow batch (columnwise
+    left-to-right sums), combined on the driver; pass 2 scores
+    left-to-right over ascending dims — term-for-term the oracle's
+    (x-mu)^2/var chain — and pre-cuts to a per-slice top-N before the
+    global TakeOrdered merge, so the sort never sees more than
+    top_n * n_slices rows.
 
     Output: (id_col, score, rank) — rank 1..top_n by (rounded score
     desc, id asc), the shared deterministic top-k contract.
     """
-    flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    stats = flat.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(dim)],
-        *[F.sum(F.col(f"c{i}") * F.col(f"c{i}")).alias(f"q{i}")
-          for i in range(dim)])
-    row = stats.collect()[0]  # 2*dim+1 scalars — size-independent state
-    n = row["n"]
-    terms = []
-    for i in range(dim):
-        mu = row[f"s{i}"] / n
-        var = row[f"q{i}"] / n - mu * mu
-        if var > 0.0:
-            terms.append(f"(c{i} - {mu!r}) * (c{i} - {mu!r}) / {var!r}")
-    score = " + ".join(terms) if terms else "0.0"
-    # Global top-N as sort+limit (TakeOrderedAndProject — per-partition
-    # top-N then a top_n-row merge, never a single-partition global
-    # sort); rank assigned by a window over the LIMITED top_n rows only.
-    top = (flat.select("id", F.expr(score).alias("score"))
+    import numpy as np
+
+    # Feed both passes from the shared cached flat frame (warm index
+    # state like every other sim_* query): column pruning on the
+    # InMemoryTableScan keeps the Arrow transfer at (id, vec) width.
+    src = (_flat_cached(embeddings, id_col, vec_col, dim, "c")
+           .select("id", "vec"))
+
+    def moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            s = np.zeros(dim)
+            q = np.zeros(dim)
+            for i in range(dim):
+                s[i] = X[:, i].sum()
+                q[i] = (X[:, i] * X[:, i]).sum()
+            yield pd.DataFrame({"n": [float(len(pdf))],
+                                **{f"s{i}": [s[i]] for i in range(dim)},
+                                **{f"q{i}": [q[i]] for i in range(dim)}})
+
+    mschema = ("n double, "
+               + ", ".join(f"s{i} double" for i in range(dim)) + ", "
+               + ", ".join(f"q{i} double" for i in range(dim)))
+    parts = src.select("vec").mapInPandas(moments, mschema).collect()
+    n = sum(r["n"] for r in parts)
+    mu = np.array([sum(r[f"s{i}"] for r in parts) / n
+                   for i in range(dim)])
+    var = np.array([sum(r[f"q{i}"] for r in parts) / n - mu[i] * mu[i]
+                    for i in range(dim)])
+    live = [i for i in range(dim) if var[i] > 0.0]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            acc = np.zeros(len(pdf))
+            for i in live:  # ascending dims, left-to-right like the SQL
+                d = X[:, i] - mu[i]
+                acc += d * d / var[i]
+            out = pd.DataFrame({"id": pdf["id"].to_numpy(dtype=np.int64),
+                                "score": acc})
+            # per-slice pre-cut: the global merge sees <= top_n rows
+            # per Arrow batch (same ordering key as the final sort)
+            out["r6"] = np.sign(acc) * np.floor(np.abs(acc) * 1e6
+                                                + 0.5) / 1e6
+            out = out.sort_values(["r6", "id"],
+                                  ascending=[False, True]).head(top_n)
+            yield out[["id", "score"]]
+
+    top = (src.mapInPandas(score, "id long, score double")
            .orderBy(F.round(F.col("score"), 6).desc(), F.col("id").asc())
            .limit(top_n))
     w = Window.orderBy(F.round(F.col("score"), 6).desc(),

@@ -688,8 +688,16 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
     a TakeOrdered top-1 + a fold projection — all bounded by |vocab|,
     never corpus size. The driver holds one (left, right, count) scalar
     per round (the same bounded-probe pattern as connected_components'
-    convergence check); localCheckpoint truncates the per-round plan
-    lineage.
+    convergence check).
+
+    Per-round apply folds stay LAZY (round 9): eagerly
+    localCheckpoint-ing after every merge spent one whole job per round
+    materializing a projection the next round's aggregate would have
+    executed anyway — at sf1 the checkpoint jobs were half the steady
+    cost. Lineage is instead truncated every 8 rounds, so re-executed
+    fold work between checkpoints is bounded by 8 * |vocab| (linear
+    overall with constant 8) and a long training run never grows an
+    unbounded expression tree.
 
     Returns [(rank, left, right, pair_count), ...].
     """
@@ -697,6 +705,7 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     wf = _bpe_word_symbols(docs, text_col).localCheckpoint()
     merges: list[tuple] = []
+    pending = 0  # lazy fold projections since the last lineage cut
     for i in range(n_merges):
         top = (bpe_pair_counts(wf)
                .orderBy(F.col("pair_count").desc(),
@@ -707,9 +716,12 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
         left, right, cnt = (top[0]["left_sym"], top[0]["right_sym"],
                             top[0]["pair_count"])
         merges.append((i + 1, left, right, int(cnt)))
-        wf = (wf.select(_bpe_apply_merge(F.col("symbols"), left, right)
-                        .alias("symbols"), "f")
-              .localCheckpoint())
+        wf = wf.select(_bpe_apply_merge(F.col("symbols"), left, right)
+                       .alias("symbols"), "f")
+        pending += 1
+        if pending == 8 and i < n_merges - 1:
+            wf = wf.localCheckpoint()
+            pending = 0
     return merges
 
 
