@@ -7118,82 +7118,11 @@ FROM t
 # "done = green" was an explicit round-3 task) = the 50-entry window;
 # see the tail comment for the 6 demands deferred to round 5.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-8 WINDOW (first 50): executes the rotation planned in
-    # the round-7 tail comment.
-    # group A (17): r04-checked rows displaced from the round-7 window —
-    # 3 rounds stale after r7, they lead unconditionally ---
-    "g_spatial_smooth": q_spatial_smooth,
-    "f_hof_deseason": q_f_hof_deseason,
-    "s3_clim_map": q_s3_clim_map,
-    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
-    "t_days_in_range": q_t_days_in_range,
-    "t_distinct_bboxes": q_t_distinct_bboxes,
-    "a4_corr_grid": q_a4_corr_grid,
-    "etl_transforms": q_etl_transforms,
-    "sql_topk_per_group": q_sql_topk,
-    "sql_rollup": q_sql_rollup,
-    "sql_hourly_events": q_sql_hourly_events,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_bigram_nll": q_text_bigram_nll,
-    "d_chunking": q_d_chunking,
-    "text_vocab_oov": q_text_vocab_oov,
-    "d_shuffle_shards": q_d_shuffle_shards,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    # group B (11): NEW in round 8 — binned range join + interval union
-    # + gap report (operators/range_join.py), pivot / cumulative-share /
-    # RANGE-frame rolling / densified-histogram SQL surface, CCNet-style
-    # perplexity buckets, dedup cluster survivorship, the two-sided
-    # nearest-in-time join, and the executed streaming as-of
-    # enrichment ---
-    "t_range_join": q_t_range_join,
-    "t_interval_union": q_t_interval_union,
-    "sql_pivot_monthly": q_sql_pivot_monthly,
-    "sql_cumulative_revenue": q_sql_cumulative_revenue,
-    "text_ppl_buckets": q_text_ppl_buckets,
-    "d_dedup_canonical": q_d_dedup_canonical,
-    "e_stream_asof_enrich": q_e_stream_asof_enrich,
-    "t_asof_nearest": q_t_asof_nearest,
-    "sql_rolling_revenue": q_sql_rolling_revenue,
-    "sql_value_histogram": q_sql_value_histogram,
-    "t_interval_gaps": q_t_interval_gaps,
-    # group C (6): implementation CHANGED in round 8 (as-of carry made
-    # struct-atomic for NULL payloads; streaming-matchup sink read-back
-    # schema pinned; EDGE fixture columnar + memoized; binary sign-pack
-    # rewritten as a fold so the fused stage stays JIT-compiled, and
-    # hamming stage-1 top-k bounded by the histogram cut) ---
-    "t_asof_events": q_t_asof_events,
-    "e_stream_matchup": q_e_stream_matchup,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "sim_quantize_binary": q_sim_quantize_binary,
-    "sim_ann_hamming": q_sim_ann_hamming,
-    "sim_binary_recall_at_k": q_sim_binary_recall,
-    # group D (16): r05-checked rows, exactly 2 rounds stale — the
-    # stalest surviving block (16 of 42; the displaced 26, including the
-    # four rows the late round-8 additions pushed out, lead round 9 —
-    # see the tail comment) ---
-    "d_weighted_sample": q_d_weighted_sample,
-    "sim_ann_int8": q_sim_ann_int8,
-    "d_corpus_diff": q_d_corpus_diff,
-    "sim_mean_pool": q_sim_mean_pool,
-    "sim_int8_recall_at_k": q_sim_int8_recall,
-    "d_export_pipeline": q_d_export_pipeline,
-    "d_topic_clusters": q_d_topic_clusters,
-    "d_kmeans_round": q_d_kmeans_round,
-    "e_stream_dedup_exact": q_e_stream_dedup_exact,
-    "e_stream_window_watermark": q_e_stream_window_watermark,
-    "d_importance_select": q_d_importance_select,
-    "text_lang_segments": q_text_lang_segments,
-    "e_stream_sessionize": q_e_stream_sessionize,
-    "text_zipf_profile": q_text_zipf_profile,
-    "text_pmi_bigrams": q_text_pmi_bigrams,
-    "d_source_caps": q_d_source_caps,
-    # --- tail (entry 51+): rotates in for round 9, stalest first.
-    # These 26 r05-checked rows (incl. text_bpe_learn / text_bpe_tokenize
-    # / sql_left_join / sql_semi_join, displaced late by the four extra
-    # round-8 additions t_asof_nearest / sql_rolling_revenue /
-    # sql_value_histogram / t_interval_gaps) were displaced from the
-    # round-8 window by the new/changed groups above; they will be 3
-    # rounds stale after this round and MUST lead round 9's window: ---
+    # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
+    # the round-8 tail comment.
+    # group A (26): r05-checked rows displaced from the round-8 window —
+    # 3 rounds stale after r8 (the reference's core §2.1 surface among
+    # them), they lead unconditionally ---
     "text_bpe_learn": q_text_bpe_learn,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "sql_left_join": q_sql_left_join,
@@ -7220,7 +7149,35 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # --- checked in round 6 (next-stalest) ---
+    # group B (9): implementation CHANGED in round 9 (streaming PQ
+    # ingest collapsed to the single-stage mapInPandas encoder;
+    # sessionize sunk to parquet instead of the driver-side memory
+    # sink; embed-outliers' two narrow numpy passes; as-of enrichment
+    # read-back schema pinned; D8 endpoint cache scoped to the Spark
+    # context + edge fixture broadcast-closure fix) plus the four
+    # knn_graph_ivf consumers whose r8 per-cell BLAS rewrite the r8
+    # ADVICE flagged as window-unverified (registry rule: changed
+    # implementations join the next checked window) ---
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "d_embed_outliers": q_d_embed_outliers,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "sim_knn_graph": q_sim_knn_graph,
+    "sim_pagerank": q_sim_pagerank,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    # group C (4): the no_oracle rows' green oracled siblings, r06-
+    # checked and 2 rounds stale — windowed per the r8 verdict ask so
+    # the hash-family parity and checked-lowpass legs stay fresh ---
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    # group D (11): r06-checked rows, 2 rounds stale — stalest-first
+    # pad (f_lowpass is the declared no_oracle raw row: its slot is a
+    # rows-only check by convention, its oracled sibling is in group C)
+    # ---
     "f_lowpass": q_f_lowpass,
     "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
@@ -7232,25 +7189,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     "d_dedup_simhash": q_d_simhash,
+    # --- tail (entry 51+): rotates in for round 10, stalest first.
+    # These 28 r06-checked rows will be 3 rounds stale after round 9
+    # and MUST lead round 10's window: ---
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
     "sql_json_extract": q_sql_json,
     "sql_distinct_counts": q_sql_distinct,
     "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
     "d_curation_pipeline": q_d_curation_pipeline,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
     "d_sample_exact_n": q_d_sample_exact_n,
     "d_token_packing": q_d_token_packing,
     "text_tfidf_top_terms": q_text_tfidf,
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    "f_lowpass_checked": q_f_lowpass_checked,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
     "text_gopher_quality": q_text_gopher_quality,
     "e_stream_drift_psi": q_e_stream_drift_psi,
     "sim_mmr_select": q_sim_mmr_select,
@@ -7259,25 +7216,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_grouping_sets": q_sql_grouping_sets,
     "d_quality_funnel": q_d_quality_funnel,
     "d_dedup_containment": q_d_dedup_containment,
-    "sim_knn_graph": q_sim_knn_graph,
     "d_lake_merge_upsert": q_d_lake_merge_upsert,
     "g_gaussian_interp": q_gauss_interp,
     "text_nb_classifier": q_text_nb_classifier,
     "text_nb_confusion": q_text_nb_confusion,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    # --- checked in round 7 (freshest; rotate last) ---
+    # --- checked in round 7 (next-stalest; round 10's pad draws from
+    # here in this order) ---
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
-    "sim_pagerank": q_sim_pagerank,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
     "d_embed_covariance": q_d_embed_covariance,
     "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
-    "d_embed_outliers": q_d_embed_outliers,
     "e_stream_quality_gate": q_e_stream_quality_gate,
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "d_gated_export": q_d_gated_export,
@@ -7315,6 +7266,54 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_sessionize": q_sql_sessionize,
     "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
+    # --- checked in round 8 (freshest before this round's window) ---
+    "g_spatial_smooth": q_spatial_smooth,
+    "f_hof_deseason": q_f_hof_deseason,
+    "s3_clim_map": q_s3_clim_map,
+    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
+    "t_days_in_range": q_t_days_in_range,
+    "t_distinct_bboxes": q_t_distinct_bboxes,
+    "a4_corr_grid": q_a4_corr_grid,
+    "etl_transforms": q_etl_transforms,
+    "sql_topk_per_group": q_sql_topk,
+    "sql_rollup": q_sql_rollup,
+    "sql_hourly_events": q_sql_hourly_events,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bigram_nll": q_text_bigram_nll,
+    "d_chunking": q_d_chunking,
+    "text_vocab_oov": q_text_vocab_oov,
+    "d_shuffle_shards": q_d_shuffle_shards,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "t_range_join": q_t_range_join,
+    "t_interval_union": q_t_interval_union,
+    "sql_pivot_monthly": q_sql_pivot_monthly,
+    "sql_cumulative_revenue": q_sql_cumulative_revenue,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "d_dedup_canonical": q_d_dedup_canonical,
+    "t_asof_nearest": q_t_asof_nearest,
+    "sql_rolling_revenue": q_sql_rolling_revenue,
+    "sql_value_histogram": q_sql_value_histogram,
+    "t_interval_gaps": q_t_interval_gaps,
+    "t_asof_events": q_t_asof_events,
+    "e_stream_matchup": q_e_stream_matchup,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
+    "d_export_pipeline": q_d_export_pipeline,
+    "d_topic_clusters": q_d_topic_clusters,
+    "d_kmeans_round": q_d_kmeans_round,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
+    "text_zipf_profile": q_text_zipf_profile,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
+    "d_source_caps": q_d_source_caps,
 }
 
 _ORACLES: dict[str, str] = {
