@@ -217,9 +217,9 @@ _QUERY_NOTES = {
     "sim_filtered_knn":
         "pre-filter semi-join + one broadcast-scored top-k pass; "
         "0.64s sf1 steady vs a 0.05s DuckDB oracle is two-stage job "
-        "floor (filter/semi-join + score/TakeOrdered) on 100 queries x "
-        "filtered corpus — plan verified broadcast with no extra "
-        "shuffle; a defended floor",
+        "floor (filter/semi-join + score/top-k) on 100 queries x "
+        "filtered corpus — queries ride a broadcast, the semi-join and "
+        "per-query top-k are the only shuffles; a defended floor",
     "e_stream_sessionize":
         "executes a REAL session_window (MERGING-state) stream; round-9 "
         "sf1 attribution: noop stream scan 0.6s, the same session "
