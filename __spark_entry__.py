@@ -2149,45 +2149,107 @@ _KM_K = 16
 
 def q_d_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One spherical k-means (Lloyd) round, driver-checked end to end —
-    iterative ML as a relational plan both engines compute identically:
+    iterative ML with the same semantics both engines compute:
     md5-seeded init → max-cosine assignment (rounded tie-breaks) →
     per-component member means (ROUNDED to 6dp on both sides, so the
     refined centroid is the identical double everywhere) → per-cluster
     profile against the refined centroid (member count, refined norm,
     mean member cosine). The in-library kmeans_refine runs the same
     round unrounded for more iterations; this query pins one round to
-    the oracle."""
+    the oracle.
+
+    Round-9 shape: ONE Arrow-batched mapInPandas pass emitting per-cell
+    sufficient statistics — count, per-dim sums, and per-dim NORMALIZED
+    sums (sum of v/|v|) — k*(2*dim+1) scalars per Arrow batch; the
+    driver finishes the k-row profile exactly:
+    avg_cosine = dot(sum(v/|v|), m) / (n * |m|), which equals
+    AVG(dot(v, m) / (|v| |m|)) by linearity. The former relational plan
+    (crossJoin assign + a 64-avg decimal aggregate + a re-join scoring
+    pass) was the measured wide-plan/Py4J floor mechanism — same fix as
+    d_embed_outliers and the streaming PQ encode (PLANS.md r9)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
     from nexus_spark.catalog import load_table
     from nexus_spark.operators import similarity as S
 
     dim = S.DIM
     emb = load_table(spark, sf_dir, "embeddings")
     flat = S._flat_cached(emb, "vec_id", "embedding", dim, "c")
-    cents = S._select_centroids(flat, _KM_K, dim)
-    assign = (S._cell_scores(flat, cents, dim, "c")
-              .groupBy("id")
-              .agg(F.max_by(
-                  "cent_id",
-                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
-                           (-F.col("cent_id")).alias("t")))
-                  .alias("cent_id")))
-    members = flat.drop("vec").join(assign, "id")
+    cent_rows = S._select_centroids(flat, _KM_K, dim).collect()
+    cent_ids = np.array([r["cent_id"] for r in cent_rows],
+                        dtype=np.int64)
+    cent_nrm = np.array([r["cent_nrm"] for r in cent_rows])
+    C = np.array([[r[f"t{i}"] for i in range(dim)] for r in cent_rows])
+    imax = np.iinfo(np.int64).max
 
-    def r6(c):
-        return F.round(c.cast("decimal(38,7)"), 6).cast("double")
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
 
-    means = (members.groupBy("cent_id")
-             .agg(*[r6(F.avg(f"c{i}")).alias(f"m{i}")
-                    for i in range(dim)]))
-    mss = " + ".join(f"m{i} * m{i}" for i in range(dim))
-    means = means.withColumn("mnrm", F.expr(f"sqrt({mss})"))
-    dot = F.expr(" + ".join(f"c{i} * m{i}" for i in range(dim)))
-    prof = (members.join(F.broadcast(means), "cent_id")
-            .withColumn("cs", dot / (F.col("nrm") * F.col("mnrm")))
-            .groupBy("cent_id")
-            .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.max("mnrm").alias("refined_nrm"),
-                 F.avg("cs").alias("avg_cosine")))
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["vec"]])
+            nrm2 = np.zeros(n)
+            dots = np.zeros((n, len(cent_ids)))
+            for i in range(dim):
+                nrm2 += X[:, i] * X[:, i]
+                dots += X[:, i, None] * C[None, :, i]
+            nrm = np.sqrt(nrm2)
+            cos = dots / (nrm[:, None] * cent_nrm[None, :])
+            # ROUND(cc, 6) DESC, cent_id ASC — the shared tie contract;
+            # half-away-from-zero matches F.round away from the exact
+            # .5 boundary (measure-zero for quotient doubles)
+            r = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            best = r.max(axis=1)
+            cell = np.where(r == best[:, None], cent_ids[None, :],
+                            imax).min(axis=1)
+            Xn = X / nrm[:, None]
+            rows = []
+            for cid in np.unique(cell):
+                m = cell == cid
+                rows.append({"cent_id": int(cid),
+                             "n": float(m.sum()),
+                             **{f"s{i}": X[m, i].sum()
+                                for i in range(dim)},
+                             **{f"u{i}": Xn[m, i].sum()
+                                for i in range(dim)}})
+            yield pd.DataFrame(rows)
+
+    pschema = ("cent_id long, n double, "
+               + ", ".join(f"s{i} double" for i in range(dim)) + ", "
+               + ", ".join(f"u{i} double" for i in range(dim)))
+    parts = flat.select("vec").mapInPandas(partials, pschema).collect()
+
+    q7, q6 = Decimal("1e-7"), Decimal("1e-6")
+
+    def r6d(x):  # round(cast(x AS DECIMAL(38,7)), 6) — two-step HALF_UP
+        return float(Decimal(repr(x)).quantize(q7, rounding=ROUND_HALF_UP)
+                     .quantize(q6, rounding=ROUND_HALF_UP))
+
+    out = []
+    for cid in sorted({r["cent_id"] for r in parts}):
+        grp = [r for r in parts if r["cent_id"] == cid]
+        n = sum(r["n"] for r in grp)
+        m = np.array([r6d(sum(r[f"s{i}"] for r in grp) / n)
+                      for i in range(dim)])
+        u = np.array([sum(r[f"u{i}"] for r in grp) for i in range(dim)])
+        mnrm = 0.0
+        for i in range(dim):  # left-to-right like the sqrt(m0*m0 + ...)
+            mnrm += m[i] * m[i]
+        mnrm = float(np.sqrt(mnrm))
+        dot_um = 0.0
+        for i in range(dim):
+            dot_um += u[i] * m[i]
+        out.append((int(cid), int(n), float(mnrm),
+                    float(dot_um / (n * mnrm))))
+    prof = spark.createDataFrame(
+        out, "cent_id long, n_members long, refined_nrm double, "
+             "avg_cosine double")
     return _finish(prof)
 
 
@@ -7149,10 +7211,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # group B (9): implementation CHANGED in round 9 (streaming PQ
+    # group B (10): implementation CHANGED in round 9 (streaming PQ
     # ingest collapsed to the single-stage mapInPandas encoder;
     # sessionize sunk to parquet instead of the driver-side memory
-    # sink; embed-outliers' two narrow numpy passes; as-of enrichment
+    # sink; embed-outliers' two narrow numpy passes; kmeans-round's
+    # one-pass sufficient-statistics rewrite; as-of enrichment
     # read-back schema pinned; D8 endpoint cache scoped to the Spark
     # context + edge fixture broadcast-closure fix) plus the four
     # knn_graph_ivf consumers whose r8 per-cell BLAS rewrite the r8
@@ -7167,6 +7230,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pagerank": q_sim_pagerank,
     "sim_label_propagation": q_sim_label_propagation,
     "sim_triangle_stats": q_sim_triangle_stats,
+    "d_kmeans_round": q_d_kmeans_round,
     # group C (4): the no_oracle rows' green oracled siblings, r06-
     # checked and 2 rounds stale — windowed per the r8 verdict ask so
     # the hash-family parity and checked-lowpass legs stay fresh ---
@@ -7174,7 +7238,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_minhash_md5": q_d_minhash_md5,
     "d_dedup_simhash_md5": q_d_simhash_md5,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    # group D (11): r06-checked rows, 2 rounds stale — stalest-first
+    # group D (10): r06-checked rows, 2 rounds stale — stalest-first
     # pad (f_lowpass is the declared no_oracle raw row: its slot is a
     # rows-only check by convention, its oracled sibling is in group C)
     # ---
@@ -7188,10 +7252,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    "d_dedup_simhash": q_d_simhash,
     # --- tail (entry 51+): rotates in for round 10, stalest first.
-    # These 28 r06-checked rows will be 3 rounds stale after round 9
-    # and MUST lead round 10's window: ---
+    # These 29 r06-checked rows will be 3 rounds stale after round 9
+    # and MUST lead round 10's window (d_dedup_simhash was displaced
+    # from the round-9 pad by the late d_kmeans_round rewrite): ---
+    "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
     "sql_json_extract": q_sql_json,
@@ -7306,7 +7371,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
     "d_topic_clusters": q_d_topic_clusters,
-    "d_kmeans_round": q_d_kmeans_round,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,

@@ -195,6 +195,17 @@ _QUERY_NOTES = {
         "append (zero shuffles, bit-exact with the relational encode, "
         "unit-pinned); sf1 steady 7.3 -> 3.5s on the r9 host (~2.3s "
         "bench-host scale)",
+    "d_kmeans_round":
+        "round-9 rewrite (same wide-plan mechanism as d_embed_outliers "
+        "and the streaming PQ encode): one Arrow-batched mapInPandas "
+        "pass emits per-cell sufficient statistics (count, per-dim "
+        "sums, per-dim NORMALIZED sums — k*(2*dim+1) scalars per Arrow "
+        "batch) and the driver finishes the k-row profile exactly via "
+        "avg_cosine = dot(sum(v/|v|), m)/(n*|m|), replacing the "
+        "crossJoin assign + 64-avg decimal aggregate + re-join scoring "
+        "plan; steady -35% at sf0.1 and sf1, remainder is the "
+        "two-job floor (md5-seeded centroid TakeOrdered gates the "
+        "stats pass)",
     "d_embed_outliers":
         "round-9 attribution of the 1.0s sf1 steady: moments job 0.6s "
         "+ top-k job 0.4s on the r9 host — per-job floor, arithmetic "
