@@ -7171,14 +7171,13 @@ FROM t
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 4 layout: 24 entries last checked in r02 + 24 NEW this round
-# (IVF near-dup, 2 xx-parity, 4 scrub, bpe tokens, warc ingest, tiled
-# lake, resize/resample, drift, temperature mix, bigram, chunking, oov,
-# filtered/recall, bm25, hybrid rrf, nb classifier, shuffle shards,
-# int8 quantize) + the 2 highest-priority changed entries
-# (sketch_profile — round 3's one red row — and d_semantic_dedup, whose
-# "done = green" was an explicit round-3 task) = the 50-entry window;
-# see the tail comment for the 6 demands deferred to round 5.
+# Round 9 layout: 26 r05-stale rows (the reference's core §2.1 surface
+# going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
+# implementation changed in round 9 (stream/floor rework plus the four
+# knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
+# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + a
+# 10-row r06-stale pad = the 50-entry window; the 29 remaining
+# r06-checked rows are queued in the tail to lead round 10.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
     # the round-8 tail comment.

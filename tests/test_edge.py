@@ -184,3 +184,55 @@ def test_facade_route_and_400_table(edge_server):
     ):
         status, body = _get_json(edge_server, bad)
         assert status == 400, (bad, body)
+
+
+def _freevar(fn, name):
+    return dict(zip(fn.__code__.co_freevars,
+                    fn.__closure__))[name].cell_contents
+
+
+def test_fixture_endpoint_closure_holds_broadcast_only(spark):
+    """With a live SparkSession the fixture's page tasks must close over
+    the broadcast HANDLE, not the corpus: the r8 ADVICE found the local
+    `payload` reference riding every task closure, defeating the
+    broadcast. The fix nulls the local and routes reads through
+    _payload(); this pins it by introspecting the closure cell."""
+    from nexus_spark.sources.edge import make_fixture_endpoint
+
+    records = [{"id": i, "time": "2024-01-01T00:00:00Z",
+                "point": "Point(0 1)"} for i in range(100)]
+    ep = make_fixture_endpoint(records, name="slim", spark=spark)
+    payload_fn = _freevar(ep["fetcher"], "_payload")
+    assert _freevar(payload_fn, "payload") is None
+    assert _freevar(payload_fn, "b_payload") is not None
+    # and the endpoint still serves through the broadcast
+    out = ep["fetcher"]("u", {"startTime": "2024-01-01T00:00:00Z",
+                              "endTime": "2024-01-02T00:00:00Z",
+                              "itemsPerPage": 10, "startIndex": 0})
+    assert out["totalResults"] == 100 and len(out["results"]) == 10
+
+    # without a session the local payload is the only store
+    ep2 = make_fixture_endpoint(records, name="local", spark=None)
+    payload_fn2 = _freevar(ep2["fetcher"], "_payload")
+    assert _freevar(payload_fn2, "payload") is not None
+
+
+def test_d8_endpoint_cache_scoped_to_spark_context(spark):
+    """The D8 fixture-endpoint memo must not outlive the SparkContext
+    that owns its broadcast (r8 ADVICE: a restarted session would
+    dereference a destroyed broadcast). Entries keyed by a dead
+    applicationId are evicted on the next build."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as mod
+    from tests.conftest import SF_DIR
+
+    mod._D8_EP_CACHE.clear()
+    mod._D8_EP_CACHE[(SF_DIR, "app-of-a-dead-context")] = {"stale": True}
+    df = mod.q_d8_insitu_subset(spark, SF_DIR)
+    assert df.count() > 0
+    keys = list(mod._D8_EP_CACHE)
+    live = (SF_DIR, spark.sparkContext.applicationId)
+    assert live in keys
+    assert (SF_DIR, "app-of-a-dead-context") not in keys
