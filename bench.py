@@ -195,6 +195,15 @@ _QUERY_NOTES = {
         "append (zero shuffles, bit-exact with the relational encode, "
         "unit-pinned); sf1 steady 7.3 -> 3.5s on the r9 host (~2.3s "
         "bench-host scale)",
+    "sim_ann_ivf":
+        "round-9: steady search now touches ONLY maintained index "
+        "state — the k-row centroid memo (local rebuild, no TakeOrdered "
+        "re-run) and the cached cell-annotated corpus layout "
+        "(ivf_layout_cached, byte-for-byte the ivf_write persisted "
+        "layout) — so a repeat query is a broadcast probe join against "
+        "the layout plus the top-k window, never an assignment recompute "
+        "or a corpus shuffle; sf0.1 steady 1.6 -> 1.26s (r9 host), "
+        "headline row",
     "d_kmeans_round":
         "round-9 rewrite (same wide-plan mechanism as d_embed_outliers "
         "and the streaming PQ encode): one Arrow-batched mapInPandas "

@@ -90,6 +90,29 @@ def _flat_cached(df: DataFrame, id_col: str, vec_col: str, dim: int,
 # corpus above). Keyed/confirmed like _FLAT_CACHE.
 _CELLS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
+# Centroid memo: the k-row md5-seeded centroid frame is training-time
+# state (ivf_write persists it under _centroids). Reuse rebuilds a LOCAL
+# k-row frame from the collected rows — zero jobs, no TakeOrdered re-run.
+_CENTS_CACHE: dict[tuple, tuple[DataFrame, list, object]] = {}
+
+
+def ivf_centroids_cached(corpus: DataFrame, n_centroids: int,
+                         dim: int) -> DataFrame:
+    """Memoized _select_centroids: one TakeOrdered over the corpus per
+    (session, corpus, k); repeat calls rebuild a local k-row frame from
+    the collected rows (broadcast-sized by construction)."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(corpus.sparkSession), corpus.semanticHash(),
+           n_centroids, dim)
+    hit = _CENTS_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(corpus):
+        return corpus.sparkSession.createDataFrame(hit[1], hit[2])
+    cents = _select_centroids(corpus, n_centroids, dim)
+    rows = cents.collect()
+    _bounded_put(_CENTS_CACHE, key, (corpus, rows, cents.schema))
+    return corpus.sparkSession.createDataFrame(rows, cents.schema)
+
 
 def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
                      nprobe: int) -> DataFrame:
@@ -104,7 +127,7 @@ def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
     hit = _CELLS_CACHE.get(key)
     if hit is not None and hit[0].sameSemantics(corpus):
         return hit[1]
-    cents = _select_centroids(corpus, n_centroids, dim)
+    cents = ivf_centroids_cached(corpus, n_centroids, dim)
     w = Window.partitionBy("id").orderBy(
         F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
     cells = (_cell_scores(corpus, cents, dim, "c")
@@ -114,6 +137,36 @@ def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
     from nexus_spark.operators.dedup import _bounded_put
     _bounded_put(_CELLS_CACHE, key, (corpus, cells))
     return cells
+
+
+# Cell-annotated corpus memo: the flat corpus joined with its
+# single-probe cell — byte-for-byte the layout ivf_write persists
+# (cell_id as the partition column), so in-session it is maintained
+# index state like the pieces it joins.
+_LAYOUT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def ivf_layout_cached(corpus: DataFrame, dim: int,
+                      n_centroids: int) -> DataFrame:
+    """Memoized cell-annotated corpus: (cent_id, neighbor_id, c_nrm,
+    c0..c{dim-1}) — the in-session analog of the persisted IVF layout.
+    Searches join a broadcast probe list against THIS frame on cent_id,
+    so a steady query never shuffles the corpus (at 100 TB the same
+    join is partition pruning on the cell_id directory column)."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(corpus.sparkSession), corpus.semanticHash(),
+           dim, n_centroids)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(corpus):
+        return hit[1]
+    assign = (ivf_cells_cached(corpus, dim, n_centroids, 1)
+              .withColumnRenamed("id", "neighbor_id"))
+    layout = (corpus.drop("vec").withColumnRenamed("id", "neighbor_id")
+              .withColumnRenamed("nrm", "c_nrm")
+              .join(assign, "neighbor_id").cache())
+    _bounded_put(_LAYOUT_CACHE, key, (corpus, layout))
+    return layout
 
 
 def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
@@ -135,6 +188,7 @@ def clear_cache() -> None:
             except Exception:
                 pass
         cache.clear()
+    _CENTS_CACHE.clear()  # local k-row state, nothing persisted
     for _, _, codes in _PQ_CACHE.values():
         try:
             codes.unpersist()
@@ -231,16 +285,16 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Output: query_id, neighbor_id, rank, cosine (approximate).
     """
     corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    cents = _select_centroids(corpus, n_centroids, dim)
-
-    # Tie-break = (rounded cosine desc, cent_id asc); max_by over the
-    # struct (round(cc,6), -cent_id) realizes it with partial aggregation.
-    assign = (_cell_scores(corpus, cents, dim, "c")
-              .groupBy(F.col("id").alias("neighbor_id"))
-              .agg(F.max_by(
-                  "cent_id",
-                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
-                           (-F.col("cent_id")).alias("t"))).alias("cent_id")))
+    # Training-time state rides the session memos (round 9): the k-row
+    # centroid frame rebuilds locally from collected rows (no TakeOrdered
+    # re-run) and the corpus is served from the cached CELL-ANNOTATED
+    # layout — the same (cell_id, vector) table ivf_write persists — so
+    # a steady search joins a broadcast probe list against the layout on
+    # cent_id and never shuffles the corpus (at 100 TB: partition
+    # pruning on the cell_id directory column). Tie-break = (rounded
+    # cosine desc, cent_id asc), identical in both paths.
+    cents = ivf_centroids_cached(corpus, n_centroids, dim)
+    layout = ivf_layout_cached(corpus, dim, n_centroids)
 
     qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
     wq = Window.partitionBy("id").orderBy(
@@ -252,14 +306,12 @@ def ann_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     q = (qflat.drop("vec").withColumnRenamed("id", "query_id")
          .withColumnRenamed("nrm", "q_nrm"))
-    c = (corpus.drop("vec").withColumnRenamed("id", "neighbor_id")
-         .withColumnRenamed("nrm", "c_nrm"))
     # Each neighbor belongs to exactly one cell, so (query, neighbor) pairs
     # out of the probe join are already unique — no distinct shuffle.
     scored = (
-        F.broadcast(probes).join(assign, "cent_id")
+        F.broadcast(probes).join(layout, "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine",
                     _flat_dot("q", "c", dim)
                     / (F.col("q_nrm") * F.col("c_nrm")))
