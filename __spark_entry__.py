@@ -7175,9 +7175,12 @@ FROM t
 # going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
 # implementation changed in round 9 (stream/floor rework plus the four
 # knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
-# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + a
-# 10-row r06-stale pad = the 50-entry window; the 29 remaining
-# r06-checked rows are queued in the tail to lead round 10.
+# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 3
+# late-round-9 changed consumers of the IVF centroid memo / layout
+# cache (group B') + a 7-row r06-stale pad = the 50-entry window; the
+# 32 remaining r06-checked rows are queued in the tail to lead round
+# 10 (sim_knn_bruteforce, d_stratified_sample, e_sliding_events were
+# displaced from the pad by group B').
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
     # the round-8 tail comment.
@@ -7237,24 +7240,41 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_minhash_md5": q_d_minhash_md5,
     "d_dedup_simhash_md5": q_d_simhash_md5,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    # group D (10): r06-checked rows, 2 rounds stale — stalest-first
+    # group B' (3): implementation-changed late in round 9 — the IVF
+    # centroid memo + cell-annotated layout (similarity.py
+    # ivf_centroids_cached / ivf_layout_cached) re-routed every
+    # ivf_cells_cached consumer, so the changed oracled consumers not
+    # already in groups A/B join the window per rotation rule 2.
+    # (d_near_dup_embedding_ivf rides the same embedding_near_dup_ivf
+    # route but is declared no_oracle; d_semantic_dedup oracle-checks
+    # that route end-to-end, and the brute sibling d_near_dup_embedding
+    # is in group A. ann_ivf_pq still trains via _select_centroids —
+    # path unchanged, stays in the round-10 tail.) ---
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    "d_topic_clusters": q_d_topic_clusters,
+    # group D (7): r06-checked rows, 2 rounds stale — stalest-first
     # pad (f_lowpass is the declared no_oracle raw row: its slot is a
-    # rows-only check by convention, its oracled sibling is in group C)
+    # rows-only check by convention, its oracled sibling is in group C;
+    # t_asof_doy also rides the round-9 climatology session cache, so
+    # it doubles as that change's second windowed consumer next to s7)
     # ---
     "f_lowpass": q_f_lowpass,
-    "sim_knn_bruteforce": q_sim_knn,
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "f_seasonal_filter": q_f_seasonal,
     "etl_regrid": q_etl_regrid,
     "d_dedup_exact": q_d_dedup_exact,
-    "d_stratified_sample": q_d_stratified_sample,
-    "e_sliding_events": q_e_sliding_events,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     # --- tail (entry 51+): rotates in for round 10, stalest first.
-    # These 29 r06-checked rows will be 3 rounds stale after round 9
+    # These 32 r06-checked rows will be 3 rounds stale after round 9
     # and MUST lead round 10's window (d_dedup_simhash was displaced
-    # from the round-9 pad by the late d_kmeans_round rewrite): ---
+    # from the round-9 pad by the late d_kmeans_round rewrite;
+    # sim_knn_bruteforce, d_stratified_sample and e_sliding_events were
+    # displaced by the late-r9 IVF-memo changed-consumer group B'): ---
+    "sim_knn_bruteforce": q_sim_knn,
+    "d_stratified_sample": q_d_stratified_sample,
+    "e_sliding_events": q_e_sliding_events,
     "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
@@ -7301,7 +7321,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_cross_contamination": q_scrub_cross_contamination,
     "scrub_decontaminate": q_scrub_decontaminate,
     "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    "d_semantic_dedup": q_d_semantic_dedup,
     "d_dedup_components": q_d_dedup_components,
     "d_cluster_stats": q_d_cluster_stats,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
@@ -7311,7 +7330,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m_multimodal_metadata": q_m_metadata,
     "warc_ingest": q_warc_ingest,
     "scrub_span_apply": q_scrub_span_apply,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
     "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
@@ -7369,7 +7387,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
     "d_export_pipeline": q_d_export_pipeline,
-    "d_topic_clusters": q_d_topic_clusters,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
