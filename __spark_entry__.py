@@ -6545,18 +6545,23 @@ FROM documents GROUP BY source, lang
 
 
 def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming MERGE INTO as a REAL executed stream: a 4-file CDC
-    arrival directory (upserts/tombstones/inserts over documents)
-    drains through foreachBatch, each commit compacting state ∪ batch
-    to one winning row per key with TOMBSTONES RETAINED — so a
-    late-arriving lower-seq update can never resurrect a deleted key
+    """Streaming MERGE INTO as a REAL executed stream, MERGE-ON-READ
+    (round 9): a 4-file CDC arrival directory (upserts/tombstones/
+    inserts over documents) drains through foreachBatch; each commit
+    appends ONLY its micro-batch as a delta — O(batch), independent of
+    the table and of the batch's key spread — and every compact_every
+    commits fold base ∪ pending deltas into a new base snapshot. The
+    live view resolves latest-change-wins with TOMBSTONES RETAINED, so
+    a late-arriving lower-seq update can never resurrect a deleted key
     and any micro-batch partitioning converges to the same state.
 
     Oracle-checkable for exactly that reason: the batch replay (global
     latest-wins over base ∪ all changes) computes the identical final
-    table. Exercises source discovery, per-commit state compaction and
-    the exactly-once checkpoint log end-to-end; at 100 TB each commit's
-    rewrite is partition-pruned (lake.merge_into_partitions).
+    table. compact_every=3 on a 4-batch feed makes the driver row
+    exercise BOTH paths: one fold commit (d0-d2 → base) and one
+    merge-on-read final view (base ∪ d3). Exercises source discovery,
+    the delta commit log, fold + covered-delta retention and the
+    exactly-once checkpoint end-to-end.
 
     Output: doc_id, source, content_hash of the live post-merge state."""
     import atexit
@@ -6582,7 +6587,8 @@ def q_e_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(feed))
     with _stream_job_conf(spark):
-        q = stream_cdc_apply(stream, state_dir, ckpt, ["doc_id"])
+        q = stream_cdc_apply(stream, state_dir, ckpt, ["doc_id"],
+                             compact_every=3)
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming CDC drain exceeded 300s")
@@ -7175,12 +7181,14 @@ FROM t
 # going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
 # implementation changed in round 9 (stream/floor rework plus the four
 # knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
-# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 3
-# late-round-9 changed consumers of the IVF centroid memo / layout
-# cache (group B') + a 7-row r06-stale pad = the 50-entry window; the
-# 32 remaining r06-checked rows are queued in the tail to lead round
-# 10 (sim_knn_bruteforce, d_stratified_sample, e_sliding_events were
-# displaced from the pad by group B').
+# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 4
+# late-round-9 changed rows (3 IVF centroid-memo/layout-cache
+# consumers, group B', plus the merge-on-read CDC rework's
+# e_stream_lake_upsert) + a 6-row r06-stale pad = the 50-entry window;
+# the 33 remaining r06-checked rows are queued in the tail to lead
+# round 10 (sim_knn_bruteforce, d_stratified_sample, e_sliding_events
+# were displaced from the pad by group B', d_dedup_exact by the CDC
+# rework).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
     # the round-8 tail comment.
@@ -7253,7 +7261,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_ann_recall_at_k": q_sim_ann_recall,
     "d_topic_clusters": q_d_topic_clusters,
-    # group D (7): r06-checked rows, 2 rounds stale — stalest-first
+    # ... plus the late-r9 merge-on-read CDC rework (delta commit log +
+    # fold + covered-delta retention replaced the per-commit snapshot
+    # rewrite):
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    # group D (6): r06-checked rows, 2 rounds stale — stalest-first
     # pad (f_lowpass is the declared no_oracle raw row: its slot is a
     # rows-only check by convention, its oracled sibling is in group C;
     # t_asof_doy also rides the round-9 climatology session cache, so
@@ -7264,17 +7276,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_asof_doy": q_t_asof_doy,
     "f_seasonal_filter": q_f_seasonal,
     "etl_regrid": q_etl_regrid,
-    "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     # --- tail (entry 51+): rotates in for round 10, stalest first.
     # These 32 r06-checked rows will be 3 rounds stale after round 9
     # and MUST lead round 10's window (d_dedup_simhash was displaced
     # from the round-9 pad by the late d_kmeans_round rewrite;
     # sim_knn_bruteforce, d_stratified_sample and e_sliding_events were
-    # displaced by the late-r9 IVF-memo changed-consumer group B'): ---
+    # displaced by the late-r9 IVF-memo changed-consumer group B';
+    # d_dedup_exact by the merge-on-read CDC rework joining the
+    # window): ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
+    "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
@@ -7320,7 +7334,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_cross_contamination": q_scrub_cross_contamination,
     "scrub_decontaminate": q_scrub_decontaminate,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
     "d_dedup_components": q_d_dedup_components,
     "d_cluster_stats": q_d_cluster_stats,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,

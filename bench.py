@@ -234,6 +234,35 @@ _QUERY_NOTES = {
         "now lazy (lineage cut every 8 rounds) so a round no longer "
         "pays an extra eager localCheckpoint job; rounds stay bounded "
         "by |vocab|, never corpus size",
+    "e_stream_lake_upsert":
+        "round-9 rework: streaming MERGE INTO is now MERGE-ON-READ "
+        "(LSM / Iceberg-delta shape) — each commit appends only its "
+        "micro-batch as an O(batch) delta; every compact_every commits "
+        "fold base+deltas into a new base; readers resolve latest-wins "
+        "over base+pending deltas. The former copy-on-write snapshot "
+        "rewrote the WHOLE state per commit (the CDC feed's mod-spread "
+        "keys touch every partition, so partition pruning cannot help "
+        "— O(table) per commit at any scale). Same-host sf1 "
+        "attribution: noop drain 0.76s + 4 delta commits ~0.9s + one "
+        "fold ~0.65s + merge-read final ~0.65s = 2.6s steady vs 3.2s "
+        "before; the remaining cost is 4 sequential micro-batch jobs "
+        "+ exactly one O(state) pass (the fold), the floor for an "
+        "executed 4-batch stream",
+    "text_tfidf_top_terms":
+        "round-9 attribution of the 2.4s sf1 steady (6x on a 0.39s "
+        "oracle, scale factor 2.81 at 10x data): the tokenize + "
+        "(doc, word) pair aggregate is ~60% of steady, the remainder "
+        "is the vocab aggregate + broadcast df join + WindowGroupLimit "
+        "partial/final top-k (plan-verified: the pre-exchange group "
+        "limit caps the window exchange at <= k rows per doc per "
+        "partition). An Arrow-batched per-doc Counter tf (which would "
+        "skip the pair exchange entirely) was measured at sf1 and "
+        "rejected: 1.24s vs 1.43s same-host warm — both paths are "
+        "dominated by materializing the token-occurrence stream, so "
+        "14% is not worth leaving whole-stage codegen; the gap vs "
+        "DuckDB is per-row string split/hash constant factors at a "
+        "50k-doc scale where its fused pipeline wins, not a plan "
+        "defect",
     "sim_filtered_knn":
         "pre-filter semi-join + one broadcast-scored top-k pass; "
         "0.64s sf1 steady vs a 0.05s DuckDB oracle is two-stage job "

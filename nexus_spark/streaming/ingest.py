@@ -166,9 +166,10 @@ def _state_fs(spark: SparkSession, state_dir: str):
     return fs, jvm
 
 
-def _committed_versions(spark: SparkSession, state_dir: str) -> list[int]:
-    """Version numbers of COMMITTED state snapshots under `state_dir`:
-    v{N} directories that contain the parquet committer's _SUCCESS
+def _committed_dirs(spark: SparkSession, state_dir: str,
+                    prefix: str) -> list[int]:
+    """Numbers of COMMITTED `{prefix}{N:08d}` directories under
+    `state_dir` — those holding the parquet committer's _SUCCESS
     marker. A directory without the marker is an interrupted write and
     is invisible to readers."""
     fs, jvm = _state_fs(spark, state_dir)
@@ -178,79 +179,205 @@ def _committed_versions(spark: SparkSession, state_dir: str) -> list[int]:
     out = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if (st.isDirectory() and name.startswith("v")
-                and name[1:].isdigit()
+        if (st.isDirectory() and name.startswith(prefix)
+                and name[len(prefix):].isdigit()
                 and fs.exists(jvm.org.apache.hadoop.fs.Path(
                     st.getPath(), "_SUCCESS"))):
-            out.append(int(name[1:]))
+            out.append(int(name[len(prefix):]))
     return sorted(out)
 
 
+def _committed_versions(spark: SparkSession, state_dir: str) -> list[int]:
+    """Committed BASE snapshots `v{D}`: each covers every delta with
+    number <= D (its name is the highest delta folded into it)."""
+    return _committed_dirs(spark, state_dir, "v")
+
+
+def _committed_deltas(spark: SparkSession, state_dir: str) -> list[int]:
+    """Committed DELTA commits `d{N}`: one micro-batch each, appended
+    by `stream_cdc_apply` in O(batch)."""
+    return _committed_dirs(spark, state_dir, "d")
+
+
+_CDC_SPEC_FILE = "_cdc_spec.json"
+
+
+def _write_cdc_spec(spark: SparkSession, state_dir: str,
+                    key_cols: list[str], seq_col: str,
+                    op_col: str) -> None:
+    """Persist the merge spec next to the data so the state table is
+    self-describing (the moral equivalent of a Delta/Iceberg table
+    protocol file): any reader can resolve the live view without being
+    told the key columns. Content is deterministic per deployment, so
+    the overwrite is idempotent across stream restarts."""
+    import json
+
+    fs, jvm = _state_fs(spark, state_dir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(state_dir))
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        state_dir, _CDC_SPEC_FILE), True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"key_cols": key_cols, "seq_col": seq_col,
+             "op_col": op_col}).encode()))
+    finally:
+        out.close()
+
+
+def _read_cdc_spec(spark: SparkSession, state_dir: str) -> dict | None:
+    import json
+
+    fs, jvm = _state_fs(spark, state_dir)
+    p = jvm.org.apache.hadoop.fs.Path(state_dir, _CDC_SPEC_FILE)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def resolve_cdc_sources(spark: SparkSession,
+                        state_dir: str) -> tuple[str, list[str]]:
+    """(base_path, pending_delta_paths) for the live view: the newest
+    committed base snapshot (or the seeded `state_dir` root when no
+    fold has committed yet) plus every committed delta the base does
+    not cover."""
+    bases = _committed_versions(spark, state_dir)
+    cover = bases[-1] if bases else -1
+    base = f"{state_dir}/v{cover:08d}" if bases else state_dir
+    pend = [f"{state_dir}/d{n:08d}"
+            for n in _committed_deltas(spark, state_dir) if n > cover]
+    return base, pend
+
+
 def resolve_cdc_state(spark: SparkSession, state_dir: str) -> str:
-    """Path of the newest committed state snapshot: the highest
-    _SUCCESS-marked v{N} directory, or `state_dir` itself for the seeded
-    base-snapshot layout (plain parquet files, no versions yet)."""
+    """Path of the newest committed BASE snapshot (highest
+    _SUCCESS-marked v{D} directory), or `state_dir` itself for the
+    seeded layout. NOTE: since the merge-on-read rework the base alone
+    is the live state only when `resolve_cdc_sources` reports no
+    pending deltas — use `read_cdc_state` for the live view."""
     versions = _committed_versions(spark, state_dir)
     return (f"{state_dir}/v{versions[-1]:08d}" if versions
             else state_dir)
 
 
+def _base_df(spark: SparkSession, state_dir: str,
+             base: str) -> DataFrame:
+    """Read a base snapshot. The seeded ROOT base shares its directory
+    with d{N}/v{D} commit subdirectories, which Spark's directory
+    listing would misread as a partition layout — so the root base is
+    read as its explicit top-level data-file list instead."""
+    if base != state_dir:
+        return spark.read.parquet(base)
+    fs, jvm = _state_fs(spark, state_dir)
+    files = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(state_dir)):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            files.append(f"{state_dir}/{name}")
+    return spark.read.parquet(*files)
+
+
 def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
                      key_cols: list[str], seq_col: str = "seq",
                      op_col: str = "op", available_now: bool = True,
-                     keep_versions: int = 2) -> StreamingQuery:
+                     keep_versions: int = 2,
+                     compact_every: int = 8) -> StreamingQuery:
     """Continuously apply a CDC change stream to a persistent state
-    table via foreachBatch — the streaming MERGE INTO. `state_dir` must
-    be pre-seeded with the base snapshot (base rows carry seq below any
-    change seq, op='U').
+    table via foreachBatch — the streaming MERGE INTO, MERGE-ON-READ
+    (the LSM / Iceberg-delta shape). `state_dir` must be pre-seeded
+    with the base snapshot (base rows carry seq below any change seq,
+    op='U').
 
-    Each commit compacts state ∪ micro-batch to one winning row per key
-    (`cdc_compact`) and publishes it as a NEW snapshot version
-    `state_dir/v{N}` — never an in-place overwrite of files a reader (or
-    the merge plan itself) may hold open. The _SUCCESS marker the
-    parquet committer writes is the commit point: a crash mid-write
-    leaves an uncommitted directory that `resolve_cdc_state` ignores,
-    the previous version (and the seeded base) stay intact, and the
-    checkpoint replay overwrites the partial directory — so recovery is
-    exactly-once with no lost state. The last `keep_versions` committed
-    snapshots are retained; older ones are pruned after each commit.
-    At 100 TB the rewrite is partition-pruned
-    (lake.merge_into_partitions): cost follows the batch's partition
-    footprint, not the table.
+    Each commit appends ONLY the micro-batch as a new delta directory
+    `state_dir/d{N}` — O(batch) per commit, independent of both the
+    table size and the batch's key spread (a copy-on-write snapshot
+    rewrite costs O(table) per commit for uniformly-spread keys, the
+    common CDC case). Readers (`read_cdc_state`) resolve the live view
+    as latest-change-wins over base ∪ pending deltas — the identical
+    `cdc_compact` semantics, so any batching converges to the same
+    state. Read amplification is bounded: once `compact_every` deltas
+    are pending, the commit FOLDS them into a new base snapshot
+    `state_dir/v{D}` (D = highest folded delta), amortizing the
+    O(state) rewrite over `compact_every` commits.
 
-    Retention / read-latency contract: `read_cdc_state` resolves the
-    snapshot path at PLAN time but executes lazily, so pruning can
-    delete a snapshot a concurrent reader's DataFrame still references.
-    `keep_versions` must therefore be >= 2 (enforced): a reader that
-    planned against version N stays valid until at least version N+1
-    has committed AND a further commit prunes N — i.e. for at least one
-    full commit interval. Readers that may lag more than
-    `keep_versions - 1` commits between planning and executing must
-    either raise `keep_versions` accordingly or re-resolve (call
-    `read_cdc_state` again) per action.
+    The _SUCCESS marker the parquet committer writes is the commit
+    point for deltas and bases alike: a crash mid-write leaves an
+    uncommitted directory invisible to `resolve_cdc_sources`, and the
+    checkpoint replay re-applies the batch. A replayed batch may land
+    as a duplicate delta; latest-wins with fully deterministic
+    tie-breaking (seq, op, whole-row hash — `cdc_compact`) collapses
+    duplicates to the identical winner, so recovery is exactly-once in
+    effect.
+
+    Retention / read-latency contract: readers resolve paths at PLAN
+    time but execute lazily, so pruning must never delete a path a
+    recently-planned view references. The last `keep_versions`
+    committed bases are retained (>= 2 enforced), and a delta is pruned
+    only once the OLDEST retained base covers it — so every retained
+    base can still serve its full live view, and a reader that planned
+    against base B + pending deltas stays valid until at least
+    `keep_versions - 1` further folds have committed. Readers that may
+    lag longer must raise `keep_versions` or re-resolve per action.
     """
     if keep_versions < 2:
         raise ValueError(
             f"keep_versions must be >= 2, got {keep_versions}: pruning "
             "the only previous snapshot would break concurrent readers "
             "whose plans still reference it (see retention contract)")
+    if compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    spec_written = False
 
     def step(batch: DataFrame, _epoch: int) -> None:
+        nonlocal spec_written
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        cur = spark.read.parquet(resolve_cdc_state(spark, state_dir))
-        merged = cdc_compact(cur, batch, key_cols, seq_col, op_col)
-        versions = _committed_versions(spark, state_dir)
-        nxt = (versions[-1] if versions else 0) + 1
+        if not spec_written:
+            _write_cdc_spec(spark, state_dir, key_cols, seq_col, op_col)
+            spec_written = True
+        bases = _committed_versions(spark, state_dir)
+        deltas = _committed_deltas(spark, state_dir)
+        cover = bases[-1] if bases else -1
+        nxt = max(deltas + [cover]) + 1
         # overwrite mode cleans a partial directory left by a crashed
-        # attempt of this same version before rewriting it
+        # attempt of this same delta before rewriting it
+        batch.write.mode("overwrite").parquet(f"{state_dir}/d{nxt:08d}")
+
+        pending = [n for n in _committed_deltas(spark, state_dir)
+                   if n > cover]
+        if len(pending) < compact_every:
+            return
+        # fold: base ∪ pending deltas -> new base v{max(pending)}.
+        # At 100 TB this is the compaction pass every log-structured
+        # store schedules; here it rides the triggering commit.
+        base = (f"{state_dir}/v{cover:08d}" if bases else state_dir)
+        pend_df = spark.read.parquet(
+            *[f"{state_dir}/d{n:08d}" for n in pending])
+        merged = cdc_compact(_base_df(spark, state_dir, base), pend_df,
+                             key_cols, seq_col, op_col)
         merged.write.mode("overwrite").parquet(
-            f"{state_dir}/v{nxt:08d}")
+            f"{state_dir}/v{max(pending):08d}")
         fs, jvm = _state_fs(spark, state_dir)
-        for old in _committed_versions(spark, state_dir)[:-keep_versions]:
+        retained = _committed_versions(spark, state_dir)
+        for old in retained[:-keep_versions]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(
                 f"{state_dir}/v{old:08d}"), True)
+        retained = retained[-keep_versions:]
+        # prune deltas the OLDEST retained base already covers; while
+        # fewer than keep_versions bases exist the seeded root base is
+        # still a retained reader target, so nothing is prunable.
+        if len(retained) >= keep_versions:
+            for n in _committed_deltas(spark, state_dir):
+                if n <= retained[0]:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(
+                        f"{state_dir}/d{n:08d}"), True)
 
     writer = (changes.writeStream.foreachBatch(step)
               .option("checkpointLocation", checkpoint))
@@ -260,8 +387,27 @@ def stream_cdc_apply(changes: DataFrame, state_dir: str, checkpoint: str,
 
 
 def read_cdc_state(spark: SparkSession, state_dir: str,
-                   op_col: str = "op") -> DataFrame:
-    """The live view of a CDC state table: winners minus tombstones,
-    read from the newest committed snapshot version."""
-    return (spark.read.parquet(resolve_cdc_state(spark, state_dir))
-            .where(F.col(op_col) != "D"))
+                   op_col: str | None = None,
+                   key_cols: list[str] | None = None,
+                   seq_col: str | None = None) -> DataFrame:
+    """The live view of a CDC state table: latest-change-wins over the
+    newest committed base snapshot ∪ its pending deltas, minus
+    tombstones. The merge spec defaults to the `_cdc_spec.json` the
+    apply stream persisted (explicit arguments override it). With no
+    pending deltas this is a plain read of the base — no merge plan."""
+    base, pend = resolve_cdc_sources(spark, state_dir)
+    spec = _read_cdc_spec(spark, state_dir) or {}
+    op = op_col or spec.get("op_col", "op")
+    if not pend:
+        return (_base_df(spark, state_dir, base)
+                .where(F.col(op) != "D"))
+    keys = key_cols or spec.get("key_cols")
+    if not keys:
+        raise ValueError(
+            f"no merge spec at {state_dir}/{_CDC_SPEC_FILE} and no "
+            "key_cols given: cannot resolve the live view over "
+            f"{len(pend)} pending delta(s)")
+    seq = seq_col or spec.get("seq_col", "seq")
+    merged = cdc_compact(_base_df(spark, state_dir, base),
+                         spark.read.parquet(*pend), keys, seq, op)
+    return merged.where(F.col(op) != "D")

@@ -189,17 +189,16 @@ def test_cdc_apply_enforces_retention_contract(spark, tmp_path):
                          keep_versions=1)
 
 
-def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
-    """The versioned-commit protocol: an interrupted snapshot write (a
-    v{N} directory WITHOUT the committer's _SUCCESS marker) is invisible
-    to readers — resolve_cdc_state keeps serving the previous committed
-    version, and a replayed apply overwrites the partial directory."""
+def test_cdc_commit_is_o_batch_and_crash_safe(spark, tmp_path):
+    """Merge-on-read commit protocol: each micro-batch lands as ONE
+    delta directory (O(batch) — no base rewrite), the live view is
+    latest-wins over base ∪ pending deltas, and an interrupted write (a
+    directory WITHOUT the committer's _SUCCESS marker) is invisible to
+    readers."""
     import os
 
-    from pyspark.sql import functions as F
-
     from nexus_spark.streaming.ingest import (read_cdc_state,
-                                              resolve_cdc_state,
+                                              resolve_cdc_sources,
                                               stream_cdc_apply)
 
     state_dir = str(tmp_path / "state")
@@ -207,8 +206,8 @@ def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
     base = spark.createDataFrame(
         [(1, "one", 0, "U"), (2, "two", 0, "U")], schema)
     base.write.parquet(state_dir)
-    # seeded layout resolves to the bare dir
-    assert resolve_cdc_state(spark, state_dir) == state_dir
+    # seeded layout: root base, no pending deltas
+    assert resolve_cdc_sources(spark, state_dir) == (state_dir, [])
 
     feed = str(tmp_path / "feed")
     spark.createDataFrame([(2, "two-v1", 1, "U"), (3, "three", 1, "U")],
@@ -218,26 +217,27 @@ def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
     q = stream_cdc_apply(stream, state_dir, str(tmp_path / "ckpt"),
                          ["doc_id"])
     assert q.awaitTermination(120)
-    v1 = resolve_cdc_state(spark, state_dir)
-    assert "/v" in v1  # a committed snapshot version, not the bare dir
+    b, pend = resolve_cdc_sources(spark, state_dir)
+    # commits are delta-appends: the base was NOT rewritten
+    assert b == state_dir and len(pend) >= 1
     live = {(r.doc_id, r.text)
             for r in read_cdc_state(spark, state_dir).collect()}
     assert live == {(1, "one"), (2, "two-v1"), (3, "three")}
 
-    # simulate a crash mid-commit: a partial NEXT version with data but
-    # NO _SUCCESS marker
-    n1 = int(v1.rsplit("v", 1)[1])
-    partial = str(tmp_path / "state" / f"v{n1 + 1:08d}")
+    # simulate a crash mid-commit: a partial delta with data but NO
+    # _SUCCESS marker — invisible to readers
+    partial = str(tmp_path / "state" / "d00000099")
     spark.createDataFrame([(9, "garbage", 9, "U")], schema) \
         .write.parquet(partial)
     os.remove(os.path.join(partial, "_SUCCESS"))
-    assert resolve_cdc_state(spark, state_dir) == v1  # still serves v1
+    assert f"{state_dir}/d00000099" not in \
+        resolve_cdc_sources(spark, state_dir)[1]
     live2 = {(r.doc_id, r.text)
              for r in read_cdc_state(spark, state_dir).collect()}
     assert live2 == live
 
-    # replay applies the next change ON TOP of v1, overwriting the
-    # partial directory with a committed snapshot
+    # a later apply (fresh checkpoint = worst-case replay) appends on
+    # top; duplicate application collapses under latest-wins
     spark.createDataFrame([(1, None, 2, "D")], schema) \
         .write.mode("append").parquet(feed)
     stream2 = (spark.readStream.schema(base.schema)
@@ -250,3 +250,49 @@ def test_cdc_state_commit_is_crash_safe(spark, tmp_path):
     assert (9, "garbage") not in final
     assert (1, "one") not in final  # tombstoned
     assert (2, "two-v1") in final and (3, "three") in final
+
+
+def test_cdc_fold_compacts_and_prunes_covered_deltas(spark, tmp_path):
+    """Compaction contract: once `compact_every` deltas are pending, the
+    commit folds them into a base snapshot v{D} (D = highest folded
+    delta); bases beyond keep_versions are pruned, and a delta is
+    deleted only when the OLDEST retained base covers it — so every
+    retained base still serves its full live view."""
+    import os
+
+    from nexus_spark.streaming.ingest import (read_cdc_state,
+                                              resolve_cdc_sources,
+                                              stream_cdc_apply)
+
+    state_dir = str(tmp_path / "state")
+    schema = "doc_id long, text string, seq int, op string"
+    spark.createDataFrame(
+        [(i, f"t{i}", 0, "U") for i in range(6)], schema) \
+        .write.parquet(state_dir)
+
+    feed = str(tmp_path / "feed")
+    for i in range(6):
+        op = "D" if i % 3 == 2 else "U"
+        spark.createDataFrame([(i, f"t{i}-v1", 1, op)], schema) \
+            .write.mode("append").parquet(feed)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(feed).schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_cdc_apply(stream, state_dir, str(tmp_path / "ckpt"),
+                         ["doc_id"], compact_every=2, keep_versions=2)
+    assert q.awaitTermination(120)
+
+    # 6 single-file batches at compact_every=2 -> folds committed;
+    # with keep_versions=2 the two newest bases are retained and every
+    # delta covered by the OLDER retained base is pruned
+    names = sorted(os.listdir(state_dir))
+    vs = [n for n in names if n.startswith("v")]
+    ds = [n for n in names if n.startswith("d") and n != "_cdc_spec.json"]
+    assert len(vs) == 2
+    oldest_retained = int(vs[0][1:])
+    assert all(int(n[1:]) > oldest_retained for n in ds)
+
+    live = {(r.doc_id, r.text)
+            for r in read_cdc_state(spark, state_dir).collect()}
+    # deletes (i=2, 5) tombstoned; everything else updated to -v1
+    assert live == {(i, f"t{i}-v1") for i in range(6) if i % 3 != 2}
