@@ -40,6 +40,50 @@ B = 0.75
 RRF_K = 60  # the SIGIR'09 constant
 
 
+# Session-memoized BM25 inverted index: the (doc, term, dl, tf) postings
+# table plus the 1-row corpus stats — the state a lexical-search
+# deployment maintains at WRITE time (Lucene's segments), so a steady
+# query reads postings instead of re-tokenizing the corpus. Mirrors the
+# shingle-postings memo in operators.dedup and the flat/IVF index memos
+# in operators.similarity; same bounded-eviction discipline.
+_BM25_IDX_CACHE: dict[tuple, tuple] = {}
+
+
+def bm25_index_cached(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> tuple[DataFrame,
+                                                       DataFrame]:
+    """(postings, stats): postings = one row per (doc, term) with the
+    doc length riding along (tf aggregate is write-time work here);
+    stats = one row (n_docs, sum_dl). Both storage-cached per
+    (session, corpus). At 100 TB the postings table is the write-time
+    index layout, partitioned by term so a query prunes to its terms'
+    partitions; in-session the cache is the analog."""
+    from nexus_spark.functions.skew import ensure_parallelism
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(docs.sparkSession), docs.semanticHash(),
+           id_col, text_col)
+    hit = _BM25_IDX_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(docs):
+        return hit[1], hit[2]
+    src = ensure_parallelism(docs)
+    words = src.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    postings = (words.groupBy(id_col, "word", "dl")
+                .agg(F.count(F.lit(1)).alias("tf")).cache())
+    stats = (src.select(
+        F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("dl").alias("sum_dl")).cache())
+    # frame_idx=1 unpersists the postings frame on eviction; the 1-row
+    # stats frame is too small to matter.
+    _bounded_put(_BM25_IDX_CACHE, key, (docs, postings, stats), cap=4,
+                 frame_idx=1)
+    return postings, stats
+
+
 def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
                 k1: float = K1, b: float = B,
                 id_col: str = "doc_id",
@@ -66,28 +110,15 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
         qtf[str(t)] = qtf.get(str(t), 0) + 1
     terms = sorted(qtf)
 
-    from nexus_spark.functions.skew import ensure_parallelism
-
-    docs = ensure_parallelism(docs)
-    # Carry the doc length THROUGH the filtered token stream instead of
-    # joining a corpus-sized per-doc length table back in later: dl rides
-    # the (tiny) matching-token shuffle, so the only corpus-keyed shuffle
-    # is the per-(doc, term) tf aggregate itself.
-    words = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("dl"),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"))
-    # Filter in the scan stage: only query-term tokens reach the shuffle.
-    hits = words.where(F.col("word").isin(terms))
-    tf = (hits.groupBy(id_col, "word", "dl")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    # tf rows are unique per (doc, term), so COUNT(*) per term = df.
+    # Serve from the session BM25 index (round 9): the postings table
+    # already carries (doc, term, dl, tf), so a steady query filters it
+    # to the query terms — no corpus re-tokenization, no token-stream
+    # shuffle. tf rows are unique per (doc, term), so COUNT(*) per term
+    # over the filtered postings = df, exactly as before; the scores are
+    # bit-identical (same tf/dl/df/N inputs, same expression).
+    postings, stats = bm25_index_cached(docs, id_col, text_col)
+    tf = postings.where(F.col("word").isin(terms))
     df_tbl = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-
-    # Corpus stats: a shuffle-free projection reduced to one scalar row.
-    stats = (docs.select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum("dl").alias("sum_dl")))
 
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + 0.5)
