@@ -234,6 +234,16 @@ _QUERY_NOTES = {
         "now lazy (lineage cut every 8 rounds) so a round no longer "
         "pays an extra eager localCheckpoint job; rounds stay bounded "
         "by |vocab|, never corpus size",
+    "sim_ann_lsh":
+        "round-9: the corpus bucket table (neighbor_id, tbl, bucket) is "
+        "now session-memoized write-time index state like the IVF cell "
+        "layout, so a steady search buckets only its queries (~10% "
+        "same-host; 1.88 -> 1.69s sf1). The remaining cost is the "
+        "candidate-pair distinct (~800k pairs at sf1 from the 4-plane x "
+        "8-table geometry — a recall knob, not a plan artifact) plus "
+        "scoring; AQE already broadcast-joins the flat corpus side at "
+        "this scale and keeps the shuffle join above the threshold, "
+        "which is the correct 100 TB shape",
     "sim_hybrid_rrf":
         "round-9: the lexical branch now serves from the session BM25 "
         "postings+stats index (bm25_index_cached — the write-time "

@@ -95,6 +95,11 @@ _CELLS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 # k-row frame from the collected rows — zero jobs, no TakeOrdered re-run.
 _CENTS_CACHE: dict[tuple, tuple[DataFrame, list, object]] = {}
 
+# LSH corpus bucket table memo: the (neighbor_id, tbl, bucket) layout a
+# random-hyperplane index persists at write time. Keyed/confirmed like
+# _FLAT_CACHE.
+_LSH_BUCKETS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
 
 def ivf_centroids_cached(corpus: DataFrame, n_centroids: int,
                          dim: int) -> DataFrame:
@@ -524,9 +529,24 @@ def ann_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     def bucketed(flat: DataFrame, ident: str) -> DataFrame:
         return flat.selectExpr(f"id AS {ident}", f"inline(array({structs}))")
 
+    # The CORPUS bucket table is write-time index state (the LSH analog
+    # of ivf_write's cell layout): memoize it per (session, corpus,
+    # geometry) so a steady search buckets only its queries and
+    # equi-joins the maintained table. At 100 TB this table is the
+    # persisted layout partitioned by (tbl, bucket).
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    ckey = (_session_key(cf.sparkSession), cf.semanticHash(),
+            dim, n_planes, n_tables)
+    hit = _LSH_BUCKETS_CACHE.get(ckey)
+    if hit is not None and hit[0].sameSemantics(cf):
+        cbuckets = hit[1]
+    else:
+        cbuckets = bucketed(cf, "neighbor_id").cache()
+        _bounded_put(_LSH_BUCKETS_CACHE, ckey, (cf, cbuckets), cap=4)
+
     candidates = (
-        bucketed(qf, "query_id").join(
-            bucketed(cf, "neighbor_id"), ["tbl", "bucket"])
+        bucketed(qf, "query_id").join(cbuckets, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id").distinct()
     )
