@@ -252,6 +252,47 @@ def test_cdc_commit_is_o_batch_and_crash_safe(spark, tmp_path):
     assert (2, "two-v1") in final and (3, "three") in final
 
 
+def test_cdc_partial_fold_is_invisible(spark, tmp_path):
+    """A crash mid-FOLD (a v{D} base directory without _SUCCESS) must
+    not change the live view: readers keep resolving the previous base
+    plus ALL pending deltas, including the ones the interrupted fold
+    was about to cover."""
+    import os
+
+    from nexus_spark.streaming.ingest import (read_cdc_state,
+                                              resolve_cdc_sources,
+                                              stream_cdc_apply)
+
+    state_dir = str(tmp_path / "state")
+    schema = "doc_id long, text string, seq int, op string"
+    spark.createDataFrame([(1, "one", 0, "U")], schema) \
+        .write.parquet(state_dir)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "one-v1", 1, "U"), (2, "two", 1, "U")],
+                          schema).write.parquet(feed)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(feed).schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_cdc_apply(stream, state_dir, str(tmp_path / "ckpt"),
+                         ["doc_id"])
+    assert q.awaitTermination(120)
+    live = {(r.doc_id, r.text)
+            for r in read_cdc_state(spark, state_dir).collect()}
+    assert live == {(1, "one-v1"), (2, "two")}
+
+    # interrupted fold: a base claiming to cover every delta, no marker
+    deltas = resolve_cdc_sources(spark, state_dir)[1]
+    top = max(int(p.rsplit("d", 1)[1]) for p in deltas)
+    partial = str(tmp_path / "state" / f"v{top:08d}")
+    spark.createDataFrame([(9, "garbage", 9, "U")], schema) \
+        .write.parquet(partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    base, pend = resolve_cdc_sources(spark, state_dir)
+    assert base == state_dir and len(pend) == len(deltas)
+    assert {(r.doc_id, r.text)
+            for r in read_cdc_state(spark, state_dir).collect()} == live
+
+
 def test_cdc_fold_compacts_and_prunes_covered_deltas(spark, tmp_path):
     """Compaction contract: once `compact_every` deltas are pending, the
     commit folds them into a base snapshot v{D} (D = highest folded
