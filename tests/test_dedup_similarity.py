@@ -812,3 +812,23 @@ def test_embedding_outliers_finds_planted_vector(spark):
     want = (((x32[7] - mu) ** 2) / var).sum()
     assert abs(got[0]["score"] - want) < 1e-6
     assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_bucket_memo_is_stable_across_calls(spark):
+    """The corpus bucket table memoizes per (session, corpus, geometry);
+    a repeat search reuses it and returns identical results, and a
+    different geometry gets its own entry."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in S.ann_lsh(emb, queries, k=3).collect())
+    n_keys = len(S._LSH_BUCKETS_CACHE)
+    b = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in S.ann_lsh(emb, queries, k=3).collect())
+    assert a == b
+    assert len(S._LSH_BUCKETS_CACHE) == n_keys  # repeat call = cache hit
+    S.ann_lsh(emb, queries, k=3, n_planes=5).count()
+    assert len(S._LSH_BUCKETS_CACHE) == n_keys + 1  # new geometry

@@ -185,3 +185,27 @@ def test_bm25_repeated_query_term_weights(tiny_docs):
         assert twice[d] == pytest.approx(once[d] + extra, rel=1e-12)
     with pytest.raises(ValueError):
         bm25_scores(tiny_docs, ("",))
+
+
+def test_bm25_index_memo_hits_and_isolates_corpora(spark, tiny_docs):
+    """The postings+stats index memoizes per (session, corpus plan):
+    a repeat call returns the SAME cached frames (no rebuild), while a
+    different corpus gets its own index — scores never cross over."""
+    from nexus_spark.operators.retrieval import (bm25_index_cached,
+                                                 bm25_scores)
+
+    p1, s1 = bm25_index_cached(tiny_docs)
+    p2, s2 = bm25_index_cached(tiny_docs)
+    assert p1 is p2 and s1 is s2  # cache hit, no rebuild
+
+    other = spark.createDataFrame(
+        [(0, "spark spark spark"), (1, "merge")], ["doc_id", "text"])
+    p3, _ = bm25_index_cached(other)
+    assert p3 is not p1
+    # df('spark') reflects each corpus independently
+    df1 = {r["word"]: 1 for r in p1.where("word = 'spark'")
+           .select("word").distinct().collect()}
+    assert df1 == {"spark": 1}
+    got_other = {r["doc_id"]: r["n_terms_hit"]
+                 for r in bm25_scores(other, ("spark",)).collect()}
+    assert got_other == {0: 1}
