@@ -120,7 +120,12 @@ _QUERY_NOTES = {
         "(pq_index_cached): its first-call column absorbs the one-off "
         "codebook train + corpus encode (write-time state, what "
         "ivf_write_pq persists); sim_ann_pq / sim_pq_recall_at_k then "
-        "read it warm — `steady s` is LUT + scoring only for all three",
+        "read it warm — `steady s` is LUT + scoring only for all "
+        "three. Round-9: the coarse stage also rides the session IVF "
+        "memos (centroid frame + single-probe cell assignment, the "
+        "identical rounded-cosine/cent-id-asc pick), so a steady "
+        "search no longer re-runs the centroid TakeOrdered or the "
+        "full-corpus assignment shuffle",
     "text_nb_classifier":
         "round-6 collapse: log-likelihood decomposition removed the "
         "vocab x classes grid; k-row constants collected eagerly, one "

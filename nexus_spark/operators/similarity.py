@@ -1114,14 +1114,14 @@ def ann_ivf_pq(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Output: query_id, neighbor_id, rank, cosine (ADC approximation).
     """
     corpus = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    cents = _select_centroids(corpus, n_centroids, dim)
-    assign = (_cell_scores(corpus, cents, dim, "c")
-              .groupBy(F.col("id").alias("neighbor_id"))
-              .agg(F.max_by(
-                  "cent_id",
-                  F.struct(F.round(F.col("c_cos"), 6).alias("s"),
-                           (-F.col("cent_id")).alias("t")))
-                  .alias("cent_id")))
+    # Coarse stage rides the session IVF memos (round 9): the k-row
+    # centroid frame and the single-probe cell assignment are the same
+    # write-time state ann_ivf serves from — the memo's window pick
+    # (rounded cosine desc, cent_id asc at crank=1) selects the
+    # identical cell the former per-call max_by did.
+    cents = ivf_centroids_cached(corpus, n_centroids, dim)
+    assign = (ivf_cells_cached(corpus, dim, n_centroids, 1)
+              .withColumnRenamed("id", "neighbor_id"))
     qflat = _flat_cached(queries, id_col, vec_col, dim, "q")
     wq = Window.partitionBy("id").orderBy(
         F.round(F.col("c_cos"), 6).desc(), F.col("cent_id").asc())
