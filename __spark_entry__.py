@@ -7181,14 +7181,15 @@ FROM t
 # going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
 # implementation changed in round 9 (stream/floor rework plus the four
 # knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
-# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 4
+# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 5
 # late-round-9 changed rows (3 IVF centroid-memo/layout-cache
 # consumers, group B', plus the merge-on-read CDC rework's
-# e_stream_lake_upsert) + a 6-row r06-stale pad = the 50-entry window;
-# the 33 remaining r06-checked rows are queued in the tail to lead
-# round 10 (sim_knn_bruteforce, d_stratified_sample, e_sliding_events
-# were displaced from the pad by group B', d_dedup_exact by the CDC
-# rework).
+# e_stream_lake_upsert and the IVF+PQ coarse-stage memo share) + a
+# 5-row r06-stale pad = the 50-entry window; the 34 remaining
+# r06-checked rows are queued in the tail to lead round 10
+# (sim_knn_bruteforce, d_stratified_sample, e_sliding_events were
+# displaced from the pad by group B', d_dedup_exact by the CDC rework,
+# etl_regrid by the IVF+PQ change).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
     # the round-8 tail comment.
@@ -7263,9 +7264,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_topic_clusters": q_d_topic_clusters,
     # ... plus the late-r9 merge-on-read CDC rework (delta commit log +
     # fold + covered-delta retention replaced the per-commit snapshot
-    # rewrite):
+    # rewrite) and the IVF+PQ coarse stage joining the IVF memos:
     "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    # group D (6): r06-checked rows, 2 rounds stale — stalest-first
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    # group D (5): r06-checked rows, 2 rounds stale — stalest-first
     # pad (f_lowpass is the declared no_oracle raw row: its slot is a
     # rows-only check by convention, its oracled sibling is in group C;
     # t_asof_doy also rides the round-9 climatology session cache, so
@@ -7275,7 +7277,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "f_seasonal_filter": q_f_seasonal,
-    "etl_regrid": q_etl_regrid,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     # --- tail (entry 51+): rotates in for round 10, stalest first.
     # These 32 r06-checked rows will be 3 rounds stale after round 9
@@ -7304,8 +7305,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s8_matchup": q_s8_matchup,
     "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
-    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
+    "etl_regrid": q_etl_regrid,
     "text_gopher_quality": q_text_gopher_quality,
     "e_stream_drift_psi": q_e_stream_drift_psi,
     "sim_mmr_select": q_sim_mmr_select,
