@@ -123,9 +123,12 @@ _QUERY_NOTES = {
         "read it warm — `steady s` is LUT + scoring only for all "
         "three. Round-9: the coarse stage also rides the session IVF "
         "memos (centroid frame + single-probe cell assignment, the "
-        "identical rounded-cosine/cent-id-asc pick), so a steady "
-        "search no longer re-runs the centroid TakeOrdered or the "
-        "full-corpus assignment shuffle",
+        "identical rounded-cosine/cent-id-asc pick) — in the sweep the "
+        "IVF family has already built them, so steady search reuses "
+        "maintained state instead of re-running the centroid "
+        "TakeOrdered + full-corpus assignment; measured neutral in "
+        "isolation (memo build ~= the saved shuffle at sf1), the win "
+        "is one canonical cell state shared across the IVF consumers",
     "text_nb_classifier":
         "round-6 collapse: log-likelihood decomposition removed the "
         "vocab x classes grid; k-row constants collected eagerly, one "
