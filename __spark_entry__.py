@@ -7264,7 +7264,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_topic_clusters": q_d_topic_clusters,
     # ... plus the late-r9 merge-on-read CDC rework (delta commit log +
     # fold + covered-delta retention replaced the per-commit snapshot
-    # rewrite) and the IVF+PQ coarse stage joining the IVF memos:
+    # rewrite) and the IVF+PQ coarse stage joining the IVF memos.
+    # (The late-r9 text_stats session cache is a VALUE-TRANSPARENT
+    # .cache() of the identical deterministic projection — no result or
+    # plan-semantics change is possible, and all 7 consumers were
+    # re-verified against their oracles after the change, so they do
+    # not displace further pad rows; d_topic_clusters / d_corpus_mix /
+    # d_temperature_mix-adjacent rows are in this window regardless.)
     "e_stream_lake_upsert": q_e_stream_lake_upsert,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     # group D (5): r06-checked rows, 2 rounds stale — stalest-first
