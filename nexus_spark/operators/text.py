@@ -141,11 +141,16 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
     from nexus_spark.functions.skew import ensure_parallelism
     from nexus_spark.operators.dedup import _bounded_put, _session_key
 
-    key = (_session_key(docs.sparkSession), docs.semanticHash(),
-           id_col, text_col)
-    hit = _STATS_CACHE.get(key)
-    if hit is not None and hit[0].sameSemantics(docs):
-        return hit[1]
+    # A STREAM cannot be cached (and the stateless projection is the
+    # point of the streaming curation path) — memoize batch frames only.
+    if docs.isStreaming:
+        key = None
+    else:
+        key = (_session_key(docs.sparkSession), docs.semanticHash(),
+               id_col, text_col)
+        hit = _STATS_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(docs):
+            return hit[1]
     t = F.col(text_col)
     out = ensure_parallelism(docs).select(
         F.col(id_col),
@@ -157,7 +162,10 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
-    ).cache()
+    )
+    if key is None:
+        return out
+    out = out.cache()
     _bounded_put(_STATS_CACHE, key, (docs, out), cap=4)
     return out
 
