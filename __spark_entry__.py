@@ -7181,15 +7181,16 @@ FROM t
 # going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
 # implementation changed in round 9 (stream/floor rework plus the four
 # knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
-# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 5
+# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 6
 # late-round-9 changed rows (3 IVF centroid-memo/layout-cache
 # consumers, group B', plus the merge-on-read CDC rework's
-# e_stream_lake_upsert and the IVF+PQ coarse-stage memo share) + a
-# 5-row r06-stale pad = the 50-entry window; the 34 remaining
-# r06-checked rows are queued in the tail to lead round 10
-# (sim_knn_bruteforce, d_stratified_sample, e_sliding_events were
-# displaced from the pad by group B', d_dedup_exact by the CDC rework,
-# etl_regrid by the IVF+PQ change).
+# e_stream_lake_upsert, the IVF+PQ coarse-stage memo share, and the
+# IVF near-dup BLAS capture-then-exact-verify rewrite) + a 4-row
+# r06-stale pad = the 50-entry window; the 35 remaining r06-checked
+# rows are queued in the tail to lead round 10 (sim_knn_bruteforce,
+# d_stratified_sample, e_sliding_events were displaced from the pad by
+# group B', d_dedup_exact by the CDC rework, etl_regrid by the IVF+PQ
+# change, f_seasonal_filter by the near-dup rewrite).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
     # the round-8 tail comment.
@@ -7273,7 +7274,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # d_temperature_mix-adjacent rows are in this window regardless.)
     "e_stream_lake_upsert": q_e_stream_lake_upsert,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
-    # group D (5): r06-checked rows, 2 rounds stale — stalest-first
+    # ... and the IVF near-dup BLAS capture-then-exact-verify rewrite
+    # (its pipeline consumer d_semantic_dedup is in group B' above):
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    # group D (4): r06-checked rows, 2 rounds stale — stalest-first
     # pad (f_lowpass is the declared no_oracle raw row: its slot is a
     # rows-only check by convention, its oracled sibling is in group C;
     # t_asof_doy also rides the round-9 climatology session cache, so
@@ -7282,7 +7286,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_lowpass": q_f_lowpass,
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
-    "f_seasonal_filter": q_f_seasonal,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
     # --- tail (entry 51+): rotates in for round 10, stalest first.
     # These 32 r06-checked rows will be 3 rounds stale after round 9
@@ -7296,6 +7299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
     "d_dedup_exact": q_d_dedup_exact,
+    "f_seasonal_filter": q_f_seasonal,
     "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
@@ -7356,7 +7360,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_filtered_knn": q_sim_filtered_knn,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "m_multimodal_features": q_m_features,
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
     "text_stats": q_text_stats,

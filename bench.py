@@ -108,10 +108,19 @@ _QUERY_NOTES = {
         "iterative log-diameter convergence, paid per query per the "
         "warm-state policy (DuckDB pays its recursive CTE likewise)",
     "d_near_dup_embedding_ivf":
-        "first-call time is dominated by Catalyst analysis + janino "
-        "codegen of the 64-column pair plan — the recorded `steady s` "
-        "column (same query, warm caches) is the recurring cost and "
-        "shows the gap directly",
+        "round-9 rewrite (the knn_graph_ivf shape): candidate capture "
+        "runs per IVF cell as a blocked BLAS Gram slab emitting only "
+        "pairs above threshold - 1e-9 (a superset by margin; 64-term "
+        "association error is ~1e-15), and the output-sized survivors "
+        "are re-scored with the original left-associated JVM "
+        "expression whose exact predicate decides membership — the "
+        "LSH capture-then-verify structure, bit-exact vs the oracle "
+        "(row set verified identical both paths). Replaces the "
+        "relational distinct + two 65-col joins over the sum(|cell|^2) "
+        "pair stream, whose fused 64-term dot also hit the "
+        "sim_ann_hamming JIT-warming cliff (measured 29.7->7.9s over "
+        "4 identical calls on the r9 final host); sf1 steady 17-23s "
+        "-> 2.3s, d_semantic_dedup 3.8 -> 0.9s",
     "sim_ann_int8":
         "first call pays one-off codegen of the 64-column dequantize "
         "projection; see the recorded `steady s` column",

@@ -632,11 +632,54 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
     # consumers in the session).
     cells = ivf_cells_cached(corpus, dim, n_centroids, nprobe)
 
-    cand = (cells.select(F.col("cent_id"), F.col("id").alias("id_a"))
-            .join(cells.select(F.col("cent_id"), F.col("id").alias("id_b")),
-                  "cent_id")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    # Candidate capture runs per cell as a blocked BLAS Gram slab
+    # (round-9; the knn_graph_ivf shape): the relational formulation
+    # shipped the sum(|cell|^2) pair stream (~25M rows at sf1) through
+    # a distinct plus two 65-column joins whose fused 64-term dot
+    # deoptimized its whole codegen stage (the sim_ann_hamming JIT
+    # lesson). The kernel emits only pairs whose BLAS cosine clears
+    # threshold - 1e-9 — a SUPERSET by margin (64-term association
+    # error is ~1e-15 on unit vectors, six orders inside the margin) —
+    # and the survivors (output-sized, not candidate-sized) are
+    # re-scored EXACTLY with the original left-associated JVM
+    # expression, whose predicate alone decides membership. Same
+    # capture-then-verify structure as the LSH band + exact-Jaccard
+    # verify path. Per-task memory is one row-block x |cell| slab;
+    # n_centroids ~ sqrt(n) keeps the cell bounded as the corpus grows.
+    import pandas as pd
+
+    vecs = cells.join(
+        embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("_v")), "id")
+    margin = float(threshold) - 1e-9
+
+    def cand_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        V = np.array(list(pdf["_v"]), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        n = len(ids)
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            G = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+            for r in range(e - s):
+                hit = np.nonzero((G[r] >= margin) & (ids > ids[s + r]))[0]
+                if len(hit):
+                    out_a.append(np.full(len(hit), ids[s + r]))
+                    out_b.append(ids[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (vecs.groupBy("cent_id")
+            .applyInPandas(cand_cell, "id_a long, id_b long")
+            .distinct())
 
     a = (corpus.drop("vec").withColumnRenamed("id", "id_a")
          .withColumnRenamed("nrm", "nrm_a"))
