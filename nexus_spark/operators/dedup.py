@@ -603,6 +603,11 @@ def embedding_near_dup(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+# Max rows one IVF near-dup Python task materializes; cells above this
+# are hash-split into chunk-pair groups (see embedding_near_dup_ivf).
+_IVF_CELL_CAP = 65536
+
+
 def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95, dim: int = 64,
@@ -653,6 +658,31 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
                           F.col(vec_col).alias("_v")), "id")
     margin = float(threshold) - 1e-9
 
+    # Oversized-cell degradation (round-9 ADVICE): the kernel holds one
+    # whole group in pandas, so a skewed quantizer cell must not become
+    # one unbounded task. Cells above _CELL_CAP rows are hash-split
+    # into chunks and every chunk PAIR (ga <= gb) becomes its own
+    # group: a row in chunk c replicates to the n_chunks groups
+    # {(min(c,o), max(c,o))}, bounding group size at 2*_CELL_CAP while
+    # preserving the exact pair set (cross-chunk pairs are emitted in
+    # their one (ga<gb) group, same-chunk pairs in (c,c)). Common case
+    # (every cell under the cap) degenerates to one group per cell.
+    sizes = cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_csz"))
+    vecs = (
+        vecs.join(F.broadcast(sizes), "cent_id")
+        .withColumn("_nch",
+                    F.greatest(F.lit(1),
+                               F.ceil(F.col("_csz") / _IVF_CELL_CAP))
+                    .cast("int"))
+        .withColumn("_ch",
+                    F.pmod(F.xxhash64(F.col("id")), F.col("_nch"))
+                    .cast("int"))
+        .withColumn("_oth",
+                    F.explode(F.sequence(F.lit(0), F.col("_nch") - 1)))
+        .withColumn("_ga", F.least("_ch", "_oth"))
+        .withColumn("_gb", F.greatest("_ch", "_oth"))
+        .drop("_csz", "_nch", "_oth"))
+
     def cand_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
@@ -661,24 +691,37 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0.0] = 1.0
         n = len(ids)
+        # Split groups (ga < gb) own only CROSS-chunk pairs; same-chunk
+        # pairs belong to the (c, c) group.
+        cross_only = bool(n) and pdf["_ga"].iat[0] != pdf["_gb"].iat[0]
+        ch = pdf["_ch"].to_numpy()
         out_a, out_b = [], []
-        block = 1024
+        # Cap the Gram slab at ~64 MiB regardless of group width.
+        block = max(32, min(1024, (1 << 23) // max(n, 1)))
         for s in range(0, n, block):
             e = min(s + block, n)
             G = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
             for r in range(e - s):
-                hit = np.nonzero((G[r] >= margin) & (ids > ids[s + r]))[0]
+                keep = (G[r] >= margin) & (ids > ids[s + r])
+                if cross_only:
+                    keep &= ch != ch[s + r]
+                hit = np.nonzero(keep)[0]
                 if len(hit):
                     out_a.append(np.full(len(hit), ids[s + r]))
                     out_b.append(ids[hit])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
-                {"id_a": "int64", "id_b": "int64"})
+            empty = pd.Series([], dtype=pdf["id"].dtype)
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = (vecs.groupBy("cent_id")
-            .applyInPandas(cand_cell, "id_a long, id_b long")
+    # Output ids keep the caller's id type (round-9 ADVICE: the old
+    # hard-coded `long` broke string-keyed corpora at Arrow conversion;
+    # the `ids > ids[r]` ordering is numpy-elementwise for numeric AND
+    # string dtypes alike).
+    id_ddl = embeddings.schema[id_col].dataType.simpleString()
+    cand = (vecs.groupBy("cent_id", "_ga", "_gb")
+            .applyInPandas(cand_cell, f"id_a {id_ddl}, id_b {id_ddl}")
             .distinct())
 
     a = (corpus.drop("vec").withColumnRenamed("id", "id_a")

@@ -61,27 +61,49 @@ def bm25_index_cached(docs: DataFrame, id_col: str = "doc_id",
     from nexus_spark.functions.skew import ensure_parallelism
     from nexus_spark.operators.dedup import _bounded_put, _session_key
 
-    key = (_session_key(docs.sparkSession), docs.semanticHash(),
-           id_col, text_col)
-    hit = _BM25_IDX_CACHE.get(key)
-    if hit is not None and hit[0].sameSemantics(docs):
-        return hit[1], hit[2]
+    # A stream cannot be .cache()d (analysis-time error) and an
+    # inverted index over an unbounded corpus is not meaningful batch
+    # state — mirror the text_stats guard and build the plan uncached.
+    if docs.isStreaming:
+        key = None
+    else:
+        key = (_session_key(docs.sparkSession), docs.semanticHash(),
+               id_col, text_col)
+        hit = _BM25_IDX_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(docs):
+            return hit[1], hit[2]
     src = ensure_parallelism(docs)
     words = src.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"))
     postings = (words.groupBy(id_col, "word", "dl")
-                .agg(F.count(F.lit(1)).alias("tf")).cache())
+                .agg(F.count(F.lit(1)).alias("tf")))
     stats = (src.select(
         F.size(F.split(F.col(text_col), " ")).alias("dl"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum("dl").alias("sum_dl")).cache())
+             F.sum("dl").alias("sum_dl")))
+    if key is None:
+        return postings, stats
+    postings, stats = postings.cache(), stats.cache()
     # frame_idx=1 unpersists the postings frame on eviction; the 1-row
     # stats frame is too small to matter.
     _bounded_put(_BM25_IDX_CACHE, key, (docs, postings, stats), cap=4,
                  frame_idx=1)
     return postings, stats
+
+
+def clear_cache() -> None:
+    """Unpersist and drop the memoized BM25 index frames.
+    domain.invalidate() calls this after every in-place lake rewrite so
+    postings never serve pre-rewrite documents (round-9 ADVICE)."""
+    for _, postings, stats in _BM25_IDX_CACHE.values():
+        for frame in (postings, stats):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+    _BM25_IDX_CACHE.clear()
 
 
 def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],

@@ -185,8 +185,14 @@ def warm_index(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def clear_cache() -> None:
-    """Unpersist and drop every memoized flat-vector / cell / PQ frame."""
-    for cache in (_FLAT_CACHE, _CELLS_CACHE):
+    """Unpersist and drop every memoized index frame this module holds:
+    flat vectors, IVF cells/layout, LSH corpus buckets, PQ codes, and
+    the MMR relevance pool. domain.invalidate() calls this after every
+    in-place lake rewrite, so the list MUST stay exhaustive — a memo
+    left out serves pre-rewrite data (the round-9 ADVICE staleness
+    class)."""
+    for cache in (_FLAT_CACHE, _CELLS_CACHE, _LSH_BUCKETS_CACHE,
+                  _LAYOUT_CACHE):
         for _, frame in cache.values():
             try:
                 frame.unpersist()
@@ -194,12 +200,13 @@ def clear_cache() -> None:
                 pass
         cache.clear()
     _CENTS_CACHE.clear()  # local k-row state, nothing persisted
-    for _, _, codes in _PQ_CACHE.values():
-        try:
-            codes.unpersist()
-        except Exception:
-            pass
-    _PQ_CACHE.clear()
+    for cache, idx in ((_PQ_CACHE, 2), (_MMR_POOL_CACHE, 2)):
+        for entry in cache.values():
+            try:
+                entry[idx].unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:

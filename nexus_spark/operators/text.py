@@ -170,6 +170,18 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def clear_cache() -> None:
+    """Unpersist and drop the memoized per-doc stats frames.
+    domain.invalidate() calls this after every in-place lake rewrite so
+    consumers never read pre-rewrite attributes (round-9 ADVICE)."""
+    for _, frame in _STATS_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _STATS_CACHE.clear()
+
+
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.6,
            langs: tuple[str, ...] | None = None) -> DataFrame:

@@ -197,6 +197,47 @@ def test_ivf_near_dup_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_near_dup_string_ids(spark):
+    """The candidate kernel's output schema follows the caller's id type
+    (round-9 ADVICE: the hard-coded `long` broke string-keyed corpora)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators.dedup import (embedding_near_dup,
+                                             embedding_near_dup_ivf)
+
+    emb = (load_table(spark, SF_DIR_T2, "embeddings")
+           .withColumn("vec_id",
+                       F.format_string("doc-%06d", F.col("vec_id"))))
+    got = embedding_near_dup_ivf(emb, threshold=0.4, nprobe=4)
+    assert [f.dataType.simpleString() for f in got.schema.fields[:2]] \
+        == ["string", "string"]
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    brute = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup(emb, threshold=0.4).collect()}
+    assert pairs and pairs <= brute
+    # zero-padded formatting preserves numeric order, so id_a < id_b
+    assert all(a < b for a, b in pairs)
+
+
+def test_ivf_near_dup_oversized_cell_split(spark, monkeypatch):
+    """Forcing the per-task cell cap below every cell size routes the
+    kernel through chunk-pair groups; the emitted pair set is identical
+    to the unsplit run (round-9 ADVICE: skew degrades gracefully)."""
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import dedup
+
+    emb = load_table(spark, SF_DIR_T2, "embeddings")
+    whole = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_near_dup_ivf(
+                 emb, threshold=0.4, nprobe=4).collect()}
+    monkeypatch.setattr(dedup, "_IVF_CELL_CAP", 8)
+    split = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_near_dup_ivf(
+                 emb, threshold=0.4, nprobe=4).collect()}
+    assert set(whole) == set(split) and len(whole) > 0
+    for k in whole:
+        assert abs(whole[k] - split[k]) < 1e-12
+
+
 def test_incremental_dedup_store_loop(spark, tmp_path):
     """The ingest-dedup loop: batch 1 commits its fingerprints; batch 2
     drops exact dups against the store AND within itself; replaying a

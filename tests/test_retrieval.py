@@ -209,3 +209,51 @@ def test_bm25_index_memo_hits_and_isolates_corpora(spark, tiny_docs):
     got_other = {r["doc_id"]: r["n_terms_hit"]
                  for r in bm25_scores(other, ("spark",)).collect()}
     assert got_other == {0: 1}
+
+
+def test_domain_invalidate_drops_all_session_memos(spark, tiny_docs):
+    """domain.invalidate() must drop EVERY operator-level session memo —
+    BM25 postings, text stats, LSH buckets, IVF layout, MMR pool — not
+    just the dedup/similarity flat caches (round-9 ADVICE: a lake
+    rewrite otherwise serves pre-rewrite postings/stats/buckets because
+    a same-path re-read sameSemantics-hits the old plan)."""
+    from nexus_spark import domain
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import retrieval, similarity, text
+    from nexus_spark.operators.retrieval import bm25_index_cached
+    from nexus_spark.operators.text import text_stats
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 3")
+    bm25_index_cached(tiny_docs)
+    text_stats(tiny_docs)
+    similarity.ann_lsh(emb, queries, k=3).count()
+    similarity.ivf_layout_cached(
+        similarity._flat_cached(emb, "vec_id", "embedding",
+                                similarity.DIM, "c"),
+        similarity.DIM, 16).count()
+    assert retrieval._BM25_IDX_CACHE and text._STATS_CACHE
+    assert similarity._LSH_BUCKETS_CACHE and similarity._LAYOUT_CACHE
+    domain.invalidate()
+    assert not retrieval._BM25_IDX_CACHE
+    assert not text._STATS_CACHE
+    assert not similarity._LSH_BUCKETS_CACHE
+    assert not similarity._LAYOUT_CACHE
+    assert not similarity._MMR_POOL_CACHE
+
+
+def test_bm25_index_streaming_corpus_builds_uncached_plan(spark, tmp_path):
+    """A streaming corpus skips memoization instead of failing at
+    .cache() analysis (round-9 ADVICE; mirrors the text_stats guard)."""
+    from nexus_spark.operators.retrieval import bm25_index_cached
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(0, "spark joins fast")],
+                          ["doc_id", "text"]).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(src))
+    postings, stats = bm25_index_cached(stream)
+    assert postings.isStreaming
+    from nexus_spark.operators.retrieval import _BM25_IDX_CACHE
+    assert all(not d.isStreaming for d, _, _ in _BM25_IDX_CACHE.values())
