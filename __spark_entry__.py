@@ -7177,124 +7177,21 @@ FROM t
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 9 layout: 26 r05-stale rows (the reference's core §2.1 surface
-# going 3-rounds-stale — the round-8 verdict's top ask) + 10 rows whose
-# implementation changed in round 9 (stream/floor rework plus the four
-# knn_graph_ivf consumers of the round-8 BLAS rewrite, per the r8
-# ADVICE) + the 4 oracled siblings of the declared no_oracle rows + 6
-# late-round-9 changed rows (3 IVF centroid-memo/layout-cache
-# consumers, group B', plus the merge-on-read CDC rework's
-# e_stream_lake_upsert, the IVF+PQ coarse-stage memo share, and the
-# IVF near-dup BLAS capture-then-exact-verify rewrite) + a 4-row
-# r06-stale pad = the 50-entry window; the 35 remaining r06-checked
-# rows are queued in the tail to lead round 10 (sim_knn_bruteforce,
-# d_stratified_sample, e_sliding_events were displaced from the pad by
-# group B', d_dedup_exact by the CDC rework, etl_regrid by the IVF+PQ
-# change, f_seasonal_filter by the near-dup rewrite).
+# Round 10 layout: 34 r06-stale rows lead (group A — the registry's
+# deepest staleness, queued in last round's tail comment and the r9
+# verdict's top ask) + 6 consumers of the late-r9 session memos whose
+# "value-transparent" exemption the r9 verdict asked the driver, not
+# the builder, to confirm (group B: the climatology product cache and
+# the text-stats cache) + 4 rows whose implementation changed in round
+# 10 (group C: the IVF near-dup kernel's generic-id/cell-split rework
+# and the BM25 index builder's streaming-guard refactor, per rotation
+# rule 2) + a 6-row r07-stale pad (group D, stalest-first; displaced
+# by any late-round-10 implementation change). The tail queues the
+# remaining 30 r07-checked rows to lead round 11.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-9 WINDOW (first 50): executes the rotation planned in
-    # the round-8 tail comment.
-    # group A (26): r05-checked rows displaced from the round-8 window —
-    # 3 rounds stale after r8 (the reference's core §2.1 surface among
-    # them), they lead unconditionally ---
-    "text_bpe_learn": q_text_bpe_learn,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "text_bm25_topk": q_text_bm25,
-    "sim_hybrid_rrf": q_sim_hybrid_rrf,
-    "s1_time_series": q_s1_time_series,
-    "s8_matchup_once": q_s8_matchup_once,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding": q_d_near_dup_embedding,
-    "sim_ann_lsh": q_sim_ann_lsh,
-    "d_corpus_mix": q_d_corpus_mix,
-    "d_contamination": q_d_contamination,
-    "doms_list": q_doms_list,
-    "s1_polygon_time_series": q_s1_polygon,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "a10_dataset_list": q_a10_dataset_list,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
-    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    # group B (10): implementation CHANGED in round 9 (streaming PQ
-    # ingest collapsed to the single-stage mapInPandas encoder;
-    # sessionize sunk to parquet instead of the driver-side memory
-    # sink; embed-outliers' two narrow numpy passes; kmeans-round's
-    # one-pass sufficient-statistics rewrite; as-of enrichment
-    # read-back schema pinned; D8 endpoint cache scoped to the Spark
-    # context + edge fixture broadcast-closure fix) plus the four
-    # knn_graph_ivf consumers whose r8 per-cell BLAS rewrite the r8
-    # ADVICE flagged as window-unverified (registry rule: changed
-    # implementations join the next checked window) ---
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "e_stream_sessionize": q_e_stream_sessionize,
-    "d_embed_outliers": q_d_embed_outliers,
-    "e_stream_asof_enrich": q_e_stream_asof_enrich,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "sim_knn_graph": q_sim_knn_graph,
-    "sim_pagerank": q_sim_pagerank,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
-    "d_kmeans_round": q_d_kmeans_round,
-    # group C (4): the no_oracle rows' green oracled siblings, r06-
-    # checked and 2 rounds stale — windowed per the r8 verdict ask so
-    # the hash-family parity and checked-lowpass legs stay fresh ---
-    "f_lowpass_checked": q_f_lowpass_checked,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    # group B' (3): implementation-changed late in round 9 — the IVF
-    # centroid memo + cell-annotated layout (similarity.py
-    # ivf_centroids_cached / ivf_layout_cached) re-routed every
-    # ivf_cells_cached consumer, so the changed oracled consumers not
-    # already in groups A/B join the window per rotation rule 2.
-    # (d_near_dup_embedding_ivf rides the same embedding_near_dup_ivf
-    # route but is declared no_oracle; d_semantic_dedup oracle-checks
-    # that route end-to-end, and the brute sibling d_near_dup_embedding
-    # is in group A. ann_ivf_pq still trains via _select_centroids —
-    # path unchanged, stays in the round-10 tail.) ---
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    "d_topic_clusters": q_d_topic_clusters,
-    # ... plus the late-r9 merge-on-read CDC rework (delta commit log +
-    # fold + covered-delta retention replaced the per-commit snapshot
-    # rewrite) and the IVF+PQ coarse stage joining the IVF memos.
-    # (The late-r9 text_stats session cache is a VALUE-TRANSPARENT
-    # .cache() of the identical deterministic projection — no result or
-    # plan-semantics change is possible, and all 7 consumers were
-    # re-verified against their oracles after the change, so they do
-    # not displace further pad rows; d_topic_clusters / d_corpus_mix /
-    # d_temperature_mix-adjacent rows are in this window regardless.)
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
-    # ... and the IVF near-dup BLAS capture-then-exact-verify rewrite
-    # (its pipeline consumer d_semantic_dedup is in group B' above):
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    # group D (4): r06-checked rows, 2 rounds stale — stalest-first
-    # pad (f_lowpass is the declared no_oracle raw row: its slot is a
-    # rows-only check by convention, its oracled sibling is in group C;
-    # t_asof_doy also rides the round-9 climatology session cache, so
-    # it doubles as that change's second windowed consumer next to s7)
-    # ---
-    "f_lowpass": q_f_lowpass,
-    "d_dedup_winnow": q_d_dedup_winnow,
-    "t_asof_doy": q_t_asof_doy,
-    "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # --- tail (entry 51+): rotates in for round 10, stalest first.
-    # These 32 r06-checked rows will be 3 rounds stale after round 9
-    # and MUST lead round 10's window (d_dedup_simhash was displaced
-    # from the round-9 pad by the late d_kmeans_round rewrite;
-    # sim_knn_bruteforce, d_stratified_sample and e_sliding_events were
-    # displaced by the late-r9 IVF-memo changed-consumer group B';
-    # d_dedup_exact by the merge-on-read CDC rework joining the
-    # window): ---
+    # --- ROUND-10 WINDOW (first 50) ---
+    # group A (34): r06-checked rows, 3 rounds stale after r9 — they
+    # lead unconditionally (rotation rule 1) ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
@@ -7329,18 +7226,43 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_gaussian_interp": q_gauss_interp,
     "text_nb_classifier": q_text_nb_classifier,
     "text_nb_confusion": q_text_nb_confusion,
-    # --- checked in round 7 (next-stalest; round 10's pad draws from
-    # here in this order) ---
+    # group B (6): consumers of the late-r9 session memos that rode a
+    # self-asserted value-transparency exemption (climatology product
+    # cache: clim_nday, s3_clim_map; text-stats cache: text_stats
+    # itself + d_temperature_mix, d_gated_export, d_export_pipeline;
+    # the 7th consumer d_curation_pipeline is already in group A) —
+    # windowed so the driver, not the builder, confirms the exemption
+    # (r9 verdict "What's wrong" #2) ---
+    "clim_nday": q_clim_nday,
+    "s3_clim_map": q_s3_clim_map,
+    "text_stats": q_text_stats,
+    "d_temperature_mix": q_d_temperature_mix,
+    "d_gated_export": q_d_gated_export,
+    "d_export_pipeline": q_d_export_pipeline,
+    # group C (4): implementation CHANGED in round 10 — the IVF
+    # near-dup candidate kernel now derives its output schema from the
+    # caller's id type and hash-splits oversized quantizer cells into
+    # chunk-pair groups (d_near_dup_embedding_ivf is the declared
+    # no_oracle raw row; d_semantic_dedup oracle-checks the same route
+    # end-to-end), and bm25_index_cached gained the streaming guard +
+    # uncached-plan refactor (text_bm25_topk, sim_hybrid_rrf) ---
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "text_bm25_topk": q_text_bm25,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
+    # group D (6): r07-checked pad, stalest-first (2 rounds stale) ---
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
     "d_embed_pca1": q_d_embed_pca1,
+    # --- tail (entry 51+): rotates in for round 11, stalest first.
+    # These 30 r07-checked rows will be 3 rounds stale after round 10
+    # and MUST lead round 11's window: ---
     "d_expectations_audit": q_d_expectations_audit,
     "e_stream_quality_gate": q_e_stream_quality_gate,
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
-    "d_gated_export": q_d_gated_export,
     "sql_salted_hot_key": q_sql_salted_hot_key,
     "scrub_span_dedup": q_scrub_span_dedup,
     "scrub_cross_contamination": q_scrub_cross_contamination,
@@ -7360,21 +7282,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_filtered_knn": q_sim_filtered_knn,
     "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
     "m_multimodal_features": q_m_features,
-    "d_temperature_mix": q_d_temperature_mix,
     "corpus_drift_psi": q_corpus_drift,
-    "text_stats": q_text_stats,
     "sql_pricing_summary": q_sql_pricing,
     "sql_shipping_priority": q_sql_shipping,
     "sql_regional_revenue": q_sql_regional,
     "sql_set_ops": q_sql_setops,
     "sql_anti_join": q_sql_anti,
     "sql_sessionize": q_sql_sessionize,
-    "clim_nday": q_clim_nday,
     "clim_pixel_stats": q_pixel_stats,
-    # --- checked in round 8 (freshest before this round's window) ---
+    # --- checked in round 8 (next-stalest; round 11's pad draws from
+    # here in this order) ---
     "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
-    "s3_clim_map": q_s3_clim_map,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
     "t_distinct_bboxes": q_t_distinct_bboxes,
@@ -7409,7 +7328,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_corpus_diff": q_d_corpus_diff,
     "sim_mean_pool": q_sim_mean_pool,
     "sim_int8_recall_at_k": q_sim_int8_recall,
-    "d_export_pipeline": q_d_export_pipeline,
     "e_stream_dedup_exact": q_e_stream_dedup_exact,
     "e_stream_window_watermark": q_e_stream_window_watermark,
     "d_importance_select": q_d_importance_select,
@@ -7417,6 +7335,53 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
+    # --- checked in round 9 (freshest before this round's window) ---
+    "text_bpe_learn": q_text_bpe_learn,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "s1_time_series": q_s1_time_series,
+    "s8_matchup_once": q_s8_matchup_once,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
+    "doms_list": q_doms_list,
+    "s1_polygon_time_series": q_s1_polygon,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "a10_dataset_list": q_a10_dataset_list,
+    "s4_corr_map": q_s4_corr_map,
+    "s7_daily_difference": q_s7_daily_difference,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "d_embed_outliers": q_d_embed_outliers,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "sim_knn_graph": q_sim_knn_graph,
+    "sim_pagerank": q_sim_pagerank,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    "d_kmeans_round": q_d_kmeans_round,
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    "d_topic_clusters": q_d_topic_clusters,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "f_lowpass": q_f_lowpass,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "t_asof_doy": q_t_asof_doy,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
 }
 
 _ORACLES: dict[str, str] = {
