@@ -7239,27 +7239,36 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_temperature_mix": q_d_temperature_mix,
     "d_gated_export": q_d_gated_export,
     "d_export_pipeline": q_d_export_pipeline,
-    # group C (4): implementation CHANGED in round 10 — the IVF
+    # group C (5): implementation CHANGED in round 10 — the IVF
     # near-dup candidate kernel now derives its output schema from the
     # caller's id type and hash-splits oversized quantizer cells into
     # chunk-pair groups (d_near_dup_embedding_ivf is the declared
     # no_oracle raw row; d_semantic_dedup oracle-checks the same route
-    # end-to-end), and bm25_index_cached gained the streaming guard +
-    # uncached-plan refactor (text_bm25_topk, sim_hybrid_rrf) ---
+    # end-to-end), bm25_index_cached gained the streaming guard +
+    # uncached-plan refactor (text_bm25_topk, sim_hybrid_rrf), and the
+    # LSH corpus-bucket build was factored out of ann_lsh into
+    # lsh_corpus_buckets_cached for the bench warm pass (code motion,
+    # identical plan — windowed anyway per rotation rule 2: changed is
+    # changed, the driver confirms, not the builder; its other
+    # consumer e_stream_near_dup is in group A) ---
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_semantic_dedup": q_d_semantic_dedup,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
-    # group D (6): r07-checked pad, stalest-first (2 rounds stale) ---
+    "sim_ann_lsh": q_sim_ann_lsh,
+    # group D (5): r07-checked pad, stalest-first (2 rounds stale;
+    # d_embed_pca1 displaced to the tail by sim_ann_lsh joining group
+    # C) ---
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
-    "d_embed_pca1": q_d_embed_pca1,
     # --- tail (entry 51+): rotates in for round 11, stalest first.
-    # These 30 r07-checked rows will be 3 rounds stale after round 10
-    # and MUST lead round 11's window: ---
+    # These 31 r07-checked rows (d_embed_pca1 displaced from the pad by
+    # sim_ann_lsh joining group C) will be 3 rounds stale after round
+    # 10 and MUST lead round 11's window: ---
+    "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
     "e_stream_quality_gate": q_e_stream_quality_gate,
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
@@ -7345,7 +7354,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s8_matchup_once": q_s8_matchup_once,
     "sim_ann_ivf": q_sim_ann_ivf,
     "d_near_dup_embedding": q_d_near_dup_embedding,
-    "sim_ann_lsh": q_sim_ann_lsh,
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
     "doms_list": q_doms_list,

@@ -612,6 +612,27 @@ SF1_FULL_SKIP = ("d_near_dup_embedding", "d_near_dup_embedding_gemm",
                  "scrub_span_dedup_md5_parity")
 
 
+# Queries EXCLUDED from the sf0.1 --full TIMED sweep (round-10, the r9
+# verdict's ask #5 — the sf1 sweep's SF1_FULL_SKIP rationale applied at
+# sf0.1): verification-HARNESS rows that prove hash-family equalities
+# by running BOTH families plus a shared verify. They exist to pin
+# md5-vs-xxhash64 candidate-set equivalence for the driver's
+# correctness window (where they stay oracled at sf0.01); timing them
+# double-counts work whose PRODUCT rows (d_dedup_minhash_lsh,
+# d_dedup_simhash, scrub_span_dedup) are already timed, and a
+# hash-family equality is scale-invariant — it proves nothing about
+# performance at any SF. The skip is printed and recorded in the
+# payload, never silent; the honest-ratio cuts are computed over the
+# remaining rows on BOTH engines.
+SF01_VERIFY_SKIP = (
+    "d_dedup_lsh_xx_parity",        # both LSH hash families + shared verify
+    "scrub_span_dedup_md5_parity",  # md5 span-dedup leg (xxhash64 row timed)
+    "d_dedup_minhash_md5",          # md5 minhash leg (xxhash64 row timed)
+    "d_dedup_simhash_md5",          # md5 simhash leg (xxhash64 row timed)
+    "d_dedup_simhash_xx_recall",    # cross-family recall-parity check
+)
+
+
 def _duck_timed(con, sql: str, limit_s: int = 900):
     """Time one DuckDB oracle with a watchdog: interrupt after limit_s
     and record the timeout instead of hanging the sweep.
@@ -654,7 +675,7 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
     per-query scale factors vs the latest sf0.1 BENCH_NOTES."""
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     sf1 = _build_sf1(spark, src_dir)
-    _warm(spark, entry_mod, sf1)
+    memo_builds = _warm(spark, entry_mod, sf1)
     con = _duck_connect(sf1)
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -752,6 +773,7 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
                  "being mislabeled a timeout."),
         "n_queries": len(record),
         "skipped": list(SF1_FULL_SKIP),
+        "memo_builds": memo_builds,
         "errors": sorted(k for k, v in record.items() if "error" in v),
         "duckdb_timeouts": timeouts,
         "duckdb_oracle_errors": oracle_errors,
@@ -877,7 +899,8 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
         "sf": 1.0}))
 
 
-def _bench_full(spark, entry_mod, sf_dir: str) -> None:
+def _bench_full(spark, entry_mod, sf_dir: str,
+                memo_builds: dict[str, float] | None = None) -> None:
     """--full: time EVERY queries() entry on Spark and its oracle on
     DuckDB, then write BENCH_NOTES.json (stable machine-readable record
     for round-over-round regression diffs) + the BENCH_NOTES.md table."""
@@ -887,6 +910,11 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
     record: dict[str, dict] = {}
     from nexus_spark.operators import dedup as _dedup
     for name in sorted(qs):
+        if name in SF01_VERIFY_SKIP:
+            print(f"# sf0.1 SKIP {name} (hash-parity verification "
+                  "harness row; product rows timed, correctness "
+                  "driver-checked at sf0.01)", file=sys.stderr)
+            continue
         # Warm-state policy (see BENCH_NOTES header): ingest-maintained
         # state (observations cache, summary zone map, vector index,
         # postings index, NB fit constants — all write/train-time
@@ -932,12 +960,18 @@ def _bench_full(spark, entry_mod, sf_dir: str) -> None:
                              for r in record.values()), 3)
     cross = _bench_a2_crossover(spark)
     print(f"# a2_crossover: {cross}", file=sys.stderr)
+    floor = _stream_floor(spark)
+    print(f"# stream_noop_floor: {floor['floor_sec']}s "
+          f"(runs {floor['runs']})", file=sys.stderr)
     duck_total = round(sum(r["duckdb_sec"] for r in record.values()
                            if r["duckdb_sec"] is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(record),
+        "skipped_verification_rows": list(SF01_VERIFY_SKIP),
+        "memo_builds": memo_builds or {},
+        "stream_noop_floor": floor,
         "spark_total_sec": spark_total,
         "spark_steady_total_sec": steady_total,
         "duckdb_oracled_total_sec": duck_total,
@@ -1006,16 +1040,12 @@ def _write_notes_md(payload: dict) -> None:
         "compile cost from execution cost.",
         "",
         "Warm-state methodology: state a lake deployment maintains at",
-        "WRITE time stays warm across timed queries — the observations",
-        "materialized view (cache), the summary zone-map table, the",
-        "normalized flat-vector index + IVF cell assignment",
-        "(similarity.warm_index / ivf_cells_cached), the PQ codebook +",
-        "code table (pq_index_cached — ivf_write_pq's layout), the tiled-lake",
-        "fixture, the shingle postings index, the BM25 postings+stats",
-        "index (retrieval.bm25_index_cached) and the k-row NB fit",
-        "constants (trained once, scored many times) — the same way DuckDB",
-        "keeps its process",
-        "and OS page cache warm. Per-QUERY result memos do NOT persist:",
+        "WRITE time stays warm across timed queries — the same way DuckDB",
+        "keeps its process and OS page cache warm. Every such memo is",
+        "built in the untimed warm pass with its build cost measured",
+        "individually (table below), so nothing lands silently in a",
+        "query's first-call column and the warm-state scope stays",
+        "auditable as it grows. Per-QUERY result memos do NOT persist:",
         "the connected-components label cache is cleared before every",
         "timed query, so each CC consumer pays its own convergence",
         "rounds exactly like the oracle's recursive CTE.",
@@ -1029,8 +1059,54 @@ def _write_notes_md(payload: dict) -> None:
         "the driver's other checks) for round-over-round deltas.",
         "",
         f"**Totals: nexus-spark {spark_total}s first-call / {steady_total}s"
-        f" steady-state for all {len(record)} queries;"
+        f" steady-state for all {len(record)} timed queries;"
         f" DuckDB {duck_total}s for the oracled subset.**",
+    ]
+    mb = payload.get("memo_builds") or {}
+    if mb:
+        lines += [
+            "",
+            "### Session memo build costs (the warm-state scope, "
+            "itemized)",
+            "",
+            f"Measured in the untimed warm pass of this sweep; total "
+            f"{round(sum(mb.values()), 3)}s. A cold session pays this "
+            "once; in a deployment it is write/ingest-time work.",
+            "",
+            "| memo | build s | first calls that would pay it cold |",
+            "|---|---|---|",
+        ]
+        lines += [f"| {m} | {mb[m]:.3f} | "
+                  f"{_MEMO_CONSUMERS.get(m, '—')} |" for m in mb]
+    floor = payload.get("stream_noop_floor")
+    if floor:
+        lines += [
+            "",
+            "### Executed-stream floor (one authoritative measurement)",
+            "",
+            f"No-op 4-micro-batch availableNow drain on this host: "
+            f"**{floor['floor_sec']}s** (median of {floor['runs']}). "
+            "Every e_stream_* row pays roughly this fixed "
+            "startup+commit cost on top of its data work; its batch "
+            "SQL oracle pays none of it. Read stream-row ratios net of "
+            "this floor — a stream row within ~2x of (oracle + floor) "
+            "has no plan defect to fix, only the execution-model "
+            "price, which is flat in data volume (scale factors ~1.0 "
+            "at 10x in BENCH_SF1_FULL.json).",
+        ]
+    skipped = payload.get("skipped_verification_rows") or []
+    if skipped:
+        lines += [
+            "",
+            f"Not timed in this sweep ({len(skipped)} verification-"
+            "harness rows; recorded in skipped_verification_rows): "
+            + ", ".join(skipped) + " — they prove md5-vs-xxhash64 "
+            "candidate-set equalities by running BOTH hash families, "
+            "stay oracled in the driver's sf0.01 correctness window, "
+            "and their single-family PRODUCT rows are timed above "
+            "(the SF1_FULL_SKIP rationale applied at sf0.1).",
+        ]
+    lines += [
         "",
         "| query | rows | spark s | steady s | duckdb s |",
         "|---|---|---|---|---|",
@@ -1164,66 +1240,159 @@ def main() -> None:
         _bench_sf1(spark, entry_mod, sf_dir)
         return
 
-    _warm(spark, entry_mod, sf_dir)
+    memo_builds = _warm(spark, entry_mod, sf_dir)
 
     if "--full" in sys.argv:
-        _bench_full(spark, entry_mod, sf_dir)
+        _bench_full(spark, entry_mod, sf_dir, memo_builds)
         return
 
-    _headline(spark, entry_mod, sf_dir)
+    _headline(spark, entry_mod, sf_dir, memo_builds)
 
 
-def _warm(spark, entry_mod, sf_dir: str) -> None:
-    # Warmup: absorb first-job overhead, and materialize the derived
-    # observations view once (the memoized plan is shared by every geo
-    # query — the same materialized-view pattern a lake deployment would
-    # use instead of re-deriving the long format per query).
+# Which sweep queries pay each memo's build on a COLD first call (for
+# the BENCH_NOTES warm-state table; round-9 verdict ask #3).
+_MEMO_CONSUMERS = {
+    "observations_view": "every geo/clim query (s1-s8, a2-a8, t_*)",
+    "summary_zone_map": "a2_stats_from_summary",
+    "climatology_product": "clim_nday, s3_clim_map, s7_daily_difference, "
+                           "t_asof_doy, f_hof_deseason",
+    "flat_vector_index": "every ANN/near-dup/graph query "
+                         "(sim_*, d_near_dup_*, d_semantic_dedup)",
+    "ivf_centroids": "sim_ann_ivf, sim_ann_ivf_pq, sim_knn_graph and "
+                     "downstream graph family",
+    "ivf_cell_assignment": "same IVF consumers (multi-probe search)",
+    "ivf_layout": "sim_ann_ivf steady path, sim_ann_recall_at_k",
+    "lsh_buckets": "sim_ann_lsh, e_stream_near_dup",
+    "pq_codebook_and_codes": "sim_ann_ivf_pq, sim_ann_pq, "
+                             "sim_pq_recall_at_k, e_stream_pq_ingest",
+    "shingle_postings": "d_dedup_ngram_jaccard, d_dedup_minhash_*, "
+                        "d_dedup_containment",
+    "bm25_postings_stats": "text_bm25_topk, sim_hybrid_rrf",
+    "text_stats_frame": "text_stats, d_temperature_mix, d_curation_"
+                        "pipeline, d_export_pipeline, d_gated_export",
+    "tiled_lake_fixture": "a2_tiled_lake_pruned",
+}
+
+
+def _warm(spark, entry_mod, sf_dir: str) -> dict[str, float]:
+    """Warm-state pass: build every session memo the warm-state policy
+    keeps across timed queries (write/train-time state a lake
+    deployment maintains at ingest — see the BENCH_NOTES methodology
+    section), timing EACH build individually. Returns {memo: sec} so
+    the record attributes exactly what the warm state cost to build and
+    which first calls it would otherwise have landed in (round-9
+    verdict: the headline first-call number was silently absorbing new
+    memo builds; now every memo has its own measured line and first
+    call is plan analysis + codegen only)."""
     from nexus_spark import domain
+    from nexus_spark.catalog import load_table
+    from nexus_spark.operators import dedup as dedup_ops
+    from nexus_spark.operators import retrieval as retrieval_ops
+    from nexus_spark.operators import similarity, text
 
     qs = entry_mod.queries()
-    domain.observations(spark, sf_dir).cache().count()
-    # The summary (zone-map) table is ingest-maintained state in a lake
-    # deployment — a query never pays its build. Materialize it in warmup
-    # (same tiling a2 uses) so the timed a2 run measures the summary READ
-    # path, not build+cache+read collapsed into one cold call.
-    domain.summary_table(spark, sf_dir,
-                         lat_tile_deg=10.0, lon_tile_deg=60.0).count()
+    costs: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        costs[name] = round(time.perf_counter() - t0, 3)
+        print(f"# warm {name}: {costs[name]:.3f}s", file=sys.stderr)
+
+    # Absorb first-job/session overhead before the first timed build so
+    # the observations line measures the build, not JVM spin-up.
+    spark.range(1000).count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    # The observations materialized view: the memoized long-format plan
+    # every geo query shares (the lake deployment's materialized view).
+    timed("observations_view",
+          lambda: domain.observations(spark, sf_dir).cache().count())
+    # The summary (zone-map) table: ingest-maintained, a query never
+    # pays its build (same tiling a2 uses).
+    timed("summary_zone_map",
+          lambda: domain.summary_table(spark, sf_dir, lat_tile_deg=10.0,
+                                       lon_tile_deg=60.0).count())
+    # The climatology: a STORED PRODUCT in the reference deployment (a
+    # published dataset read by the as-of consumers).
+    timed("climatology_product",
+          lambda: domain.climatology(spark, sf_dir).count())
     qs["a10_dataset_list"](spark, sf_dir).collect()
-    # Same ingest-maintained-state rationale for the vector index: a real
-    # deployment keeps the normalized flat-vector frame (or the persisted
-    # IVF cell layout, similarity.ivf_write) built at write time. Warm the
-    # session memo so timed ANN queries measure search, not index build.
-    from nexus_spark.catalog import load_table
-    from nexus_spark.operators import similarity
-    similarity.warm_index(load_table(spark, sf_dir, "embeddings"))
-    # The multi-probe cell assignment is the same write-time index
-    # (ivf_write's persisted layout) — warm it with the flat corpus.
-    similarity.ivf_cells_cached(
-        similarity._flat_cached(load_table(spark, sf_dir, "embeddings"),
-                                "vec_id", "embedding", similarity.DIM,
-                                "c"),
-        similarity.DIM, 32, 2).count()
-    # The shingle postings (inverted index) is likewise write-time state —
-    # the same index ngram/minhash dedup share in a deployment. Warm it so
-    # dedup queries measure the candidate join + verify, not index build
-    # (stated in the BENCH_NOTES warm-state policy).
-    from nexus_spark.operators import dedup as dedup_ops
-    dedup_ops.distinct_postings(load_table(spark, sf_dir,
-                                           "documents")).count()
-    # The BM25 postings + corpus-stats index is the lexical analog
-    # (Lucene builds segments at write time); warm it so bm25/hybrid
-    # queries measure SEARCH over postings, not index build.
-    from nexus_spark.operators import retrieval as retrieval_ops
-    for f in retrieval_ops.bm25_index_cached(
-            load_table(spark, sf_dir, "documents")):
-        f.count()
-    # The tile-partitioned lake fixture is likewise write-time state
-    # (built once at ingest); warm it so a2_tiled_lake_pruned times the
-    # pruned READ, not the one-off lake build.
-    entry_mod.tiled_lake(spark, sf_dir)
+    # The vector index family: write-time state (similarity.ivf_write /
+    # ivf_write_pq persist exactly these layouts); timed per piece.
+    timed("flat_vector_index", lambda: similarity.warm_index(emb))
+    flat = similarity._flat_cached(emb, "vec_id", "embedding",
+                                   similarity.DIM, "c")
+    timed("ivf_centroids",
+          lambda: similarity.ivf_centroids_cached(
+              flat, 32, similarity.DIM).count())
+    timed("ivf_cell_assignment",
+          lambda: similarity.ivf_cells_cached(
+              flat, similarity.DIM, 32, 2).count())
+    timed("ivf_layout",
+          lambda: similarity.ivf_layout_cached(
+              flat, similarity.DIM, 32).count())
+    timed("lsh_buckets",
+          lambda: similarity.lsh_corpus_buckets_cached(flat).count())
+    timed("pq_codebook_and_codes",
+          lambda: similarity.pq_index_cached(emb)[1].count())
+    # The shingle postings (inverted index) ngram/minhash dedup share.
+    timed("shingle_postings",
+          lambda: dedup_ops.distinct_postings(docs).count())
+    # The BM25 postings + corpus-stats index (Lucene-segment analog).
+    timed("bm25_postings_stats",
+          lambda: [f.count()
+                   for f in retrieval_ops.bm25_index_cached(docs)])
+    # The per-doc text-stats frame: attributes a pipeline precomputes
+    # at ingest (the CCNet/Dolma attribute-file pattern).
+    timed("text_stats_frame", lambda: text.text_stats(docs).count())
+    # The tile-partitioned lake fixture (built once at ingest).
+    timed("tiled_lake_fixture",
+          lambda: entry_mod.tiled_lake(spark, sf_dir))
+    print(f"# warm total: {round(sum(costs.values()), 3)}s",
+          file=sys.stderr)
+    return costs
 
 
-def _headline(spark, entry_mod, sf_dir: str) -> None:
+def _stream_floor(spark) -> dict:
+    """Measured cost of an EMPTY executed stream on this host: a 4-file
+    feed of 1-row parquet files, schema-pinned readStream with
+    maxFilesPerTrigger=1, no-op foreachBatch, availableNow drain —
+    stream startup + 4 micro-batch commits with no data work. This is
+    the fixed floor every e_stream_* row pays that its batch SQL oracle
+    never pays (round-9 verdict ask #4: one authoritative floor note
+    instead of per-query hand-waving). Median of 3."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_floor_")
+    feed = os.path.join(root, "feed")
+    for _ in range(4):
+        spark.range(1).selectExpr("id", "id AS v").coalesce(1) \
+            .write.mode("append").parquet(feed)
+    runs = []
+    for i in range(3):
+        ckpt = os.path.join(root, f"ckpt{i}")
+        t0 = time.perf_counter()
+        q = (spark.readStream.schema("id bigint, v bigint")
+             .option("maxFilesPerTrigger", 1).parquet(feed)
+             .writeStream.foreachBatch(lambda df, _: df.count())
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        runs.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(root, ignore_errors=True)
+    return {"runs": runs, "floor_sec": sorted(runs)[1],
+            "note": ("median no-op 4-micro-batch availableNow drain "
+                     "(schema-pinned file source, no-op foreachBatch); "
+                     "the fixed startup+commit floor every executed "
+                     "e_stream_* row pays that its batch oracle never "
+                     "pays — subtract it before reading a stream row's "
+                     "ratio as a plan verdict")}
+
+
+def _headline(spark, entry_mod, sf_dir: str,
+              memo_builds: dict[str, float] | None = None) -> None:
     qs = entry_mod.queries()
     # Each headline query is timed twice: first call (pays one-off
     # Catalyst analysis + janino codegen for that plan) and an identical
@@ -1244,6 +1413,7 @@ def _headline(spark, entry_mod, sf_dir: str) -> None:
               f"({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    mb = memo_builds or {}
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -1251,6 +1421,16 @@ def _headline(spark, entry_mod, sf_dir: str) -> None:
         "steady_value": round(sum(steady.values()), 3),
         "queries": timings,
         "queries_steady": steady,
+        "memo_builds": mb,
+        "memo_builds_total_sec": round(sum(mb.values()), 3),
+        "note": ("warm-vs-cold disclosure (round-10): session memos — "
+                 "the write/train-time index state BENCH_NOTES' "
+                 "warm-state section enumerates — are built in an "
+                 "untimed warm pass with per-memo costs recorded in "
+                 "memo_builds, so `value` (first call) is plan "
+                 "analysis + codegen and `steady_value` the recurring "
+                 "cost; a cold session pays memo_builds_total_sec "
+                 "once on top"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
