@@ -666,22 +666,31 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
     # {(min(c,o), max(c,o))}, bounding group size at 2*_CELL_CAP while
     # preserving the exact pair set (cross-chunk pairs are emitted in
     # their one (ga<gb) group, same-chunk pairs in (c,c)). Common case
-    # (every cell under the cap) degenerates to one group per cell.
+    # (every cell under the cap) keeps the unsalted one-group-per-cell
+    # plan: the split decision is one n_centroids-row aggregate over the
+    # CACHED cell assignment (k-row driver state, like the centroid
+    # probes), so the common path pays no join/explode plumbing.
     sizes = cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_csz"))
-    vecs = (
-        vecs.join(F.broadcast(sizes), "cent_id")
-        .withColumn("_nch",
-                    F.greatest(F.lit(1),
-                               F.ceil(F.col("_csz") / _IVF_CELL_CAP))
-                    .cast("int"))
-        .withColumn("_ch",
-                    F.pmod(F.xxhash64(F.col("id")), F.col("_nch"))
-                    .cast("int"))
-        .withColumn("_oth",
-                    F.explode(F.sequence(F.lit(0), F.col("_nch") - 1)))
-        .withColumn("_ga", F.least("_ch", "_oth"))
-        .withColumn("_gb", F.greatest("_ch", "_oth"))
-        .drop("_csz", "_nch", "_oth"))
+    max_cell = sizes.agg(F.max("_csz")).first()[0] or 0
+    if max_cell <= _IVF_CELL_CAP:
+        vecs = (vecs.withColumn("_ch", F.lit(0))
+                .withColumn("_ga", F.lit(0)).withColumn("_gb", F.lit(0)))
+    else:
+        vecs = (
+            vecs.join(F.broadcast(sizes), "cent_id")
+            .withColumn("_nch",
+                        F.greatest(F.lit(1),
+                                   F.ceil(F.col("_csz") / _IVF_CELL_CAP))
+                        .cast("int"))
+            .withColumn("_ch",
+                        F.pmod(F.xxhash64(F.col("id")), F.col("_nch"))
+                        .cast("int"))
+            .withColumn("_oth",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.col("_nch") - 1)))
+            .withColumn("_ga", F.least("_ch", "_oth"))
+            .withColumn("_gb", F.greatest("_ch", "_oth"))
+            .drop("_csz", "_nch", "_oth"))
 
     def cand_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
