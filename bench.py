@@ -1112,7 +1112,7 @@ def _write_notes_md(payload: dict) -> None:
             "(d_dedup_simhash_md5) was Spark-FAVORABLE because DuckDB "
             "pays ~5.8s of md5 on it. Recomputing the round-9 record "
             "on this same basis gives ex-matchup 3.26x and "
-            "ex-matchup-ex-stream 2.90x, vs round-10's 3.08x / 2.70x "
+            "ex-matchup-ex-stream 2.90x, vs round-10's 2.85x / 2.51x "
             "— the honest cut still trends down on a consistent "
             "basis.",
         ]
