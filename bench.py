@@ -1106,15 +1106,11 @@ def _write_notes_md(payload: dict) -> None:
             "and their single-family PRODUCT rows are timed above "
             "(the SF1_FULL_SKIP rationale applied at sf0.1).",
             "",
-            "Cut-basis disclosure (round 10, when the skip was "
-            "introduced): removing these rows moves the headline cuts "
-            "AGAINST us, not for us — the largest removed row "
-            "(d_dedup_simhash_md5) was Spark-FAVORABLE because DuckDB "
-            "pays ~5.8s of md5 on it. Recomputing the round-9 record "
-            "on this same basis gives ex-matchup 3.26x and "
-            "ex-matchup-ex-stream 2.90x, vs round-10's 2.85x / 2.51x "
-            "— the honest cut still trends down on a consistent "
-            "basis.",
+            "The skip moves the headline cuts AGAINST us, not for us "
+            "(the largest removed row, d_dedup_simhash_md5, was "
+            "Spark-favorable: DuckDB pays ~5.8s of md5 on it); the "
+            "one-time basis change and consistent-basis trend are "
+            "recorded in PLANS.md's round-10 addendum.",
         ]
     lines += [
         "",

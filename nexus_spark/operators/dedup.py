@@ -667,15 +667,18 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
     # preserving the exact pair set (cross-chunk pairs are emitted in
     # their one (ga<gb) group, same-chunk pairs in (c,c)). Common case
     # (every cell under the cap) keeps the unsalted one-group-per-cell
-    # plan: the split decision is one n_centroids-row aggregate over the
-    # CACHED cell assignment (k-row driver state, like the centroid
-    # probes), so the common path pays no join/explode plumbing.
-    sizes = cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("_csz"))
-    max_cell = sizes.agg(F.max("_csz")).first()[0] or 0
+    # plan: the split decision reads the session-memoized largest-cell
+    # scalar (ivf_max_cell_cached — one tiny aggregate on first ask per
+    # corpus/geometry, a dict lookup on every later call, so repeat and
+    # steady invocations stay job-free at construction).
+    from nexus_spark.operators.similarity import ivf_max_cell_cached
+    max_cell = ivf_max_cell_cached(corpus, dim, n_centroids, nprobe)
     if max_cell <= _IVF_CELL_CAP:
         vecs = (vecs.withColumn("_ch", F.lit(0))
                 .withColumn("_ga", F.lit(0)).withColumn("_gb", F.lit(0)))
     else:
+        sizes = cells.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("_csz"))
         vecs = (
             vecs.join(F.broadcast(sizes), "cent_id")
             .withColumn("_nch",

@@ -41,6 +41,15 @@ def _checkpointed(src: DataFrame, tag: str, build) -> DataFrame:
     return got
 
 
+def clear_cache() -> None:
+    """Drop the memoized checkpointed edge frames. domain.invalidate()
+    calls this after every in-place lake rewrite so graph queries never
+    reuse a pre-rewrite localCheckpoint-frozen edge list (the round-9
+    ADVICE staleness class). localCheckpoint blocks are reclaimed when
+    the dropped references are GC'd; there is nothing to unpersist."""
+    _EDGE_CACHE.clear()
+
+
 def pagerank(edges: DataFrame, iterations: int = 8,
              damping: float = 0.85,
              src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:

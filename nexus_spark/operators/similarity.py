@@ -144,6 +144,33 @@ def ivf_cells_cached(corpus: DataFrame, dim: int, n_centroids: int,
     return cells
 
 
+# Largest-cell-size memo over a cell assignment: one scalar of driver
+# state per (corpus, geometry), a pure function of the memoized
+# assignment — callers (the IVF near-dup skew probe) read it instead of
+# re-running a max aggregate per invocation.
+_CELL_MAX_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
+def ivf_max_cell_cached(corpus: DataFrame, dim: int, n_centroids: int,
+                        nprobe: int) -> int:
+    """Memoized size of the largest multi-probe IVF cell — the skew
+    probe embedding_near_dup_ivf branches on. Deterministic per
+    (corpus, geometry) because the assignment is; one tiny aggregate
+    job on first ask, a dict lookup after."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    key = (_session_key(corpus.sparkSession), corpus.semanticHash(),
+           dim, n_centroids, nprobe)
+    hit = _CELL_MAX_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(corpus):
+        return hit[1]
+    cells = ivf_cells_cached(corpus, dim, n_centroids, nprobe)
+    m = int(cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n")).first()[0] or 0)
+    _bounded_put(_CELL_MAX_CACHE, key, (corpus, m), frame_idx=None)
+    return m
+
+
 # Cell-annotated corpus memo: the flat corpus joined with its
 # single-probe cell — byte-for-byte the layout ivf_write persists
 # (cell_id as the partition column), so in-session it is maintained
@@ -200,6 +227,7 @@ def clear_cache() -> None:
                 pass
         cache.clear()
     _CENTS_CACHE.clear()  # local k-row state, nothing persisted
+    _CELL_MAX_CACHE.clear()  # scalar driver state, nothing persisted
     for cache, idx in ((_PQ_CACHE, 2), (_MMR_POOL_CACHE, 2)):
         for entry in cache.values():
             try:

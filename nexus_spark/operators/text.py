@@ -171,15 +171,20 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def clear_cache() -> None:
-    """Unpersist and drop the memoized per-doc stats frames.
+    """Unpersist and drop EVERY memo this module holds: the per-doc
+    stats frames, the NB fit constants, and the hash-embed frames.
     domain.invalidate() calls this after every in-place lake rewrite so
-    consumers never read pre-rewrite attributes (round-9 ADVICE)."""
+    consumers never read pre-rewrite attributes (round-9 ADVICE); the
+    list must stay exhaustive — a memo left out serves pre-rewrite
+    data."""
     for _, frame in _STATS_CACHE.values():
         try:
             frame.unpersist()
         except Exception:
             pass
     _STATS_CACHE.clear()
+    clear_nb_fit_cache()
+    clear_hash_embed_cache()
 
 
 def curate(docs: DataFrame, id_col: str = "doc_id",

@@ -223,24 +223,38 @@ def test_domain_invalidate_drops_all_session_memos(spark, tiny_docs):
     from nexus_spark.operators.retrieval import bm25_index_cached
     from nexus_spark.operators.text import text_stats
 
+    from nexus_spark.operators import graph
+    from nexus_spark.operators.text import hash_embed_cached
+
     sf = "/root/testdata/sf0.001"
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where("vec_id < 3")
     bm25_index_cached(tiny_docs)
     text_stats(tiny_docs)
+    hash_embed_cached(tiny_docs).count()
     similarity.ann_lsh(emb, queries, k=3).count()
-    similarity.ivf_layout_cached(
-        similarity._flat_cached(emb, "vec_id", "embedding",
-                                similarity.DIM, "c"),
-        similarity.DIM, 16).count()
+    flat = similarity._flat_cached(emb, "vec_id", "embedding",
+                                   similarity.DIM, "c")
+    similarity.ivf_layout_cached(flat, similarity.DIM, 16).count()
+    similarity.ivf_max_cell_cached(flat, similarity.DIM, 16, 2)
+    graph._checkpointed(
+        emb.limit(2), "test-edges",
+        lambda: emb.limit(2).selectExpr("vec_id AS src",
+                                        "vec_id + 1 AS dst"))
     assert retrieval._BM25_IDX_CACHE and text._STATS_CACHE
+    assert text._HASH_EMBED_CACHE and graph._EDGE_CACHE
     assert similarity._LSH_BUCKETS_CACHE and similarity._LAYOUT_CACHE
+    assert similarity._CELL_MAX_CACHE
     domain.invalidate()
     assert not retrieval._BM25_IDX_CACHE
     assert not text._STATS_CACHE
+    assert not text._HASH_EMBED_CACHE
+    assert not text._NB_FIT_CACHE
+    assert not graph._EDGE_CACHE
     assert not similarity._LSH_BUCKETS_CACHE
     assert not similarity._LAYOUT_CACHE
     assert not similarity._MMR_POOL_CACHE
+    assert not similarity._CELL_MAX_CACHE
 
 
 def test_bm25_index_streaming_corpus_builds_uncached_plan(spark, tmp_path):
