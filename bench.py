@@ -773,6 +773,7 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
                  "being mislabeled a timeout."),
         "n_queries": len(record),
         "skipped": list(SF1_FULL_SKIP),
+        "warmed_memos": sorted(memo_builds or {}),
         "memo_builds": memo_builds,
         "errors": sorted(k for k, v in record.items() if "error" in v),
         "duckdb_timeouts": timeouts,
@@ -907,10 +908,18 @@ def _bench_full(spark, entry_mod, sf_dir: str,
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     con = _duck_connect(sf_dir)
 
+    # The verification-row skip is an sf0.1-specific recorded policy
+    # (round-10 ADVICE: it used to apply to ANY --full sf_dir while
+    # every message claimed sf0.1) — another scale factor times the
+    # parity rows unless its own skip decision is made explicitly.
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else None
+    verify_skip = SF01_VERIFY_SKIP if sf_val == 0.1 else ()
+
     record: dict[str, dict] = {}
     from nexus_spark.operators import dedup as _dedup
     for name in sorted(qs):
-        if name in SF01_VERIFY_SKIP:
+        if name in verify_skip:
             print(f"# sf0.1 SKIP {name} (hash-parity verification "
                   "harness row; product rows timed, correctness "
                   "driver-checked at sf0.01)", file=sys.stderr)
@@ -965,11 +974,14 @@ def _bench_full(spark, entry_mod, sf_dir: str,
           f"(runs {floor['runs']})", file=sys.stderr)
     duck_total = round(sum(r["duckdb_sec"] for r in record.values()
                            if r["duckdb_sec"] is not None), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val if sf_val is not None else sf,
         "n_queries": len(record),
-        "skipped_verification_rows": list(SF01_VERIFY_SKIP),
+        "skipped_verification_rows": list(verify_skip),
+        # Warm-state scope stamp (round-10 ADVICE): the exact memo set
+        # the untimed warm pass pre-built, so a basis change between
+        # rounds is machine-diffable instead of prose-only.
+        "warmed_memos": sorted(memo_builds or {}),
         "memo_builds": memo_builds or {},
         "stream_noop_floor": floor,
         "spark_total_sec": spark_total,
@@ -1425,18 +1437,29 @@ def _headline(spark, entry_mod, sf_dir: str,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "steady_value": round(sum(steady.values()), 3),
+        # Invariant cold number (round-10 verdict): first-call total
+        # PLUS every warm-pass memo build — cannot be moved by
+        # re-scoping the warm pass, so rounds compare on it even if
+        # the warm/timed split ever shifts again (it must not: basis
+        # FROZEN as of round 10; any memo moving in or out of the warm
+        # pass needs a PLANS.md line and shows in `warmed_memos`).
+        "cold_total_sec": round(sum(timings.values())
+                                + sum(mb.values()), 3),
         "queries": timings,
         "queries_steady": steady,
+        "warmed_memos": sorted(mb),
         "memo_builds": mb,
         "memo_builds_total_sec": round(sum(mb.values()), 3),
-        "note": ("warm-vs-cold disclosure (round-10): session memos — "
-                 "the write/train-time index state BENCH_NOTES' "
-                 "warm-state section enumerates — are built in an "
-                 "untimed warm pass with per-memo costs recorded in "
-                 "memo_builds, so `value` (first call) is plan "
-                 "analysis + codegen and `steady_value` the recurring "
-                 "cost; a cold session pays memo_builds_total_sec "
-                 "once on top"),
+        "note": ("warm-vs-cold disclosure (basis frozen at round-10 "
+                 "scope): session memos — the write/train-time index "
+                 "state BENCH_NOTES' warm-state section enumerates — "
+                 "are built in an untimed warm pass with per-memo "
+                 "costs recorded in memo_builds, so `value` (first "
+                 "call) is plan analysis + codegen and `steady_value` "
+                 "the recurring cost; cold_total_sec = value + "
+                 "memo_builds_total_sec is the invariant cold-session "
+                 "number comparable across rounds regardless of "
+                 "warm-pass scope"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

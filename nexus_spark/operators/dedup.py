@@ -706,21 +706,43 @@ def embedding_near_dup_ivf(embeddings: DataFrame, id_col: str = "vec_id",
         # Split groups (ga < gb) own only CROSS-chunk pairs; same-chunk
         # pairs belong to the (c, c) group.
         cross_only = bool(n) and pdf["_ga"].iat[0] != pdf["_gb"].iat[0]
-        ch = pdf["_ch"].to_numpy()
         out_a, out_b = [], []
-        # Cap the Gram slab at ~64 MiB regardless of group width.
-        block = max(32, min(1024, (1 << 23) // max(n, 1)))
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            G = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
-            for r in range(e - s):
-                keep = (G[r] >= margin) & (ids > ids[s + r])
-                if cross_only:
-                    keep &= ch != ch[s + r]
-                hit = np.nonzero(keep)[0]
-                if len(hit):
-                    out_a.append(np.full(len(hit), ids[s + r]))
-                    out_b.append(ids[hit])
+        if cross_only:
+            # Only the V_a @ V_b.T block (round-10 ADVICE: the full
+            # n x n slab masked intra-chunk pairs away AFTER the BLAS,
+            # wasting up to ~half the Gram work on every oversized
+            # cell). Every cross pair has one member per chunk, so it
+            # surfaces exactly once on its A-row; emit (min, max) by id
+            # to keep the kernel's id_a < id_b convention.
+            ma = pdf["_ch"].to_numpy() == pdf["_ga"].iat[0]
+            Va, na, ids_a = V[ma], nrm[ma], ids[ma]
+            Vb, nb, ids_b = V[~ma], nrm[~ma], ids[~ma]
+            block = max(32, min(1024, (1 << 23) // max(len(ids_b), 1)))
+            for s in range(0, len(ids_a), block):
+                e = min(s + block, len(ids_a))
+                G = (Va[s:e] @ Vb.T) / np.outer(na[s:e], nb)
+                for r in range(e - s):
+                    hit = np.nonzero(G[r] >= margin)[0]
+                    if len(hit):
+                        # dtype=ids.dtype keeps string ids object-typed
+                        # (np.minimum's object loop compares via
+                        # Python <, same ordering as `ids > ids[r]`).
+                        ai = np.full(len(hit), ids_a[s + r],
+                                     dtype=ids.dtype)
+                        out_a.append(np.minimum(ai, ids_b[hit]))
+                        out_b.append(np.maximum(ai, ids_b[hit]))
+        else:
+            # Cap the Gram slab at ~64 MiB regardless of group width.
+            block = max(32, min(1024, (1 << 23) // max(n, 1)))
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                G = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+                for r in range(e - s):
+                    hit = np.nonzero((G[r] >= margin)
+                                     & (ids > ids[s + r]))[0]
+                    if len(hit):
+                        out_a.append(np.full(len(hit), ids[s + r]))
+                        out_b.append(ids[hit])
         if not out_a:
             empty = pd.Series([], dtype=pdf["id"].dtype)
             return pd.DataFrame({"id_a": empty, "id_b": empty})

@@ -29,24 +29,48 @@ from pyspark.sql import functions as F
 _EDGE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
+def _release(df: DataFrame) -> None:
+    """Eagerly free a localCheckpoint's storage blocks (round-10
+    ADVICE): dropping the Python reference alone leaves the blocks to
+    py4j finalizers + ContextCleaner GC, so a long invalidate/rebuild
+    session could accumulate orphaned checkpoint storage until a driver
+    GC happens. The checkpointed frame's analyzed plan is a LogicalRDD
+    whose `rdd` field IS the persisted internal RDD — unpersist it
+    directly. Best-effort: the plan shape is a JVM implementation
+    detail, and a miss only restores the old lazy-GC reclamation. The
+    frame is unusable afterwards (truncated lineage); callers drop
+    every reference in the same breath."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _checkpointed(src: DataFrame, tag: str, build) -> DataFrame:
-    from nexus_spark.operators.dedup import _bounded_put, _session_key
+    from nexus_spark.operators.dedup import _session_key
 
     key = (_session_key(src.sparkSession), src.semanticHash(), tag)
     hit = _EDGE_CACHE.get(key)
     if hit is not None and hit[0].sameSemantics(src):
         return hit[1]
     got = build().localCheckpoint(eager=True)
-    _bounded_put(_EDGE_CACHE, key, (src, got), frame_idx=None)
+    if hit is not None:  # semanticHash collision overwrite
+        _release(hit[1])
+    _EDGE_CACHE[key] = (src, got)
+    while len(_EDGE_CACHE) > 6:  # same bound/order as dedup._bounded_put
+        _release(_EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))[1])
     return got
 
 
 def clear_cache() -> None:
-    """Drop the memoized checkpointed edge frames. domain.invalidate()
-    calls this after every in-place lake rewrite so graph queries never
-    reuse a pre-rewrite localCheckpoint-frozen edge list (the round-9
-    ADVICE staleness class). localCheckpoint blocks are reclaimed when
-    the dropped references are GC'd; there is nothing to unpersist."""
+    """Drop the memoized checkpointed edge frames AND eagerly unpersist
+    their localCheckpoint blocks (round-10 ADVICE — reference-drop
+    alone left reclamation to nondeterministic driver GC).
+    domain.invalidate() calls this after every in-place lake rewrite so
+    graph queries never reuse a pre-rewrite localCheckpoint-frozen edge
+    list (the round-9 ADVICE staleness class)."""
+    for _, frame in _EDGE_CACHE.values():
+        _release(frame)
     _EDGE_CACHE.clear()
 
 

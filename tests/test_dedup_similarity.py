@@ -720,6 +720,32 @@ def test_pagerank_conserves_mass_and_matches_power_iteration(spark):
     assert got[3] > got[5] and got[3] > got[1]
 
 
+def test_graph_clear_cache_frees_checkpoint_blocks_eagerly(spark):
+    """clear_cache() must UNPERSIST the localCheckpoint blocks, not
+    just drop the Python references (round-10 ADVICE: reference-drop
+    left reclamation to py4j finalizers + ContextCleaner GC, so a long
+    invalidate/rebuild session accumulated orphaned executor storage).
+    Pinned via the storage registry: the checkpoint's RDD id must
+    appear on build and disappear on clear, with no GC in between."""
+    from nexus_spark.operators import graph
+
+    graph.clear_cache()
+
+    def _persisted_ids():
+        return {i.id() for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = _persisted_ids()
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                  ["id_a", "id_b"])
+    graph.pagerank(edges, iterations=2).count()
+    created = _persisted_ids() - before
+    assert created, "pagerank should persist a checkpointed edge frame"
+    graph.clear_cache()
+    assert not (_persisted_ids() & created), (
+        "clear_cache left localCheckpoint blocks persisted")
+
+
 def test_anomaly_zscore_flags_planted_spike(spark):
     """A planted 50x hour is the only |z|>=2 hour for its type."""
     import datetime as dt

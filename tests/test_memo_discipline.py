@@ -15,12 +15,19 @@ import re
 from importlib import import_module
 
 import nexus_spark.operators as ops_pkg
+import nexus_spark.sources as sources_pkg
+import nexus_spark.streaming as streaming_pkg
 from nexus_spark import domain
 
 
 def _operator_modules():
-    for info in pkgutil.iter_modules(ops_pkg.__path__):
-        yield import_module(f"nexus_spark.operators.{info.name}")
+    # The walk covers every package that could plausibly grow a session
+    # memo (round-10 verdict: streaming/ and sources/ were outside the
+    # discovery surface — today they hold none, and if one appears it
+    # must arrive with its clear hook, not wait for an audit).
+    for pkg in (ops_pkg, sources_pkg, streaming_pkg):
+        for info in pkgutil.iter_modules(pkg.__path__):
+            yield import_module(f"{pkg.__name__}.{info.name}")
 
 
 def _memo_names(mod):
@@ -81,11 +88,11 @@ def test_clear_cache_actually_empties(spark):
     in every operator module is empty."""
     from nexus_spark.catalog import load_table
     from nexus_spark.operators import dedup, retrieval, similarity, text
+    from tests.conftest import SF_DIR
 
-    sf = "/root/testdata/sf0.001"
     docs = spark.createDataFrame([(0, "spark joins data fast")],
                                  ["doc_id", "text"])
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, SF_DIR, "embeddings")
     dedup.distinct_postings(docs).count()
     retrieval.bm25_index_cached(docs)
     text.text_stats(docs).count()
