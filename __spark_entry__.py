@@ -7177,21 +7177,163 @@ FROM t
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 10 layout: 34 r06-stale rows lead (group A — the registry's
-# deepest staleness, queued in last round's tail comment and the r9
-# verdict's top ask) + 6 consumers of the late-r9 session memos whose
-# "value-transparent" exemption the r9 verdict asked the driver, not
-# the builder, to confirm (group B: the climatology product cache and
-# the text-stats cache) + 4 rows whose implementation changed in round
-# 10 (group C: the IVF near-dup kernel's generic-id/cell-split rework
-# and the BM25 index builder's streaming-guard refactor, per rotation
-# rule 2) + a 6-row r07-stale pad (group D, stalest-first; displaced
-# by any late-round-10 implementation change). The tail queues the
-# remaining 30 r07-checked rows to lead round 11.
+# Round 11 layout: the 31 r07-stale rows lead (group A — the
+# registry's deepest staleness, queued in last round's tail comment
+# and the r10 verdict's top ask: the scrub_* and m_* multimodal
+# families, the remaining sql_* rows, a2_tiled_lake_pruned,
+# clim_pixel_stats, d_cluster_stats, d_dedup_components, d_embed_pca1,
+# corpus_drift_psi, sketch_profile, sim_filtered_knn, warc_ingest,
+# d_expectations_audit, e_stream_quality_gate,
+# d_dedup_simhash_xx_recall) + 5 rows whose implementation changed in
+# round 11 (group B: the IVF kernel's cross-only Gram-block rework and
+# the graph memo's eager checkpoint release, per rotation rule 2) + a
+# 14-row r08-stale pad (group C, stalest-first). The tail queues the
+# remaining 29 r08-checked rows to lead round 12.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-10 WINDOW (first 50) ---
-    # group A (34): r06-checked rows, 3 rounds stale after r9 — they
-    # lead unconditionally (rotation rule 1) ---
+    # --- ROUND-11 WINDOW (first 50) ---
+    # group A (31): r07-checked rows, 3 rounds stale after r10 — the
+    # registry's deepest staleness; they lead unconditionally (rotation
+    # rule 1; queued in last round's tail comment and the r10 verdict's
+    # top ask) ---
+    "d_embed_pca1": q_d_embed_pca1,
+    "d_expectations_audit": q_d_expectations_audit,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "sql_salted_hot_key": q_sql_salted_hot_key,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "sketch_profile": q_sketch_profile,
+    "m_multimodal_metadata": q_m_metadata,
+    "warc_ingest": q_warc_ingest,
+    "scrub_span_apply": q_scrub_span_apply,
+    "m_frame_sample": q_m_frame_sample,
+    "m_resize_features": q_m_resize_features,
+    "m_resample_audio": q_m_resample_audio,
+    "sim_filtered_knn": q_sim_filtered_knn,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "m_multimodal_features": q_m_features,
+    "corpus_drift_psi": q_corpus_drift,
+    "sql_pricing_summary": q_sql_pricing,
+    "sql_shipping_priority": q_sql_shipping,
+    "sql_regional_revenue": q_sql_regional,
+    "sql_set_ops": q_sql_setops,
+    "sql_anti_join": q_sql_anti,
+    "sql_sessionize": q_sql_sessionize,
+    "clim_pixel_stats": q_pixel_stats,
+    # group B (5): implementation CHANGED in round 11 (rotation rule
+    # 2). The IVF near-dup candidate kernel now computes only the
+    # cross-chunk V_a @ V_b.T Gram block in split (ga < gb) groups
+    # (round-10 ADVICE; consumers d_near_dup_embedding_ivf — the
+    # declared no_oracle raw row — and d_semantic_dedup, which
+    # oracle-checks the same route end-to-end), and the graph
+    # edge-checkpoint memo gained eager localCheckpoint block release
+    # on clear/eviction (consumers: the three graph passes built on
+    # _checkpointed; sim_knn_graph uses similarity.knn_graph_ivf, not
+    # the graph memo, so it stays in the r9-checked tail) ---
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "sim_pagerank": q_sim_pagerank,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    # group C (14): r08-checked pad, stalest-first (2 rounds stale;
+    # displaced rows queue at the tail head for round 12) ---
+    "g_spatial_smooth": q_spatial_smooth,
+    "f_hof_deseason": q_f_hof_deseason,
+    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
+    "t_days_in_range": q_t_days_in_range,
+    "t_distinct_bboxes": q_t_distinct_bboxes,
+    "a4_corr_grid": q_a4_corr_grid,
+    "etl_transforms": q_etl_transforms,
+    "sql_topk_per_group": q_sql_topk,
+    "sql_rollup": q_sql_rollup,
+    "sql_hourly_events": q_sql_hourly_events,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bigram_nll": q_text_bigram_nll,
+    "d_chunking": q_d_chunking,
+    "text_vocab_oov": q_text_vocab_oov,
+    # --- tail (entry 51+): rotates in for round 12, stalest first.
+    # These 29 r08-checked rows will be 3 rounds stale after round 11
+    # and MUST lead round 12's window: ---
+    "d_shuffle_shards": q_d_shuffle_shards,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "t_range_join": q_t_range_join,
+    "t_interval_union": q_t_interval_union,
+    "sql_pivot_monthly": q_sql_pivot_monthly,
+    "sql_cumulative_revenue": q_sql_cumulative_revenue,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "d_dedup_canonical": q_d_dedup_canonical,
+    "t_asof_nearest": q_t_asof_nearest,
+    "sql_rolling_revenue": q_sql_rolling_revenue,
+    "sql_value_histogram": q_sql_value_histogram,
+    "t_interval_gaps": q_t_interval_gaps,
+    "t_asof_events": q_t_asof_events,
+    "e_stream_matchup": q_e_stream_matchup,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
+    "text_zipf_profile": q_text_zipf_profile,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
+    "d_source_caps": q_d_source_caps,
+    # --- checked in round 9 (next-stalest; round 12's pad draws from
+    # here in this order) ---
+    "text_bpe_learn": q_text_bpe_learn,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "s1_time_series": q_s1_time_series,
+    "s8_matchup_once": q_s8_matchup_once,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_near_dup_embedding": q_d_near_dup_embedding,
+    "d_corpus_mix": q_d_corpus_mix,
+    "d_contamination": q_d_contamination,
+    "doms_list": q_doms_list,
+    "s1_polygon_time_series": q_s1_polygon,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "a10_dataset_list": q_a10_dataset_list,
+    "s4_corr_map": q_s4_corr_map,
+    "s7_daily_difference": q_s7_daily_difference,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "d_embed_outliers": q_d_embed_outliers,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "sim_knn_graph": q_sim_knn_graph,
+    "d_kmeans_round": q_d_kmeans_round,
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "d_dedup_minhash_md5": q_d_minhash_md5,
+    "d_dedup_simhash_md5": q_d_simhash_md5,
+    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    "d_topic_clusters": q_d_topic_clusters,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "f_lowpass": q_f_lowpass,
+    "d_dedup_winnow": q_d_dedup_winnow,
+    "t_asof_doy": q_t_asof_doy,
+    "d_dedup_minhash_lsh": q_d_minhash_lsh,
+    # --- checked in round 10 (freshest before this round's window) ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
@@ -7226,171 +7368,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_gaussian_interp": q_gauss_interp,
     "text_nb_classifier": q_text_nb_classifier,
     "text_nb_confusion": q_text_nb_confusion,
-    # group B (6): consumers of the late-r9 session memos that rode a
-    # self-asserted value-transparency exemption (climatology product
-    # cache: clim_nday, s3_clim_map; text-stats cache: text_stats
-    # itself + d_temperature_mix, d_gated_export, d_export_pipeline;
-    # the 7th consumer d_curation_pipeline is already in group A) —
-    # windowed so the driver, not the builder, confirms the exemption
-    # (r9 verdict "What's wrong" #2) ---
     "clim_nday": q_clim_nday,
     "s3_clim_map": q_s3_clim_map,
     "text_stats": q_text_stats,
     "d_temperature_mix": q_d_temperature_mix,
     "d_gated_export": q_d_gated_export,
     "d_export_pipeline": q_d_export_pipeline,
-    # group C (5): implementation CHANGED in round 10 — the IVF
-    # near-dup candidate kernel now derives its output schema from the
-    # caller's id type and hash-splits oversized quantizer cells into
-    # chunk-pair groups (d_near_dup_embedding_ivf is the declared
-    # no_oracle raw row; d_semantic_dedup oracle-checks the same route
-    # end-to-end), bm25_index_cached gained the streaming guard +
-    # uncached-plan refactor (text_bm25_topk, sim_hybrid_rrf), and the
-    # LSH corpus-bucket build was factored out of ann_lsh into
-    # lsh_corpus_buckets_cached for the bench warm pass (code motion,
-    # identical plan — windowed anyway per rotation rule 2: changed is
-    # changed, the driver confirms, not the builder; its other
-    # consumer e_stream_near_dup is in group A) ---
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_semantic_dedup": q_d_semantic_dedup,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "sim_ann_lsh": q_sim_ann_lsh,
-    # group D (5): r07-checked pad, stalest-first (2 rounds stale;
-    # d_embed_pca1 displaced to the tail by sim_ann_lsh joining group
-    # C) ---
     "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
-    # --- tail (entry 51+): rotates in for round 11, stalest first.
-    # These 31 r07-checked rows (d_embed_pca1 displaced from the pad by
-    # sim_ann_lsh joining group C) will be 3 rounds stale after round
-    # 10 and MUST lead round 11's window: ---
-    "d_embed_pca1": q_d_embed_pca1,
-    "d_expectations_audit": q_d_expectations_audit,
-    "e_stream_quality_gate": q_e_stream_quality_gate,
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
-    "sql_salted_hot_key": q_sql_salted_hot_key,
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    "sketch_profile": q_sketch_profile,
-    "m_multimodal_metadata": q_m_metadata,
-    "warc_ingest": q_warc_ingest,
-    "scrub_span_apply": q_scrub_span_apply,
-    "m_frame_sample": q_m_frame_sample,
-    "m_resize_features": q_m_resize_features,
-    "m_resample_audio": q_m_resample_audio,
-    "sim_filtered_knn": q_sim_filtered_knn,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "m_multimodal_features": q_m_features,
-    "corpus_drift_psi": q_corpus_drift,
-    "sql_pricing_summary": q_sql_pricing,
-    "sql_shipping_priority": q_sql_shipping,
-    "sql_regional_revenue": q_sql_regional,
-    "sql_set_ops": q_sql_setops,
-    "sql_anti_join": q_sql_anti,
-    "sql_sessionize": q_sql_sessionize,
-    "clim_pixel_stats": q_pixel_stats,
-    # --- checked in round 8 (next-stalest; round 11's pad draws from
-    # here in this order) ---
-    "g_spatial_smooth": q_spatial_smooth,
-    "f_hof_deseason": q_f_hof_deseason,
-    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
-    "t_days_in_range": q_t_days_in_range,
-    "t_distinct_bboxes": q_t_distinct_bboxes,
-    "a4_corr_grid": q_a4_corr_grid,
-    "etl_transforms": q_etl_transforms,
-    "sql_topk_per_group": q_sql_topk,
-    "sql_rollup": q_sql_rollup,
-    "sql_hourly_events": q_sql_hourly_events,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_bigram_nll": q_text_bigram_nll,
-    "d_chunking": q_d_chunking,
-    "text_vocab_oov": q_text_vocab_oov,
-    "d_shuffle_shards": q_d_shuffle_shards,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    "t_range_join": q_t_range_join,
-    "t_interval_union": q_t_interval_union,
-    "sql_pivot_monthly": q_sql_pivot_monthly,
-    "sql_cumulative_revenue": q_sql_cumulative_revenue,
-    "text_ppl_buckets": q_text_ppl_buckets,
-    "d_dedup_canonical": q_d_dedup_canonical,
-    "t_asof_nearest": q_t_asof_nearest,
-    "sql_rolling_revenue": q_sql_rolling_revenue,
-    "sql_value_histogram": q_sql_value_histogram,
-    "t_interval_gaps": q_t_interval_gaps,
-    "t_asof_events": q_t_asof_events,
-    "e_stream_matchup": q_e_stream_matchup,
-    "sim_quantize_binary": q_sim_quantize_binary,
-    "sim_ann_hamming": q_sim_ann_hamming,
-    "sim_binary_recall_at_k": q_sim_binary_recall,
-    "d_weighted_sample": q_d_weighted_sample,
-    "sim_ann_int8": q_sim_ann_int8,
-    "d_corpus_diff": q_d_corpus_diff,
-    "sim_mean_pool": q_sim_mean_pool,
-    "sim_int8_recall_at_k": q_sim_int8_recall,
-    "e_stream_dedup_exact": q_e_stream_dedup_exact,
-    "e_stream_window_watermark": q_e_stream_window_watermark,
-    "d_importance_select": q_d_importance_select,
-    "text_lang_segments": q_text_lang_segments,
-    "text_zipf_profile": q_text_zipf_profile,
-    "text_pmi_bigrams": q_text_pmi_bigrams,
-    "d_source_caps": q_d_source_caps,
-    # --- checked in round 9 (freshest before this round's window) ---
-    "text_bpe_learn": q_text_bpe_learn,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "s1_time_series": q_s1_time_series,
-    "s8_matchup_once": q_s8_matchup_once,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "d_near_dup_embedding": q_d_near_dup_embedding,
-    "d_corpus_mix": q_d_corpus_mix,
-    "d_contamination": q_d_contamination,
-    "doms_list": q_doms_list,
-    "s1_polygon_time_series": q_s1_polygon,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "a10_dataset_list": q_a10_dataset_list,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
-    "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "e_stream_sessionize": q_e_stream_sessionize,
-    "d_embed_outliers": q_d_embed_outliers,
-    "e_stream_asof_enrich": q_e_stream_asof_enrich,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "sim_knn_graph": q_sim_knn_graph,
-    "sim_pagerank": q_sim_pagerank,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
-    "d_kmeans_round": q_d_kmeans_round,
-    "f_lowpass_checked": q_f_lowpass_checked,
-    "d_dedup_minhash_md5": q_d_minhash_md5,
-    "d_dedup_simhash_md5": q_d_simhash_md5,
-    "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    "d_topic_clusters": q_d_topic_clusters,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
-    "f_lowpass": q_f_lowpass,
-    "d_dedup_winnow": q_d_dedup_winnow,
-    "t_asof_doy": q_t_asof_doy,
-    "d_dedup_minhash_lsh": q_d_minhash_lsh,
 }
+
 
 _ORACLES: dict[str, str] = {
     "s1_time_series": SQL_S1,
