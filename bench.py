@@ -73,6 +73,27 @@ _QUERY_NOTES = {
         "stage-1 top-k additionally bounded by a per-query hamming "
         "histogram cut (<= dim+1 distinct values) instead of windowing "
         "the full pair stream. sf1 steady 2.6s -> 1.6s",
+    "d_embed_outliers":
+        "round-11 attribution of the r10 sf1 movement (0.48 -> 4.38s "
+        "round-over-round, unexplained in the r10 record): both "
+        "embed-moment rows are FIXED-OVERHEAD-dominated — two narrow "
+        "Python-worker Arrow passes whose arithmetic is milliseconds "
+        "at 2k (sf0.1) or 20k (sf1) vectors — so steady sits at the "
+        "~0.5-0.9s worker/Arrow floor at EITHER scale (which is why "
+        "r9's sf1-faster-than-sf0.1 factors 0.52/0.85 are not "
+        "anomalous: two samples of the same floor). The r10 sf1 "
+        "samples (4.38/4.47s) coincided with a degraded host window: "
+        "their DuckDB oracles slowed ~3-5x on identical SQL+data in "
+        "the same sweep (0.193/0.802s vs 0.06-0.19s re-measured), and "
+        "two independent re-runs on the round-11 host "
+        "(same lake, same code) measured steady 0.58/0.91s (outliers) "
+        "and 0.66/0.84s (covariance) with oracles at 0.06-0.19s. "
+        "Host, not plan; no code change.",
+    "d_embed_covariance":
+        "see d_embed_outliers — same two-Arrow-pass overhead floor, "
+        "same degraded-host attribution for the r10 sf1 sample "
+        "(0.44 -> 4.47s; re-measured 0.66/0.84s steady on the "
+        "round-11 host twice).",
     "d_semantic_dedup":
         "first-call Catalyst+codegen over the widest plan in the suite "
         "(64-col IVF pair stage) plus the per-policy unmemoized CC "
