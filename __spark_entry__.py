@@ -7184,11 +7184,12 @@ FROM t
 # clim_pixel_stats, d_cluster_stats, d_dedup_components, d_embed_pca1,
 # corpus_drift_psi, sketch_profile, sim_filtered_knn, warc_ingest,
 # d_expectations_audit, e_stream_quality_gate,
-# d_dedup_simhash_xx_recall) + 5 rows whose implementation changed in
-# round 11 (group B: the IVF kernel's cross-only Gram-block rework and
-# the graph memo's eager checkpoint release, per rotation rule 2) + a
-# 14-row r08-stale pad (group C, stalest-first). The tail queues the
-# remaining 29 r08-checked rows to lead round 12.
+# d_dedup_simhash_xx_recall) + 6 rows whose implementation changed in
+# round 11 (group B: the IVF kernel's cross-only Gram-block rework,
+# the graph memo's eager checkpoint release, and the CC loop/memo
+# eager checkpoint release, per rotation rule 2) + a 13-row r08-stale
+# pad (group C, stalest-first; text_vocab_oov displaced). The tail
+# queues the remaining 30 r08-checked rows to lead round 12.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-11 WINDOW (first 50) ---
     # group A (31): r07-checked rows, 3 rounds stale after r10 — the
@@ -7226,23 +7227,30 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_anti_join": q_sql_anti,
     "sql_sessionize": q_sql_sessionize,
     "clim_pixel_stats": q_pixel_stats,
-    # group B (5): implementation CHANGED in round 11 (rotation rule
+    # group B (6): implementation CHANGED in round 11 (rotation rule
     # 2). The IVF near-dup candidate kernel now computes only the
     # cross-chunk V_a @ V_b.T Gram block in split (ga < gb) groups
     # (round-10 ADVICE; consumers d_near_dup_embedding_ivf — the
     # declared no_oracle raw row — and d_semantic_dedup, which
-    # oracle-checks the same route end-to-end), and the graph
+    # oracle-checks the same route end-to-end); the graph
     # edge-checkpoint memo gained eager localCheckpoint block release
     # on clear/eviction (consumers: the three graph passes built on
     # _checkpointed; sim_knn_graph uses similarity.knn_graph_ivf, not
-    # the graph memo, so it stays in the r9-checked tail) ---
+    # the graph memo, so it stays in the r9-checked tail); and the
+    # connected-components loop/memos release their label and edge
+    # checkpoints eagerly (consumers d_dedup_components,
+    # d_cluster_stats, d_semantic_dedup — all already windowed — plus
+    # d_dedup_canonical, which joins here and displaces the last pad
+    # row) ---
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_pagerank": q_sim_pagerank,
     "sim_label_propagation": q_sim_label_propagation,
     "sim_triangle_stats": q_sim_triangle_stats,
-    # group C (14): r08-checked pad, stalest-first (2 rounds stale;
-    # displaced rows queue at the tail head for round 12) ---
+    "d_dedup_canonical": q_d_dedup_canonical,
+    # group C (13+1): r08-checked pad, stalest-first (2 rounds stale;
+    # text_vocab_oov displaced to the tail head by d_dedup_canonical
+    # joining group B) ---
     "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
@@ -7256,10 +7264,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_bigram_nll": q_text_bigram_nll,
     "d_chunking": q_d_chunking,
-    "text_vocab_oov": q_text_vocab_oov,
     # --- tail (entry 51+): rotates in for round 12, stalest first.
-    # These 29 r08-checked rows will be 3 rounds stale after round 11
-    # and MUST lead round 12's window: ---
+    # These 30 r08-checked rows (text_vocab_oov displaced from the pad
+    # by d_dedup_canonical joining group B) will be 3 rounds stale
+    # after round 11 and MUST lead round 12's window: ---
+    "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
     "t_range_join": q_t_range_join,
@@ -7267,7 +7276,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_pivot_monthly": q_sql_pivot_monthly,
     "sql_cumulative_revenue": q_sql_cumulative_revenue,
     "text_ppl_buckets": q_text_ppl_buckets,
-    "d_dedup_canonical": q_d_dedup_canonical,
     "t_asof_nearest": q_t_asof_nearest,
     "sql_rolling_revenue": q_sql_rolling_revenue,
     "sql_value_histogram": q_sql_value_histogram,

@@ -719,13 +719,13 @@ def _bench_sf1_full(spark, entry_mod, src_dir: str) -> None:
             print(f"# sf1-full SKIP {name} ({why})", file=sys.stderr)
             continue
         try:
-            _dedup._CC_CACHE.clear()
+            _dedup.clear_cc_result_cache()
             t0 = time.perf_counter()
             n = qs[name](spark, sf1).count()
             first = round(time.perf_counter() - t0, 3)
             steady = None
             for _ in range(2):
-                _dedup._CC_CACHE.clear()
+                _dedup.clear_cc_result_cache()
                 t0 = time.perf_counter()
                 qs[name](spark, sf1).count()
                 got = round(time.perf_counter() - t0, 3)
@@ -854,7 +854,7 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
         # same warm-state policy as --full: the CC memo is a QUERY-RESULT
         # cache — cleared per timed call so cluster_stats/components pay
         # their own convergence (else their sf1 rows record memo hits)
-        _dedup._CC_CACHE.clear()
+        _dedup.clear_cc_result_cache()
         t0 = time.perf_counter()
         n = qs[name](spark, sf1).count()
         first = round(time.perf_counter() - t0, 3)
@@ -864,7 +864,7 @@ def _bench_sf1(spark, entry_mod, src_dir: str) -> None:
         # sample vs ~20s on the same memoized lake in the prior record)
         steady = None
         for _ in range(2):
-            _dedup._CC_CACHE.clear()
+            _dedup.clear_cc_result_cache()
             t0 = time.perf_counter()
             qs[name](spark, sf1).count()
             got = round(time.perf_counter() - t0, 3)
@@ -953,7 +953,7 @@ def _bench_full(spark, entry_mod, sf_dir: str,
         # The connected-components memo is a QUERY-RESULT cache, not
         # ingest state — drop it so each CC-consuming query pays its own
         # convergence, like the DuckDB recursive CTE does.
-        _dedup._CC_CACHE.clear()
+        _dedup.clear_cc_result_cache()
         t0 = time.perf_counter()
         n = qs[name](spark, sf_dir).count()
         spark_s = round(time.perf_counter() - t0, 3)
@@ -969,7 +969,7 @@ def _bench_full(spark, entry_mod, sf_dir: str,
         # measures the sweep harness, not the query.
         steady_s = None
         for _ in range(2):
-            _dedup._CC_CACHE.clear()
+            _dedup.clear_cc_result_cache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             got = round(time.perf_counter() - t0, 3)

@@ -82,11 +82,32 @@ def shingle_postings(docs: DataFrame, id_col: str = "doc_id",
 _POSTINGS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
+def _release_checkpoint(df) -> None:
+    """Eagerly free a localCheckpoint's storage blocks (round-10
+    ADVICE, generalized in round 11): dropping the Python reference
+    alone leaves the blocks to py4j finalizers + ContextCleaner GC, so
+    loops and long sessions accumulate orphaned checkpoint storage
+    until a driver GC happens. The checkpointed frame's analyzed plan
+    is a LogicalRDD whose `rdd` field IS the persisted internal RDD —
+    unpersist it directly. Best-effort: the plan shape is a JVM
+    implementation detail, and a miss only restores the old lazy-GC
+    reclamation. The frame is unusable afterwards (truncated lineage);
+    callers drop every reference in the same breath."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _bounded_put(cache: dict, key, value, cap: int = 6,
-                 frame_idx: int | None = 1) -> None:
+                 frame_idx: int | None = 1, release=None) -> None:
     """Insert into an insertion-ordered memo and evict the OLDEST entries
-    beyond `cap`, unpersisting the evicted frame (tuple position
-    `frame_idx`; None = nothing persisted, just drop the reference).
+    beyond `cap`, releasing the evicted (and overwritten) frame — tuple
+    position `frame_idx`; None = nothing persisted, just drop the
+    reference. `release` overrides the default `.unpersist()` for
+    frames persisted some other way (localCheckpoint blocks need
+    _release_checkpoint — Dataset.unpersist is a CacheManager no-op on
+    them).
 
     Why bounded: a long-lived session (or a 124-query sweep) otherwise
     accumulates one storage-cached frame per distinct input plan, and
@@ -95,14 +116,20 @@ def _bounded_put(cache: dict, key, value, cap: int = 6,
     inversions happened. A handful of live corpora per cache is the
     working set; anything older is cheaper to rebuild than to squat on
     executor storage."""
+    def _free(entry) -> None:
+        if frame_idx is None:
+            return
+        try:
+            (release or (lambda f: f.unpersist()))(entry[frame_idx])
+        except Exception:
+            pass
+
+    old = cache.get(key)
+    if old is not None:  # semanticHash-collision overwrite
+        _free(old)
     cache[key] = value
     while len(cache) > cap:
-        old = cache.pop(next(iter(cache)))  # dicts are insertion-ordered
-        if frame_idx is not None:
-            try:
-                old[frame_idx].unpersist()
-            except Exception:
-                pass
+        _free(cache.pop(next(iter(cache))))  # dicts are insertion-ordered
 
 
 def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
@@ -125,15 +152,32 @@ def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
 
 
 def clear_cache() -> None:
-    """Unpersist and drop every memoized postings frame."""
+    """Unpersist and drop every memoized postings frame, plus the CC
+    result and edge memos (their localCheckpoint blocks are released
+    eagerly via the stored frame handles — round-11; the old
+    reference-drop left them to driver GC)."""
     for _, frame in _POSTINGS_CACHE.values():
         try:
             frame.unpersist()
         except Exception:
             pass
     _POSTINGS_CACHE.clear()
-    _CC_CACHE.clear()  # localCheckpointed frames; no unpersist handle
-    _CC_EDGE_CACHE.clear()  # same: localCheckpointed, no handle
+    clear_cc_result_cache()
+    for entry in _CC_EDGE_CACHE.values():
+        _release_checkpoint(entry[1])
+    _CC_EDGE_CACHE.clear()
+
+
+def clear_cc_result_cache() -> None:
+    """Release + drop ONLY the memoized component labelings. The bench
+    sweep calls this before every timed query (the CC result is a
+    QUERY-RESULT cache, not ingest state — each consumer must pay its
+    own convergence like the oracle's recursive CTE); eager release
+    keeps a 164-query sweep from accumulating one orphaned label
+    checkpoint per timed row."""
+    for entry in _CC_CACHE.values():
+        _release_checkpoint(entry[3])
+    _CC_CACHE.clear()
 
 
 def jaccard_verify(candidates: DataFrame, postings: DataFrame,
@@ -878,10 +922,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     if (hit is not None and hit[0].sameSemantics(pairs)
             and hit[1].sameSemantics(nodes)):
         return hit[2]
-    got = _connected_components(pairs, nodes, id_col, src_col,
-                                dst_col, max_rounds)
-    _bounded_put(_CC_CACHE, key, (pairs, nodes, got), cap=4,
-                 frame_idx=None)  # localCheckpointed; no unpersist handle
+    got, labels = _connected_components(pairs, nodes, id_col, src_col,
+                                        dst_col, max_rounds)
+    # The result plan lazily references the final labels checkpoint, so
+    # the memo keeps the labels HANDLE (tuple position 3) and eviction/
+    # clear release its blocks eagerly (round-11; was a GC-timed drop).
+    _bounded_put(_CC_CACHE, key, (pairs, nodes, got, labels), cap=4,
+                 frame_idx=3, release=_release_checkpoint)
     return got
 
 
@@ -925,7 +972,10 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
     changed-label count, since SUM over strings is NULL and would fake
     convergence).
 
-    Output: (id_col, component) — component = min doc id of the cluster.
+    Returns (result, final_labels): result columns (id_col, component)
+    — component = min doc id of the cluster; final_labels is the last
+    round's checkpoint handle so the memoizing wrapper can release its
+    blocks eagerly on eviction/clear.
     """
     sp = int(pairs.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
@@ -951,9 +1001,11 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
         n_edges = edges.count()
         parts = max(1, min(sp, n_edges // 200_000 + 1))
         if parts < sp:
+            wide = edges
             edges = edges.repartition(parts, "e_dst").localCheckpoint()
+            _release_checkpoint(wide)  # superseded by the repartition
         _bounded_put(_CC_EDGE_CACHE, ekey, (pairs, edges, parts),
-                     frame_idx=None)
+                     release=_release_checkpoint)
 
     # Induced subgraph: only edge-endpoint nodes enter the loop (the
     # symmetric edge list has every endpoint in e_src).
@@ -1019,17 +1071,26 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
         rounds += 1
         labels = (superstep(labels)
                   .repartition(parts, "node").localCheckpoint())
-        if _converged(prev_labels, labels, state):
+        done = _converged(prev_labels, labels, state)
+        # The new checkpoint is eager and the convergence probe has run,
+        # so nothing references the previous round's labels anymore —
+        # release its blocks NOW (round-11): a 100 TB dedup graph would
+        # otherwise hold rounds x |induced V| of orphaned checkpoint
+        # storage until a driver GC.
+        _release_checkpoint(prev_labels)
+        if done:
             break
     _LAST_CC_ROUNDS = rounds
 
     # Singletons rejoin: any node with no edge keeps its own id as the
     # component (exactly what the loop would have computed for it).
-    return (nodes.select(F.col(id_col).alias("node")).distinct()
-            .join(labels, "node", "left")
-            .select(F.col("node").alias(id_col),
-                    F.coalesce(F.col("comp"), F.col("node"))
-                    .alias("component")))
+    # The final labels handle rides back so the memo can release it.
+    return ((nodes.select(F.col(id_col).alias("node")).distinct()
+             .join(labels, "node", "left")
+             .select(F.col("node").alias(id_col),
+                     F.coalesce(F.col("comp"), F.col("node"))
+                     .alias("component"))),
+            labels)
 
 
 def cluster_representatives(components: DataFrame,

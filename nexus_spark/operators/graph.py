@@ -31,19 +31,9 @@ _EDGE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 def _release(df: DataFrame) -> None:
     """Eagerly free a localCheckpoint's storage blocks (round-10
-    ADVICE): dropping the Python reference alone leaves the blocks to
-    py4j finalizers + ContextCleaner GC, so a long invalidate/rebuild
-    session could accumulate orphaned checkpoint storage until a driver
-    GC happens. The checkpointed frame's analyzed plan is a LogicalRDD
-    whose `rdd` field IS the persisted internal RDD — unpersist it
-    directly. Best-effort: the plan shape is a JVM implementation
-    detail, and a miss only restores the old lazy-GC reclamation. The
-    frame is unusable afterwards (truncated lineage); callers drop
-    every reference in the same breath."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    ADVICE) — shared implementation in dedup._release_checkpoint."""
+    from nexus_spark.operators.dedup import _release_checkpoint
+    _release_checkpoint(df)
 
 
 def _checkpointed(src: DataFrame, tag: str, build) -> DataFrame:

@@ -227,6 +227,31 @@ def test_connected_components_memoized(spark):
     assert not dedup._CC_CACHE
 
 
+def test_cc_clear_releases_checkpoint_blocks_eagerly(spark):
+    """clear_cc_result_cache() must UNPERSIST the memoized labeling's
+    localCheckpoint blocks, not just drop the reference (round-11,
+    same class as the graph edge memo): the bench sweep clears this
+    cache before every timed query, so a GC-timed drop accumulates one
+    orphaned label checkpoint per timed row."""
+    from nexus_spark.operators import dedup
+
+    dedup.clear_cache()
+
+    def _persisted_ids():
+        return {i.id() for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = _persisted_ids()
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    dedup.connected_components(pairs, nodes).count()
+    created = _persisted_ids() - before
+    assert created, "CC should persist edge + label checkpoints"
+    dedup.clear_cache()
+    assert not (_persisted_ids() & created), (
+        "clear left CC localCheckpoint blocks persisted")
+
+
 def test_corpus_mix_plan_is_fused(spark):
     import __spark_entry__ as mod
     from tests.conftest import SF_DIR_T2
