@@ -7184,12 +7184,13 @@ FROM t
 # clim_pixel_stats, d_cluster_stats, d_dedup_components, d_embed_pca1,
 # corpus_drift_psi, sketch_profile, sim_filtered_knn, warc_ingest,
 # d_expectations_audit, e_stream_quality_gate,
-# d_dedup_simhash_xx_recall) + 6 rows whose implementation changed in
-# round 11 (group B: the IVF kernel's cross-only Gram-block rework,
-# the graph memo's eager checkpoint release, and the CC loop/memo
-# eager checkpoint release, per rotation rule 2) + a 13-row r08-stale
-# pad (group C, stalest-first; text_vocab_oov displaced). The tail
-# queues the remaining 30 r08-checked rows to lead round 12.
+# d_dedup_simhash_xx_recall) + 8 rows whose implementation changed in
+# round 11 (group B: the IVF kernel's cross-only Gram-block rework and
+# the eager localCheckpoint release rollout — graph edge memo, CC
+# loop/memos, BPE learn loop — per rotation rule 2) + an 11-row
+# r08-stale pad (group C, stalest-first; text_vocab_oov,
+# text_bigram_nll, d_chunking displaced). The tail queues the
+# remaining 32 r08-checked rows to lead round 12.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-11 WINDOW (first 50) ---
     # group A (31): r07-checked rows, 3 rounds stale after r10 — the
@@ -7241,16 +7242,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # checkpoints eagerly (consumers d_dedup_components,
     # d_cluster_stats, d_semantic_dedup — all already windowed — plus
     # d_dedup_canonical, which joins here and displaces the last pad
-    # row) ---
+    # row); learn_bpe_merges releases its vocabulary checkpoints
+    # before returning (its output is a plain merge list — consumers
+    # text_bpe_learn, text_bpe_tokenize join here, displacing two more
+    # pad rows; the lake merge_into_partitions release is test-only,
+    # no registry route) ---
     "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
     "d_semantic_dedup": q_d_semantic_dedup,
     "sim_pagerank": q_sim_pagerank,
     "sim_label_propagation": q_sim_label_propagation,
     "sim_triangle_stats": q_sim_triangle_stats,
     "d_dedup_canonical": q_d_dedup_canonical,
-    # group C (13+1): r08-checked pad, stalest-first (2 rounds stale;
-    # text_vocab_oov displaced to the tail head by d_dedup_canonical
-    # joining group B) ---
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_learn": q_text_bpe_learn,
+    # group C (11): r08-checked pad, stalest-first (2 rounds stale;
+    # text_vocab_oov, text_bigram_nll, d_chunking displaced to the tail
+    # head by the group-B changed rows) ---
     "g_spatial_smooth": q_spatial_smooth,
     "f_hof_deseason": q_f_hof_deseason,
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
@@ -7262,12 +7269,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
     "text_bpe_tokens": q_text_bpe_tokens,
-    "text_bigram_nll": q_text_bigram_nll,
-    "d_chunking": q_d_chunking,
     # --- tail (entry 51+): rotates in for round 12, stalest first.
-    # These 30 r08-checked rows (text_vocab_oov displaced from the pad
-    # by d_dedup_canonical joining group B) will be 3 rounds stale
-    # after round 11 and MUST lead round 12's window: ---
+    # These 32 r08-checked rows (text_bigram_nll, d_chunking,
+    # text_vocab_oov displaced from the pad by changed rows joining
+    # group B) will be 3 rounds stale after round 11 and MUST lead
+    # round 12's window: ---
+    "d_chunking": q_d_chunking,
+    "text_bigram_nll": q_text_bigram_nll,
     "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
@@ -7299,8 +7307,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_source_caps": q_d_source_caps,
     # --- checked in round 9 (next-stalest; round 12's pad draws from
     # here in this order) ---
-    "text_bpe_learn": q_text_bpe_learn,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "a2_stats_from_summary": q_a2_stats_from_summary,

@@ -744,9 +744,12 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
 
     Returns [(rank, left, right, pair_count), ...].
     """
+    from nexus_spark.operators.dedup import _release_checkpoint
+
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     wf = _bpe_word_symbols(docs, text_col).localCheckpoint()
+    ckpt = wf  # the checkpoint currently backing the lazy folds
     merges: list[tuple] = []
     pending = 0  # lazy fold projections since the last lineage cut
     for i in range(n_merges):
@@ -763,8 +766,15 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 5,
                        .alias("symbols"), "f")
         pending += 1
         if pending == 8 and i < n_merges - 1:
-            wf = wf.localCheckpoint()
+            wf = wf.localCheckpoint()  # eager: folds over ckpt run here
+            _release_checkpoint(ckpt)  # superseded lineage cut
+            ckpt = wf
             pending = 0
+    # The result is the plain merge list — no frame escapes, so the
+    # last vocabulary checkpoint is garbage the moment we return;
+    # release it eagerly instead of leaving it to driver GC (round-11,
+    # same class as the CC loop intermediates).
+    _release_checkpoint(ckpt)
     return merges
 
 

@@ -316,5 +316,12 @@ def merge_into_partitions(spark: SparkSession, path: str,
          .partitionBy("dataset", "obs_date").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # The checkpoint existed only to outlive the files it replaced;
+        # after the write (or its failure) nothing references it —
+        # release the blocks eagerly so a long CDC ingest session does
+        # not hold one batch-sized orphan per commit until a driver GC
+        # (round-11, same class as the CC loop intermediates).
+        from nexus_spark.operators.dedup import _release_checkpoint
+        _release_checkpoint(merged)
     _invalidate_views(path)
     return len(parts)
