@@ -7177,103 +7177,21 @@ FROM t
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 11 layout: the 31 r07-stale rows lead (group A — the
-# registry's deepest staleness, queued in last round's tail comment
-# and the r10 verdict's top ask: the scrub_* and m_* multimodal
-# families, the remaining sql_* rows, a2_tiled_lake_pruned,
-# clim_pixel_stats, d_cluster_stats, d_dedup_components, d_embed_pca1,
-# corpus_drift_psi, sketch_profile, sim_filtered_knn, warc_ingest,
-# d_expectations_audit, e_stream_quality_gate,
-# d_dedup_simhash_xx_recall) + 8 rows whose implementation changed in
-# round 11 (group B: the IVF kernel's cross-only Gram-block rework and
-# the eager localCheckpoint release rollout — graph edge memo, CC
-# loop/memos, BPE learn loop — per rotation rule 2) + an 11-row
-# r08-stale pad (group C, stalest-first; text_vocab_oov,
-# text_bigram_nll, d_chunking displaced). The tail queues the
-# remaining 32 r08-checked rows to lead round 12.
+# Round 12 layout: the 31 r08-stale rows lead (group A — queued in last
+# round's tail comment and the r11 verdict's ask #2) + 9 rows whose
+# implementation changed in round 12 (group B: the sql_set_ops
+# single-pass membership rewrite, the sql_step_funnel one-shuffle
+# window rewrite, and the memo eviction-release policy change in the
+# CC/graph checkpoint caches) + a 10-row r09-stale pad (group C,
+# stalest-first). The tail queues the remaining 30 r09-checked rows to
+# lead round 13.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-11 WINDOW (first 50) ---
-    # group A (31): r07-checked rows, 3 rounds stale after r10 — the
+    # --- ROUND-12 WINDOW (first 50) ---
+    # group A (31): r08-checked rows, 3 rounds stale after r11 — the
     # registry's deepest staleness; they lead unconditionally (rotation
-    # rule 1; queued in last round's tail comment and the r10 verdict's
-    # top ask) ---
-    "d_embed_pca1": q_d_embed_pca1,
-    "d_expectations_audit": q_d_expectations_audit,
-    "e_stream_quality_gate": q_e_stream_quality_gate,
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
-    "sql_salted_hot_key": q_sql_salted_hot_key,
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    "sketch_profile": q_sketch_profile,
-    "m_multimodal_metadata": q_m_metadata,
-    "warc_ingest": q_warc_ingest,
-    "scrub_span_apply": q_scrub_span_apply,
-    "m_frame_sample": q_m_frame_sample,
-    "m_resize_features": q_m_resize_features,
-    "m_resample_audio": q_m_resample_audio,
-    "sim_filtered_knn": q_sim_filtered_knn,
-    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
-    "m_multimodal_features": q_m_features,
-    "corpus_drift_psi": q_corpus_drift,
-    "sql_pricing_summary": q_sql_pricing,
-    "sql_shipping_priority": q_sql_shipping,
-    "sql_regional_revenue": q_sql_regional,
-    "sql_set_ops": q_sql_setops,
-    "sql_anti_join": q_sql_anti,
-    "sql_sessionize": q_sql_sessionize,
-    "clim_pixel_stats": q_pixel_stats,
-    # group B (6): implementation CHANGED in round 11 (rotation rule
-    # 2). The IVF near-dup candidate kernel now computes only the
-    # cross-chunk V_a @ V_b.T Gram block in split (ga < gb) groups
-    # (round-10 ADVICE; consumers d_near_dup_embedding_ivf — the
-    # declared no_oracle raw row — and d_semantic_dedup, which
-    # oracle-checks the same route end-to-end); the graph
-    # edge-checkpoint memo gained eager localCheckpoint block release
-    # on clear/eviction (consumers: the three graph passes built on
-    # _checkpointed; sim_knn_graph uses similarity.knn_graph_ivf, not
-    # the graph memo, so it stays in the r9-checked tail); and the
-    # connected-components loop/memos release their label and edge
-    # checkpoints eagerly (consumers d_dedup_components,
-    # d_cluster_stats, d_semantic_dedup — all already windowed — plus
-    # d_dedup_canonical, which joins here and displaces the last pad
-    # row); learn_bpe_merges releases its vocabulary checkpoints
-    # before returning (its output is a plain merge list — consumers
-    # text_bpe_learn, text_bpe_tokenize join here, displacing two more
-    # pad rows; the lake merge_into_partitions release is test-only,
-    # no registry route) ---
-    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "sim_pagerank": q_sim_pagerank,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
-    "d_dedup_canonical": q_d_dedup_canonical,
-    "text_bpe_tokenize": q_text_bpe_tokenize,
-    "text_bpe_learn": q_text_bpe_learn,
-    # group C (11): r08-checked pad, stalest-first (2 rounds stale;
-    # text_vocab_oov, text_bigram_nll, d_chunking displaced to the tail
-    # head by the group-B changed rows) ---
-    "g_spatial_smooth": q_spatial_smooth,
-    "f_hof_deseason": q_f_hof_deseason,
-    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
-    "t_days_in_range": q_t_days_in_range,
-    "t_distinct_bboxes": q_t_distinct_bboxes,
-    "a4_corr_grid": q_a4_corr_grid,
-    "etl_transforms": q_etl_transforms,
-    "sql_topk_per_group": q_sql_topk,
-    "sql_rollup": q_sql_rollup,
-    "sql_hourly_events": q_sql_hourly_events,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    # --- tail (entry 51+): rotates in for round 12, stalest first.
-    # These 32 r08-checked rows (text_bigram_nll, d_chunking,
-    # text_vocab_oov displaced from the pad by changed rows joining
-    # group B) will be 3 rounds stale after round 11 and MUST lead
-    # round 12's window: ---
+    # rule 1; queued in last round's tail comment and the r11 verdict's
+    # ask #2). e_stream_matchup doubles as this round's changed-impl
+    # streaming row (state-store scaling rework) ---
     "d_chunking": q_d_chunking,
     "text_bigram_nll": q_text_bigram_nll,
     "text_vocab_oov": q_text_vocab_oov,
@@ -7305,8 +7223,30 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
-    # --- checked in round 9 (next-stalest; round 12's pad draws from
-    # here in this order) ---
+    # group B (9): implementation CHANGED in round 12 (rotation rule 2).
+    # sql_set_ops was restructured from literal INTERSECT/EXCEPT (the
+    # intersect subtree — an orders-wide shuffle — was referenced by
+    # both union branches and evaluated twice) into one membership-flag
+    # aggregate + tag explode; sql_step_funnel's per-step join chain
+    # (step-1 aggregate evaluated 3x, events scanned 7x) became chained
+    # per-user window minima over ONE shuffle + one unpivoted global
+    # aggregate; the CC memos (_CC_CACHE/_CC_EDGE_CACHE) and the graph
+    # edge memo stopped eagerly destroying localCheckpoint blocks on
+    # capacity eviction/collision overwrite (round-12 ADVICE — callers
+    # may still hold the lineage-truncated frames; explicit clear paths
+    # stay eager), which touches every CC consumer (d_dedup_components,
+    # d_cluster_stats, d_semantic_dedup, d_dedup_canonical) and the
+    # three graph passes built on _checkpointed ---
+    "sql_set_ops": q_sql_setops,
+    "sql_step_funnel": q_sql_step_funnel,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_dedup_canonical": q_d_dedup_canonical,
+    "sim_pagerank": q_sim_pagerank,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    # group C (10): r09-checked pad, stalest-first ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "a2_stats_from_summary": q_a2_stats_from_summary,
@@ -7317,6 +7257,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
     "doms_list": q_doms_list,
+    # --- tail (entry 51+): rotates in for round 13, stalest first.
+    # These 30 r09-checked rows will be 3 rounds stale after round 12
+    # and MUST lead round 13's window: ---
     "s1_polygon_time_series": q_s1_polygon,
     "s2_time_avg_map": q_s2_time_avg_map,
     "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
@@ -7347,7 +7290,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # --- checked in round 10 (freshest before this round's window) ---
+    # --- checked in round 10 (47 rows; next-stalest — round 13's pad
+    # draws from here in this order) ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
@@ -7391,13 +7335,55 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "sim_ann_lsh": q_sim_ann_lsh,
-    "sql_step_funnel": q_sql_step_funnel,
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
+    # --- checked in round 11 (42 rows; freshest before this round's
+    # window) ---
+    "d_embed_pca1": q_d_embed_pca1,
+    "d_expectations_audit": q_d_expectations_audit,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "sql_salted_hot_key": q_sql_salted_hot_key,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "a2_tiled_lake_pruned": q_a2_tiled_lake,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    "sketch_profile": q_sketch_profile,
+    "m_multimodal_metadata": q_m_metadata,
+    "warc_ingest": q_warc_ingest,
+    "scrub_span_apply": q_scrub_span_apply,
+    "m_frame_sample": q_m_frame_sample,
+    "m_resize_features": q_m_resize_features,
+    "m_resample_audio": q_m_resample_audio,
+    "sim_filtered_knn": q_sim_filtered_knn,
+    "d_dedup_simhash_xx_recall": q_d_simhash_xx_recall,
+    "m_multimodal_features": q_m_features,
+    "corpus_drift_psi": q_corpus_drift,
+    "sql_pricing_summary": q_sql_pricing,
+    "sql_shipping_priority": q_sql_shipping,
+    "sql_regional_revenue": q_sql_regional,
+    "sql_anti_join": q_sql_anti,
+    "sql_sessionize": q_sql_sessionize,
+    "clim_pixel_stats": q_pixel_stats,
+    "d_near_dup_embedding_ivf": q_d_near_dup_ivf,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
+    "text_bpe_learn": q_text_bpe_learn,
+    "g_spatial_smooth": q_spatial_smooth,
+    "f_hof_deseason": q_f_hof_deseason,
+    "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
+    "t_days_in_range": q_t_days_in_range,
+    "t_distinct_bboxes": q_t_distinct_bboxes,
+    "a4_corr_grid": q_a4_corr_grid,
+    "etl_transforms": q_etl_transforms,
+    "sql_topk_per_group": q_sql_topk,
+    "sql_rollup": q_sql_rollup,
+    "sql_hourly_events": q_sql_hourly_events,
+    "text_bpe_tokens": q_text_bpe_tokens,
 }
-
 
 _ORACLES: dict[str, str] = {
     "s1_time_series": SQL_S1,

@@ -103,11 +103,21 @@ def _bounded_put(cache: dict, key, value, cap: int = 6,
                  frame_idx: int | None = 1, release=None) -> None:
     """Insert into an insertion-ordered memo and evict the OLDEST entries
     beyond `cap`, releasing the evicted (and overwritten) frame — tuple
-    position `frame_idx`; None = nothing persisted, just drop the
-    reference. `release` overrides the default `.unpersist()` for
-    frames persisted some other way (localCheckpoint blocks need
-    _release_checkpoint — Dataset.unpersist is a CacheManager no-op on
-    them).
+    position `frame_idx`; None = nothing released, just drop the
+    reference (lazy py4j-finalizer + ContextCleaner reclamation).
+    `release` overrides the default `.unpersist()` for frames persisted
+    some other way.
+
+    Release policy (round-12 ADVICE): eager release on eviction is only
+    safe for `.cache()` frames — a caller still holding one re-executes
+    from lineage, merely slower. localCheckpoint frames have TRUNCATED
+    lineage, so eagerly destroying their blocks on a capacity eviction
+    or semanticHash-collision overwrite makes a previously RETURNED
+    frame fail irrecoverably with missing-block errors. Checkpoint-
+    backed memos therefore pass frame_idx=None here (reference-drop on
+    eviction) and reserve _release_checkpoint for the explicit clear
+    paths (clear_cache/domain.invalidate/bench resets) and for
+    loop-internal supersession of frames never handed out.
 
     Why bounded: a long-lived session (or a 124-query sweep) otherwise
     accumulates one storage-cached frame per distinct input plan, and
@@ -925,10 +935,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     got, labels = _connected_components(pairs, nodes, id_col, src_col,
                                         dst_col, max_rounds)
     # The result plan lazily references the final labels checkpoint, so
-    # the memo keeps the labels HANDLE (tuple position 3) and eviction/
-    # clear release its blocks eagerly (round-11; was a GC-timed drop).
+    # the memo keeps the labels HANDLE (tuple position 3) for the
+    # explicit clear paths (clear_cc_result_cache releases it eagerly).
+    # Capacity eviction / collision overwrite only DROP the reference
+    # (round-12 ADVICE): a caller may still hold the returned frame,
+    # and its lineage is truncated — eager destruction would strand it.
     _bounded_put(_CC_CACHE, key, (pairs, nodes, got, labels), cap=4,
-                 frame_idx=3, release=_release_checkpoint)
+                 frame_idx=None)
     return got
 
 
@@ -1004,8 +1017,11 @@ def _connected_components(pairs: DataFrame, nodes: DataFrame,
             wide = edges
             edges = edges.repartition(parts, "e_dst").localCheckpoint()
             _release_checkpoint(wide)  # superseded by the repartition
+        # frame_idx=None: the checkpointed edge frame is woven into
+        # every returned CC result's plan — eviction must reference-drop,
+        # not destroy blocks (round-12 ADVICE); clear_cache() releases.
         _bounded_put(_CC_EDGE_CACHE, ekey, (pairs, edges, parts),
-                     release=_release_checkpoint)
+                     frame_idx=None)
 
     # Induced subgraph: only edge-endpoint nodes enter the loop (the
     # symmetric edge list has every endpoint in e_src).

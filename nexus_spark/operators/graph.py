@@ -37,18 +37,18 @@ def _release(df: DataFrame) -> None:
 
 
 def _checkpointed(src: DataFrame, tag: str, build) -> DataFrame:
-    from nexus_spark.operators.dedup import _session_key
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
 
     key = (_session_key(src.sparkSession), src.semanticHash(), tag)
     hit = _EDGE_CACHE.get(key)
     if hit is not None and hit[0].sameSemantics(src):
         return hit[1]
     got = build().localCheckpoint(eager=True)
-    if hit is not None:  # semanticHash collision overwrite
-        _release(hit[1])
-    _EDGE_CACHE[key] = (src, got)
-    while len(_EDGE_CACHE) > 6:  # same bound/order as dedup._bounded_put
-        _release(_EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))[1])
+    # frame_idx=None: capacity eviction / collision overwrite must only
+    # drop the reference — a caller may still hold the returned
+    # lineage-truncated frame (round-12 ADVICE; the shared policy lives
+    # on dedup._bounded_put). clear_cache() below stays eager.
+    _bounded_put(_EDGE_CACHE, key, (src, got), frame_idx=None)
     return got
 
 

@@ -101,17 +101,44 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
 
 
 def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Set operators: customers WITH orders (intersect) minus high-balance
-    ones (except), plus a labeled union — one result frame tagging each."""
-    custs = customer.select("c_custkey")
-    with_orders = custs.intersect(
-        orders.select(F.col("o_custkey").alias("c_custkey")))
-    high_bal = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    active_low = with_orders.exceptAll(high_bal).distinct()
-    return (
-        with_orders.withColumn("tag", F.lit("with_orders"))
-        .unionByName(active_low.withColumn("tag", F.lit("active_low_balance")))
+    """Set-operator surface: customers WITH orders (intersect) minus
+    high-balance ones (except), as one labeled union tagging each.
+
+    Evaluated as a SINGLE membership-flag aggregate instead of literal
+    INTERSECT/EXCEPT operators: the naive form references the intersect
+    subtree (a shuffle over the full orders fact) from BOTH union
+    branches, and Spark evaluates a multiply-referenced subtree once
+    per reference — at sf1 that paid the 6M-row orders shuffle twice
+    (round-11 verdict). Here each side contributes membership flags
+    (customer rows carry in_cust + the balance predicate, order rows
+    carry in_ord), ONE groupBy(c_custkey) folds them, and the 1-or-2
+    output tags per qualifying key come from exploding a literal array
+    — so the whole query is a union scan + one shuffle, no repeated
+    subtree and no cache/checkpoint to manage. Identical set semantics:
+    intersect = in_cust AND in_ord (both sides deduped by the groupBy);
+    except-distinct = AND NOT high_bal (c_custkey is the customer PK,
+    so the high-balance predicate is per-key well-defined)."""
+    flags = customer.select(
+        "c_custkey",
+        F.lit(1).alias("in_cust"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("high_bal"),
+        F.lit(0).alias("in_ord"),
+    ).unionByName(orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit(0).alias("in_cust"),
+        F.lit(0).alias("high_bal"),
+        F.lit(1).alias("in_ord"),
+    )).groupBy("c_custkey").agg(
+        F.max("in_cust").alias("in_cust"),
+        F.max("high_bal").alias("high_bal"),
+        F.max("in_ord").alias("in_ord"),
     )
+    tags = F.when(F.col("high_bal") == 1, F.array(F.lit("with_orders"))) \
+        .otherwise(F.array(F.lit("with_orders"),
+                           F.lit("active_low_balance")))
+    return (flags
+            .where((F.col("in_cust") == 1) & (F.col("in_ord") == 1))
+            .select("c_custkey", F.explode(tags).alias("tag")))
 
 
 def customers_without_orders(customer: DataFrame, orders: DataFrame,
@@ -313,40 +340,47 @@ def event_step_funnel(events: DataFrame,
     product-analytics funnel (signup → activation → purchase), which
     the unordered quality funnel is not.
 
-    Shape: one aggregate per step, each reusing the same user_id
-    shuffle (co-partitioned joins — at scale events are bucketed by
-    user and no step adds an exchange); step N's aggregate filters on
-    step N-1's arrival time, so ordering is enforced relationally with
-    no per-user array state. Output: step, step_idx, n_users — counts
-    are necessarily non-increasing.
+    Shape: ONE events scan and ONE user_id shuffle. The previous
+    join-chain form (per-step aggregate joining the previous step's
+    arrival) referenced each step frame from both the next step AND its
+    own count branch, and Spark evaluates a multiply-referenced subtree
+    once per reference — at sf1 the step-1 aggregate ran 3x and the
+    events scan 7x (round-11 verdict: 4.0x DuckDB, whose CTEs
+    materialize once). Now the strictly-after arrival times are
+    per-user window minima chained over the SAME partitioning (t_N =
+    min ts of step-N events after t_{N-1}; one exchange + one sort,
+    the dependent windows stack without re-shuffling), a co-partitioned
+    groupBy collapses to one row per user, and all four funnel counts
+    come out of ONE global aggregate unpivoted to rows — no subtree is
+    referenced twice anywhere in the plan. Ordering is still enforced
+    relationally (no per-user array state; window buffers are one
+    user's rows). Output: step, step_idx, n_users — counts are
+    necessarily non-increasing.
     """
     s1, s2, s3 = steps
-    t1 = (events.where(F.col("event_type") == s1)
-          .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    t2 = (events.where(F.col("event_type") == s2)
-          .join(t1, "user_id")
-          .where(F.col("ts") > F.col("t1"))
-          .groupBy("user_id").agg(F.min("ts").alias("t2")))
-    t3 = (events.where(F.col("event_type") == s3)
-          .join(t2, "user_id")
-          .where(F.col("ts") > F.col("t2"))
-          .groupBy("user_id").agg(F.min("ts").alias("t3")))
-    total = events.select("user_id").distinct()
-    rows = [
-        total.agg(F.lit("all_users").alias("step"),
-                  F.lit(0).alias("step_idx"),
-                  F.count(F.lit(1)).alias("n_users")),
-        t1.agg(F.lit(s1).alias("step"), F.lit(1).alias("step_idx"),
-               F.count(F.lit(1)).alias("n_users")),
-        t2.agg(F.lit(s2).alias("step"), F.lit(2).alias("step_idx"),
-               F.count(F.lit(1)).alias("n_users")),
-        t3.agg(F.lit(s3).alias("step"), F.lit(3).alias("step_idx"),
-               F.count(F.lit(1)).alias("n_users")),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    w = Window.partitionBy("user_id")
+    x = (events.select("user_id", "ts", "event_type")
+         .withColumn("t1", F.min(F.when(F.col("event_type") == s1,
+                                        F.col("ts"))).over(w)))
+    x = x.withColumn("t2", F.min(F.when(
+        (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+        F.col("ts"))).over(w))
+    x = x.withColumn("t3", F.min(F.when(
+        (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+        F.col("ts"))).over(w))
+    per_user = x.groupBy("user_id").agg(F.min("t1").alias("t1"),
+                                        F.min("t2").alias("t2"),
+                                        F.min("t3").alias("t3"))
+    counts = per_user.agg(F.count(F.lit(1)).alias("n0"),
+                          F.count("t1").alias("n1"),
+                          F.count("t2").alias("n2"),
+                          F.count("t3").alias("n3"))
+    step_rows = F.array(*[
+        F.struct(F.lit(step).alias("step"),
+                 F.lit(idx).alias("step_idx"),
+                 F.col(f"n{idx}").alias("n_users"))
+        for idx, step in enumerate(("all_users", s1, s2, s3))])
+    return counts.select(F.explode(step_rows).alias("r")).select("r.*")
 
 
 def event_retention_cohorts(events: DataFrame,
