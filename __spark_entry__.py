@@ -3982,6 +3982,20 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _staged_feed(spark, sf_dir, "matchup")
     pdir, sdir = f"{base}/p", f"{base}/s"
+    # Size the join's state-store count (= shuffle partitions, fixed at
+    # stream start) to the FEED volume instead of the flat 8 every other
+    # executed stream uses (round-11 verdict ask #3): the stream-stream
+    # join passes every input row through a state store, the neighbor-
+    # cell explode multiplies the primary ~9x, and at sf1 the flat 8
+    # left 24 of 32 cores idle on ~5M state rows (measured 152.4s; 32
+    # stores -> 84.7s, same 18.0M-row result). One store per ~150k state
+    # rows, floor 8 (below that, near-empty stores cost more than they
+    # parallelize — the r9 measurement that set the flat 8), cap at the
+    # host's parallelism. The counts are parquet-footer metadata reads.
+    n_p = spark.read.parquet(pdir).count()
+    n_s = spark.read.parquet(sdir).count()
+    parts = max(8, min(int(spark.sparkContext.defaultParallelism),
+                       (9 * n_p + n_s) // 150_000 + 1))
     ps = (spark.readStream.schema(spark.read.parquet(pdir).schema)
           .parquet(pdir))
     ss = (spark.readStream.schema(spark.read.parquet(sdir).schema)
@@ -3999,7 +4013,7 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="nexus_smu_run_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    with _stream_job_conf(spark):
+    with _stream_job_conf(spark, partitions=str(parts)):
         q = (out.writeStream.format("parquet")
              .option("path", f"{work}/out")
              .option("checkpointLocation", f"{work}/ckpt")
@@ -4007,6 +4021,19 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):  # False = timeout (no raise)
             q.stop()
             raise TimeoutError("streaming matchup drain exceeded 300s")
+    # Unload the drained join's state-store providers NOW: they hold the
+    # final state version (~5M rows across 32 stores at sf1) on heap
+    # until the maintenance tick — which this session pins to 3600s to
+    # stop its churn from hitting later queries — so a re-run (or the
+    # rest of a sweep) otherwise executes under that dead weight's GC
+    # pressure (measured sf1: steady 135.5s with orphaned providers vs
+    # 52-57s unloaded; the unload itself is ~0.05s). Best-effort
+    # internal API; a miss restores the old maintenance-timed unload.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state \
+            .StateStore.stop()
+    except Exception:
+        pass
     # Explicit schema on the read-back: a zero-match drain leaves only
     # _spark_metadata in the sink directory, and schema inference would
     # raise 'Unable to infer schema' where the old memory sink returned

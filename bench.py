@@ -343,7 +343,16 @@ _QUERY_NOTES = {
         "both feeds staged once per session (memoized). NOTE its oracle "
         "repeats the same quadratic DuckDB join the two batch matchup "
         "queries already pay — read the sweep ratio with that "
-        "triple-count in mind",
+        "triple-count in mind. Round-12: state-store count auto-sized "
+        "to feed volume (8 at sf0.1, 32 at sf1 — was a flat 8; sf1 "
+        "152.4s -> 84.7s). Read its sf1 scale factor against OUTPUT, "
+        "not input: stacked sf1 copies share the space-time grid, so "
+        "pair volume grows ~100x (180k -> 18.0M matches) at 10x rows; "
+        "per emitted row the drain got ~4.5x cheaper (21us -> 4.7us). "
+        "RocksDB provider measured SLOWER here (130.7s at 32 stores; "
+        ">600s at 8) — on-heap HDFS store wins in one 128GiB JVM; on a "
+        "cluster where join state exceeds heap, flip "
+        "spark.sql.streaming.stateStore.providerClass to RocksDB",
     "scrub_span_dedup":
         "round-7 rewrite: window hashes are xxhash64 over the token-"
         "slice array (token hashed to a bigint once per row via a "
