@@ -364,3 +364,37 @@ def test_embedding_covariance_single_corpus_pass(spark):
     assert "FileScan parquet" not in plan
     assert "MapInPandas" not in plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_set_ops_single_shuffle_single_orders_scan(spark):
+    """Round-12 rewrite gate: customer_set_ops is a union scan + ONE
+    groupBy shuffle + tag explode. The pre-rewrite INTERSECT/EXCEPT
+    form referenced the intersect subtree from both union branches and
+    paid the orders shuffle twice; the membership-flag plan must scan
+    orders exactly once and shuffle exactly once (the exchange under
+    the final aggregate; AQE reads stay AQEShuffleRead)."""
+    plan = _plan(spark, "sql_set_ops")
+    tree = _final_tree(plan)
+    assert tree.count("Exchange") == 1, tree
+    orders_scans = len(re.findall(r"orders\.parquet", plan))
+    assert orders_scans == 1, plan[:2000]
+
+
+def test_step_funnel_single_shuffle_single_events_scan(spark):
+    """Round-12 rewrite gate: event_step_funnel is ONE events scan and
+    ONE user_id exchange (the chained dependent windows + the
+    co-partitioned per-user groupBy all reuse it); the four funnel
+    counts unpivot from one single-row aggregate (its exchange is a
+    1-row SinglePartition gather, not a data shuffle). The pre-rewrite
+    join chain scanned events 7x."""
+    plan = _plan(spark, "sql_step_funnel")
+    tree = _final_tree(plan)
+    events_scans = len(re.findall(r"events\.parquet", plan))
+    assert events_scans == 1, plan[:2000]
+    # exactly two exchanges: the user_id data shuffle feeding the
+    # window stack, and the 1-row SinglePartition gather for the
+    # global count aggregate
+    assert tree.count("Exchange") == 2, tree
+    assert "SinglePartition" in plan
+    # the three dependent windows stack on ONE sort with no re-shuffle
+    assert tree.count("Window") == 3 and tree.count("Sort") == 1, tree
