@@ -3430,6 +3430,24 @@ def _stream_job_conf(spark: SparkSession, partitions: str = "8"):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+        # Unload the drained query's state-store providers NOW (round
+        # 12): with maintenance pinned hourly they otherwise sit on
+        # heap holding the final state version until session end —
+        # later queries in a long session run under that dead weight
+        # (sf1 matchup: steady 135.5s with orphaned providers vs
+        # 52-57s unloaded, ~0.05s to unload; smaller streams leak less
+        # but the 11-stream x3-run sweep accumulates all of them, the
+        # same class as the roving maintenance-tick contamination this
+        # context manager exists to stop). Spark restarts maintenance
+        # lazily at the next stream start, so serial drains are
+        # unaffected (re-run and cross-stream re-drains verified).
+        # Best-effort internal API; a miss restores the old
+        # session-end reclamation.
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state \
+                .StateStore.stop()
+        except Exception:
+            pass
 
 
 def _staged_feed(spark: SparkSession, sf_dir: str, kind: str) -> str:
@@ -4021,19 +4039,6 @@ def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):  # False = timeout (no raise)
             q.stop()
             raise TimeoutError("streaming matchup drain exceeded 300s")
-    # Unload the drained join's state-store providers NOW: they hold the
-    # final state version (~5M rows across 32 stores at sf1) on heap
-    # until the maintenance tick — which this session pins to 3600s to
-    # stop its churn from hitting later queries — so a re-run (or the
-    # rest of a sweep) otherwise executes under that dead weight's GC
-    # pressure (measured sf1: steady 135.5s with orphaned providers vs
-    # 52-57s unloaded; the unload itself is ~0.05s). Best-effort
-    # internal API; a miss restores the old maintenance-timed unload.
-    try:
-        spark._jvm.org.apache.spark.sql.execution.streaming.state \
-            .StateStore.stop()
-    except Exception:
-        pass
     # Explicit schema on the read-back: a zero-match drain leaves only
     # _spark_metadata in the sink directory, and schema inference would
     # raise 'Unable to infer schema' where the old memory sink returned
@@ -7205,12 +7210,13 @@ FROM t
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
 # Round 12 layout: the 31 r08-stale rows lead (group A — queued in last
-# round's tail comment and the r11 verdict's ask #2) + 9 rows whose
+# round's tail comment and the r11 verdict's ask #2) + 16 rows whose
 # implementation changed in round 12 (group B: the sql_set_ops
 # single-pass membership rewrite, the sql_step_funnel one-shuffle
 # window rewrite, and the memo eviction-release policy change in the
-# CC/graph checkpoint caches) + a 10-row r09-stale pad (group C,
-# stalest-first). The tail queues the remaining 30 r09-checked rows to
+# CC/graph checkpoint caches, and the executed-stream harness's
+# post-drain state-store unload) + a 3-row r09-stale pad (group C,
+# stalest-first). The tail queues the remaining 33 r09-checked rows to
 # lead round 13.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-12 WINDOW (first 50) ---
@@ -7250,7 +7256,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
-    # group B (9): implementation CHANGED in round 12 (rotation rule 2).
+    # group B (16): implementation CHANGED in round 12 (rotation rule 2).
     # sql_set_ops was restructured from literal INTERSECT/EXCEPT (the
     # intersect subtree — an orders-wide shuffle — was referenced by
     # both union branches and evaluated twice) into one membership-flag
@@ -7273,10 +7279,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pagerank": q_sim_pagerank,
     "sim_label_propagation": q_sim_label_propagation,
     "sim_triangle_stats": q_sim_triangle_stats,
-    # group C (10): r09-checked pad, stalest-first ---
+    # (group B continued) the executed-stream harness _stream_job_conf
+    # gained a post-drain state-store provider unload, which changes
+    # every query routed through it — matchup, dedup_exact and
+    # window_watermark are already windowed above in A, plus these
+    # seven (e_sliding_events and e_anomaly_zscore do not use it) ---
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "e_stream_near_dup": q_e_stream_near_dup,
+    "e_stream_drift_psi": q_e_stream_drift_psi,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
+    # group C (3): r09-checked pad, stalest-first (seven pad rows
+    # displaced to the tail head by the group-B stream rows; they are
+    # r09-checked and lead round 13 regardless) ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
     "a2_stats_from_summary": q_a2_stats_from_summary,
+    # --- tail (entry 51+): rotates in for round 13, stalest first.
+    # These 33 r09-checked rows will be 3 rounds stale after round 12
+    # and MUST lead round 13's window: ---
     "s1_time_series": q_s1_time_series,
     "s8_matchup_once": q_s8_matchup_once,
     "sim_ann_ivf": q_sim_ann_ivf,
@@ -7284,9 +7307,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
     "doms_list": q_doms_list,
-    # --- tail (entry 51+): rotates in for round 13, stalest first.
-    # These 30 r09-checked rows will be 3 rounds stale after round 12
-    # and MUST lead round 13's window: ---
     "s1_polygon_time_series": q_s1_polygon,
     "s2_time_avg_map": q_s2_time_avg_map,
     "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
@@ -7298,10 +7318,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_nearest_value": q_a8_nearest_value,
     "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "e_stream_sessionize": q_e_stream_sessionize,
     "d_embed_outliers": q_d_embed_outliers,
-    "e_stream_asof_enrich": q_e_stream_asof_enrich,
     "d8_insitu_subset": q_d8_insitu_subset,
     "sim_knn_graph": q_sim_knn_graph,
     "d_kmeans_round": q_d_kmeans_round,
@@ -7311,13 +7328,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
     "sim_ann_recall_at_k": q_sim_ann_recall,
     "d_topic_clusters": q_d_topic_clusters,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
     "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "f_lowpass": q_f_lowpass,
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # --- checked in round 10 (47 rows; next-stalest — round 13's pad
+    # --- checked in round 10 (45 rows; next-stalest — round 13's pad
     # draws from here in this order) ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
@@ -7337,12 +7353,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,
-    "e_stream_near_dup": q_e_stream_near_dup,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_pq_recall_at_k": q_sim_pq_recall,
     "etl_regrid": q_etl_regrid,
     "text_gopher_quality": q_text_gopher_quality,
-    "e_stream_drift_psi": q_e_stream_drift_psi,
     "sim_mmr_select": q_sim_mmr_select,
     "text_hash_embed": q_text_hash_embed,
     "sim_hash_embed_knn": q_sim_hash_embed_knn,
@@ -7366,11 +7380,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
-    # --- checked in round 11 (42 rows; freshest before this round's
+    # --- checked in round 11 (41 rows; freshest before this round's
     # window) ---
     "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
-    "e_stream_quality_gate": q_e_stream_quality_gate,
     "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "sql_salted_hot_key": q_sql_salted_hot_key,
     "scrub_span_dedup": q_scrub_span_dedup,
