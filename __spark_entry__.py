@@ -7210,13 +7210,14 @@ FROM t
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
 # Round 12 layout: the 31 r08-stale rows lead (group A — queued in last
-# round's tail comment and the r11 verdict's ask #2) + 16 rows whose
+# round's tail comment and the r11 verdict's ask #2) + 17 rows whose
 # implementation changed in round 12 (group B: the sql_set_ops
 # single-pass membership rewrite, the sql_step_funnel one-shuffle
 # window rewrite, and the memo eviction-release policy change in the
 # CC/graph checkpoint caches, and the executed-stream harness's
-# post-drain state-store unload) + a 3-row r09-stale pad (group C,
-# stalest-first). The tail queues the remaining 33 r09-checked rows to
+# post-drain state-store unload, and the TF-IDF move onto the shared
+# BM25 postings index) + a 2-row r09-stale pad (group C,
+# stalest-first). The tail queues the remaining 34 r09-checked rows to
 # lead round 13.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-12 WINDOW (first 50) ---
@@ -7256,7 +7257,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_zipf_profile": q_text_zipf_profile,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "d_source_caps": q_d_source_caps,
-    # group B (16): implementation CHANGED in round 12 (rotation rule 2).
+    # group B (17): implementation CHANGED in round 12 (rotation rule 2).
     # sql_set_ops was restructured from literal INTERSECT/EXCEPT (the
     # intersect subtree — an orders-wide shuffle — was referenced by
     # both union branches and evaluated twice) into one membership-flag
@@ -7291,15 +7292,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_stream_near_dup": q_e_stream_near_dup,
     "e_stream_drift_psi": q_e_stream_drift_psi,
     "e_stream_quality_gate": q_e_stream_quality_gate,
-    # group C (3): r09-checked pad, stalest-first (seven pad rows
-    # displaced to the tail head by the group-B stream rows; they are
+    # (group B continued) text_tfidf_top_terms now serves from the
+    # session BM25 inverted index instead of re-evaluating its own tf
+    # aggregate twice ---
+    "text_tfidf_top_terms": q_text_tfidf,
+    # group C (2): r09-checked pad, stalest-first (eight pad rows
+    # displaced to the tail head by the group-B changed rows; they are
     # r09-checked and lead round 13 regardless) ---
     "sql_left_join": q_sql_left_join,
     "sql_semi_join": q_sql_semi_join,
-    "a2_stats_from_summary": q_a2_stats_from_summary,
     # --- tail (entry 51+): rotates in for round 13, stalest first.
-    # These 33 r09-checked rows will be 3 rounds stale after round 12
+    # These 34 r09-checked rows will be 3 rounds stale after round 12
     # and MUST lead round 13's window: ---
+    "a2_stats_from_summary": q_a2_stats_from_summary,
     "s1_time_series": q_s1_time_series,
     "s8_matchup_once": q_s8_matchup_once,
     "sim_ann_ivf": q_sim_ann_ivf,
@@ -7333,7 +7338,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # --- checked in round 10 (45 rows; next-stalest — round 13's pad
+    # --- checked in round 10 (44 rows; next-stalest — round 13's pad
     # draws from here in this order) ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
@@ -7349,7 +7354,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_curation_pipeline": q_d_curation_pipeline,
     "d_sample_exact_n": q_d_sample_exact_n,
     "d_token_packing": q_d_token_packing,
-    "text_tfidf_top_terms": q_text_tfidf,
     "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
     "s8_matchup": q_s8_matchup,

@@ -1315,7 +1315,9 @@ _MEMO_CONSUMERS = {
                              "sim_pq_recall_at_k, e_stream_pq_ingest",
     "shingle_postings": "d_dedup_ngram_jaccard, d_dedup_minhash_*, "
                         "d_dedup_containment",
-    "bm25_postings_stats": "text_bm25_topk, sim_hybrid_rrf",
+    "bm25_postings_stats": "text_bm25_topk, sim_hybrid_rrf, "
+                           "text_tfidf_top_terms (round 12: TF-IDF "
+                           "serves from the same postings index)",
     "text_stats_frame": "text_stats, d_temperature_mix, d_curation_"
                         "pipeline, d_export_pipeline, d_gated_export",
     "tiled_lake_fixture": "a2_tiled_lake_pruned",
