@@ -7209,101 +7209,24 @@ FROM t
 #      round (they need a fresh row against the regenerated testdata);
 #   3. the window is padded with last-round-checked entries; the
 #      displaced tail (all checked last round) is next round's group 1.
-# Round 12 layout: the 31 r08-stale rows lead (group A — queued in last
-# round's tail comment and the r11 verdict's ask #2) + 17 rows whose
-# implementation changed in round 12 (group B: the sql_set_ops
-# single-pass membership rewrite, the sql_step_funnel one-shuffle
-# window rewrite, and the memo eviction-release policy change in the
-# CC/graph checkpoint caches, and the executed-stream harness's
-# post-drain state-store unload, and the TF-IDF move onto the shared
-# BM25 postings index) + a 2-row r09-stale pad (group C,
-# stalest-first). The tail queues the remaining 34 r09-checked rows to
-# lead round 13.
+# Rule 2 is MECHANIZED since round 13: tests/test_rotation_honesty.py
+# hash-compares every query's implementation (q_ function + entry-module
+# closure + directly imported nexus_spark modules, comment/docstring-
+# insensitive) against the previous round's final commit (pinned in
+# tests/rotation_baseline.json) and fails if a changed query is outside
+# the first 50.
+# Round 13 layout: the 34 r09-stale rows lead (group A — queued in last
+# round's tail comment and the r12 verdict's ask #2) + the 7 rows whose
+# implementation changed in round 13 (group B: the scrub window-hash
+# session memo, r12 verdict ask #1 — every operators/scrub.py consumer)
+# + a 9-row r10-stale pad (group C, stalest-first). The tail queues the
+# remaining 35 r10-checked rows to lead round 14.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-12 WINDOW (first 50) ---
-    # group A (31): r08-checked rows, 3 rounds stale after r11 — the
+    # --- ROUND-13 WINDOW (first 50) ---
+    # group A (34): r09-checked rows, 3 rounds stale after r12 — the
     # registry's deepest staleness; they lead unconditionally (rotation
-    # rule 1; queued in last round's tail comment and the r11 verdict's
-    # ask #2). e_stream_matchup doubles as this round's changed-impl
-    # streaming row (state-store scaling rework) ---
-    "d_chunking": q_d_chunking,
-    "text_bigram_nll": q_text_bigram_nll,
-    "text_vocab_oov": q_text_vocab_oov,
-    "d_shuffle_shards": q_d_shuffle_shards,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    "t_range_join": q_t_range_join,
-    "t_interval_union": q_t_interval_union,
-    "sql_pivot_monthly": q_sql_pivot_monthly,
-    "sql_cumulative_revenue": q_sql_cumulative_revenue,
-    "text_ppl_buckets": q_text_ppl_buckets,
-    "t_asof_nearest": q_t_asof_nearest,
-    "sql_rolling_revenue": q_sql_rolling_revenue,
-    "sql_value_histogram": q_sql_value_histogram,
-    "t_interval_gaps": q_t_interval_gaps,
-    "t_asof_events": q_t_asof_events,
-    "e_stream_matchup": q_e_stream_matchup,
-    "sim_quantize_binary": q_sim_quantize_binary,
-    "sim_ann_hamming": q_sim_ann_hamming,
-    "sim_binary_recall_at_k": q_sim_binary_recall,
-    "d_weighted_sample": q_d_weighted_sample,
-    "sim_ann_int8": q_sim_ann_int8,
-    "d_corpus_diff": q_d_corpus_diff,
-    "sim_mean_pool": q_sim_mean_pool,
-    "sim_int8_recall_at_k": q_sim_int8_recall,
-    "e_stream_dedup_exact": q_e_stream_dedup_exact,
-    "e_stream_window_watermark": q_e_stream_window_watermark,
-    "d_importance_select": q_d_importance_select,
-    "text_lang_segments": q_text_lang_segments,
-    "text_zipf_profile": q_text_zipf_profile,
-    "text_pmi_bigrams": q_text_pmi_bigrams,
-    "d_source_caps": q_d_source_caps,
-    # group B (17): implementation CHANGED in round 12 (rotation rule 2).
-    # sql_set_ops was restructured from literal INTERSECT/EXCEPT (the
-    # intersect subtree — an orders-wide shuffle — was referenced by
-    # both union branches and evaluated twice) into one membership-flag
-    # aggregate + tag explode; sql_step_funnel's per-step join chain
-    # (step-1 aggregate evaluated 3x, events scanned 7x) became chained
-    # per-user window minima over ONE shuffle + one unpivoted global
-    # aggregate; the CC memos (_CC_CACHE/_CC_EDGE_CACHE) and the graph
-    # edge memo stopped eagerly destroying localCheckpoint blocks on
-    # capacity eviction/collision overwrite (round-12 ADVICE — callers
-    # may still hold the lineage-truncated frames; explicit clear paths
-    # stay eager), which touches every CC consumer (d_dedup_components,
-    # d_cluster_stats, d_semantic_dedup, d_dedup_canonical) and the
-    # three graph passes built on _checkpointed ---
-    "sql_set_ops": q_sql_setops,
-    "sql_step_funnel": q_sql_step_funnel,
-    "d_dedup_components": q_d_dedup_components,
-    "d_cluster_stats": q_d_cluster_stats,
-    "d_semantic_dedup": q_d_semantic_dedup,
-    "d_dedup_canonical": q_d_dedup_canonical,
-    "sim_pagerank": q_sim_pagerank,
-    "sim_label_propagation": q_sim_label_propagation,
-    "sim_triangle_stats": q_sim_triangle_stats,
-    # (group B continued) the executed-stream harness _stream_job_conf
-    # gained a post-drain state-store provider unload, which changes
-    # every query routed through it — matchup, dedup_exact and
-    # window_watermark are already windowed above in A, plus these
-    # seven (e_sliding_events and e_anomaly_zscore do not use it) ---
-    "e_stream_pq_ingest": q_e_stream_pq_ingest,
-    "e_stream_sessionize": q_e_stream_sessionize,
-    "e_stream_asof_enrich": q_e_stream_asof_enrich,
-    "e_stream_lake_upsert": q_e_stream_lake_upsert,
-    "e_stream_near_dup": q_e_stream_near_dup,
-    "e_stream_drift_psi": q_e_stream_drift_psi,
-    "e_stream_quality_gate": q_e_stream_quality_gate,
-    # (group B continued) text_tfidf_top_terms now serves from the
-    # session BM25 inverted index instead of re-evaluating its own tf
-    # aggregate twice ---
-    "text_tfidf_top_terms": q_text_tfidf,
-    # group C (2): r09-checked pad, stalest-first (eight pad rows
-    # displaced to the tail head by the group-B changed rows; they are
-    # r09-checked and lead round 13 regardless) ---
-    "sql_left_join": q_sql_left_join,
-    "sql_semi_join": q_sql_semi_join,
-    # --- tail (entry 51+): rotates in for round 13, stalest first.
-    # These 34 r09-checked rows will be 3 rounds stale after round 12
-    # and MUST lead round 13's window: ---
+    # rule 1; queued in last round's tail comment and the r12 verdict's
+    # ask #2) ---
     "a2_stats_from_summary": q_a2_stats_from_summary,
     "s1_time_series": q_s1_time_series,
     "s8_matchup_once": q_s8_matchup_once,
@@ -7338,8 +7261,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_winnow": q_d_dedup_winnow,
     "t_asof_doy": q_t_asof_doy,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # --- checked in round 10 (44 rows; next-stalest — round 13's pad
-    # draws from here in this order) ---
+    # group B (7): implementation CHANGED in round 13 (rotation rule 2,
+    # now mechanized by tests/test_rotation_honesty.py): the span-dedup
+    # window-hash stream is session-memoized (scrub._WINHASH_CACHE —
+    # the r12 verdict's ask #1; span_dedup_marks referenced it twice,
+    # re-running the tokenize/posexplode stage per call), which touches
+    # every consumer of operators/scrub.py ---
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "scrub_span_apply": q_scrub_span_apply,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
+    # group C (9): r10-checked pad, stalest-first ---
     "sim_knn_bruteforce": q_sim_knn,
     "d_stratified_sample": q_d_stratified_sample,
     "e_sliding_events": q_e_sliding_events,
@@ -7349,6 +7284,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
     "sql_quantiles": q_sql_quantiles,
     "sql_json_extract": q_sql_json,
+    # --- tail (entry 51+): rotates in for round 14, stalest first.
+    # These 35 r10-checked rows will be 3 rounds stale after round 13
+    # and MUST lead round 14's window: ---
     "sql_distinct_counts": q_sql_distinct,
     "g_gaussian_interp_offgrid": q_gauss_interp_offgrid,
     "d_curation_pipeline": q_d_curation_pipeline,
@@ -7384,22 +7322,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
     "d_embed_covariance": q_d_embed_covariance,
-    # --- checked in round 11 (41 rows; freshest before this round's
-    # window) ---
+    # --- checked in round 11 (34 rows; next-stalest — round 14's pad
+    # draws from here in this order) ---
     "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
     "sql_salted_hot_key": q_sql_salted_hot_key,
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
     "a2_tiled_lake_pruned": q_a2_tiled_lake,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
     "sketch_profile": q_sketch_profile,
     "m_multimodal_metadata": q_m_metadata,
     "warc_ingest": q_warc_ingest,
-    "scrub_span_apply": q_scrub_span_apply,
     "m_frame_sample": q_m_frame_sample,
     "m_resize_features": q_m_resize_features,
     "m_resample_audio": q_m_resample_audio,
@@ -7427,6 +7358,58 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
     "text_bpe_tokens": q_text_bpe_tokens,
+    # --- checked in round 12 (50 rows; freshest before this round's
+    # window) ---
+    "d_chunking": q_d_chunking,
+    "text_bigram_nll": q_text_bigram_nll,
+    "text_vocab_oov": q_text_vocab_oov,
+    "d_shuffle_shards": q_d_shuffle_shards,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "t_range_join": q_t_range_join,
+    "t_interval_union": q_t_interval_union,
+    "sql_pivot_monthly": q_sql_pivot_monthly,
+    "sql_cumulative_revenue": q_sql_cumulative_revenue,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "t_asof_nearest": q_t_asof_nearest,
+    "sql_rolling_revenue": q_sql_rolling_revenue,
+    "sql_value_histogram": q_sql_value_histogram,
+    "t_interval_gaps": q_t_interval_gaps,
+    "t_asof_events": q_t_asof_events,
+    "e_stream_matchup": q_e_stream_matchup,
+    "sim_quantize_binary": q_sim_quantize_binary,
+    "sim_ann_hamming": q_sim_ann_hamming,
+    "sim_binary_recall_at_k": q_sim_binary_recall,
+    "d_weighted_sample": q_d_weighted_sample,
+    "sim_ann_int8": q_sim_ann_int8,
+    "d_corpus_diff": q_d_corpus_diff,
+    "sim_mean_pool": q_sim_mean_pool,
+    "sim_int8_recall_at_k": q_sim_int8_recall,
+    "e_stream_dedup_exact": q_e_stream_dedup_exact,
+    "e_stream_window_watermark": q_e_stream_window_watermark,
+    "d_importance_select": q_d_importance_select,
+    "text_lang_segments": q_text_lang_segments,
+    "text_zipf_profile": q_text_zipf_profile,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
+    "d_source_caps": q_d_source_caps,
+    "sql_set_ops": q_sql_setops,
+    "sql_step_funnel": q_sql_step_funnel,
+    "d_dedup_components": q_d_dedup_components,
+    "d_cluster_stats": q_d_cluster_stats,
+    "d_semantic_dedup": q_d_semantic_dedup,
+    "d_dedup_canonical": q_d_dedup_canonical,
+    "sim_pagerank": q_sim_pagerank,
+    "sim_label_propagation": q_sim_label_propagation,
+    "sim_triangle_stats": q_sim_triangle_stats,
+    "e_stream_pq_ingest": q_e_stream_pq_ingest,
+    "e_stream_sessionize": q_e_stream_sessionize,
+    "e_stream_asof_enrich": q_e_stream_asof_enrich,
+    "e_stream_lake_upsert": q_e_stream_lake_upsert,
+    "e_stream_near_dup": q_e_stream_near_dup,
+    "e_stream_drift_psi": q_e_stream_drift_psi,
+    "e_stream_quality_gate": q_e_stream_quality_gate,
+    "text_tfidf_top_terms": q_text_tfidf,
+    "sql_left_join": q_sql_left_join,
+    "sql_semi_join": q_sql_semi_join,
 }
 
 _ORACLES: dict[str, str] = {

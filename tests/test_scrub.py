@@ -118,3 +118,28 @@ def test_cross_contamination_spans_planted_leak(spark):
     assert (r["id"], r["span_start"], r["span_end"]) == (1, 3, 10)
     # benchmark docs themselves are never marked; disjoint train doc clean
     assert all(row["id"] != 2 for row in got)
+
+
+def test_window_hash_memo_discipline(spark):
+    """The window-hash postings memo (round 13) follows the session-memo
+    contract: repeated calls on the same plan return ONE cached frame,
+    distinct hash families get distinct entries, and clear_cache /
+    domain.invalidate empty it."""
+    from nexus_spark import domain
+    from nexus_spark.operators import scrub
+
+    docs = spark.createDataFrame(
+        [(1, "m0 m1 m2 m3 m4 m5 m6 m7 m8"),
+         (2, "m0 m1 m2 m3 m4 m5 m6 m7 n9")],
+        ["doc_id", "text"])
+    scrub.clear_cache()
+    a = scrub._window_hashes(docs, 8, "doc_id", "text", "xxhash64")
+    b = scrub._window_hashes(docs, 8, "doc_id", "text", "xxhash64")
+    assert a is b and a.storageLevel.useMemory
+    m = scrub._window_hashes(docs, 8, "doc_id", "text", "md5")
+    assert m is not a
+    assert len(scrub._WINHASH_CACHE) == 2
+    # the memoized stream still carries the right contents
+    assert a.count() == 4  # two docs, windows at pos 0 and 1 each
+    domain.invalidate()
+    assert not scrub._WINHASH_CACHE
