@@ -3441,6 +3441,13 @@ def _stream_job_conf(spark: SparkSession, partitions: str = "8"):
         # context manager exists to stop). Spark restarts maintenance
         # lazily at the next stream start, so serial drains are
         # unaffected (re-run and cross-stream re-drains verified).
+        # PRECONDITION (r12 ADVICE): StateStore.stop() unloads
+        # providers GLOBALLY and stops the maintenance pool — safe
+        # only because this harness drains streams strictly serially
+        # (trigger availableNow + awaitTermination inside the context
+        # manager, so no other stream is live here). A future
+        # concurrent-stream harness must guard this unload on
+        # spark.streams.active being empty or drop it entirely.
         # Best-effort internal API; a miss restores the old
         # session-end reclamation.
         try:

@@ -117,7 +117,13 @@ def _bounded_put(cache: dict, key, value, cap: int = 6,
     backed memos therefore pass frame_idx=None here (reference-drop on
     eviction) and reserve _release_checkpoint for the explicit clear
     paths (clear_cache/domain.invalidate/bench resets) and for
-    loop-internal supersession of frames never handed out.
+    loop-internal supersession of frames never handed out. The cost
+    (r12 ADVICE): evicted localCheckpoint blocks are reclaimed only by
+    driver GC + ContextCleaner, so a session cycling MANY distinct
+    inputs can re-accumulate orphaned checkpoint storage in the
+    GC-timed window. If that pressure class reappears in a sweep,
+    the remedies are ref-counting returned frames or shrinking the
+    checkpoint-memo caps — not restoring eager eviction-release.
 
     Why bounded: a long-lived session (or a 124-query sweep) otherwise
     accumulates one storage-cached frame per distinct input plan, and

@@ -243,6 +243,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     word. On a stream (or before the index is warm) the postings plan
     is uncached and this degrades to the classic two-aggregate shape.
 
+    ASSUMES UNIQUE doc ids (r12 ADVICE): postings group by (doc, word,
+    dl), so a doc_id reused across two different texts splits one
+    (doc, word) into multiple postings rows and duplicates scored rows
+    — the same contract bm25_scores already carries (its per-doc dl
+    join would likewise fan out). Corpus ingest enforces unique ids;
+    dedup first if merging corpora with colliding ids.
+
     Output: doc_id, word, term_rank, tfidf.
     """
     from pyspark.sql import Window
