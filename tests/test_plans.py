@@ -246,6 +246,30 @@ def test_span_dedup_plan_shape(spark):
     assert "partial_count" in plan  # map-side combine on the h aggregate
 
 
+def test_span_dedup_memo_single_tokenize(spark):
+    """Round-13 pin for the window-hash memo: with the memo warm, BOTH
+    references to the (id, pos, h) stream inside span_dedup_marks read
+    the InMemoryRelation — the executed plan must contain NO Generate
+    (posexplode) node, i.e. the tokenize stage cannot re-run per call
+    (the r12 weak-row defect: scrub.py's wins was evaluated twice)."""
+    from nexus_spark import catalog
+    from nexus_spark.operators import scrub
+    from nexus_spark.operators.scrub import span_dedup_marks
+    from tests.conftest import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents")
+    scrub._window_hashes(docs, 8, "doc_id", "text", "xxhash64").count()
+    out = span_dedup_marks(docs, window=8)
+    out.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = out._jdf.queryExecution().explainString(jmode)
+    tree = _final_tree(plan)
+    assert "InMemoryTableScan" in tree
+    assert "Generate" not in tree  # posexplode runs at memo build only
+    scrub.clear_cache()
+
+
 def test_warc_documents_plan_is_projection(spark, tmp_path):
     """warc_to_documents adds NO shuffle: extraction is a pure projection
     over the parsed records (one Exchange-free stage chain)."""
