@@ -344,27 +344,41 @@ def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
 
     def matches(other_bands: DataFrame, other_sigs: DataFrame,
                 source: str, within_batch: bool) -> DataFrame:
-        cand = (nb.select("band_idx", "band_hash",
-                          F.col("id").alias("id_new"))
-                .join(other_bands.select(
-                    "band_idx", "band_hash",
-                    F.col("id").alias("id_matched")),
-                    ["band_idx", "band_hash"])
-                .where(F.col("id_new") < F.col("id_matched")
+        # Build-side control (round 13): the batch is BOUNDED by the
+        # ingest contract; the store (history) is not. Every join that
+        # touches a store-derived frame must build its hash table on
+        # the batch-derived side and STREAM the store scan — left to
+        # size estimates, Catalyst was observed broadcasting the store
+        # parquet (it has stats; the batch localCheckpoint does not),
+        # making per-batch cost O(history) and the whole drain
+        # O(history x batches). With the explicit broadcast of the
+        # batch side, per-batch work is one streamed store scan plus
+        # O(batch) build — the plan that survives an unbounded store.
+        nb_l = nb.select("band_idx", "band_hash",
+                         F.col("id").alias("id_new"))
+        ob = other_bands.select("band_idx", "band_hash",
+                                F.col("id").alias("id_matched"))
+        pair_filter = (F.col("id_new") < F.col("id_matched")
                        if within_batch
                        else F.col("id_new") != F.col("id_matched"))
+        cand = ((ob.join(F.broadcast(nb_l), ["band_idx", "band_hash"])
+                 if not within_batch
+                 else nb_l.join(ob, ["band_idx", "band_hash"]))
+                .where(pair_filter)
                 .select("id_new", "id_matched").distinct())
         est = F.aggregate(
             F.zip_with("sig_a", "sig_b",
                        lambda a, b: (a == b).cast("int")),
             F.lit(0), lambda acc, x: acc + x) / F.lit(float(k))
-        return (cand
-                .join(new_sigs.select(F.col("id").alias("id_new"),
-                                      F.col("signature").alias("sig_a")),
-                      "id_new")
-                .join(other_sigs.select(F.col("id").alias("id_matched"),
-                                        F.col("signature").alias("sig_b")),
-                      "id_matched")
+        withsig = cand.join(new_sigs.select(
+            F.col("id").alias("id_new"),
+            F.col("signature").alias("sig_a")), "id_new")
+        osig = other_sigs.select(F.col("id").alias("id_matched"),
+                                 F.col("signature").alias("sig_b"))
+        paired = (osig.join(F.broadcast(withsig), "id_matched")
+                  if not within_batch
+                  else withsig.join(osig, "id_matched"))
+        return (paired
                 .withColumn("est_jaccard", est)
                 .where(F.col("est_jaccard") >= threshold)
                 .select("id_new", "id_matched", "est_jaccard",
