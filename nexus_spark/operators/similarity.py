@@ -1765,22 +1765,18 @@ def knn_graph_ivf(embeddings: DataFrame, k: int = 5,
             .select("id_a", "id_b", "rank_ab", "rank_ba", "cosine"))
 
 
-def embedding_covariance(embeddings: DataFrame, id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         dim: int = DIM) -> DataFrame:
-    """Sample covariance matrix of the embedding corpus as (i, j, cov)
-    upper-triangle rows (0-based, ddof=1) — the fixed d x d summary
-    that PCA, whitening, and Mahalanobis outlier scoring start from.
+def _gram_moments(embeddings: DataFrame, vec_col: str, dim: int):
+    """ONE corpus pass → (n, s, G) on the driver: row count, per-
+    component sums, and the upper-triangle Gram matrix X^T X.
 
-    Scale: ONE corpus pass. Each Arrow batch contributes its partial
-    Gram block X^T X as a d x d numpy matmul (the BLAS-per-batch
-    pattern embedding_near_dup_gemm uses) plus per-component sums and a
-    row count, encoded as (i, j, v) rows — d(d+1)/2 + d + 1 rows per
-    batch REGARDLESS of batch row count. The combine is one tiny
-    groupBy(i, j) SUM; no shuffle ever carries vector-scaled data, and
-    at any corpus size the post-scan wire volume is partitions x ~2.2k
-    scalar rows. cov = (S_ij - n*mu_i*mu_j) / (n - 1) is assembled
-    JVM-side from broadcast n/mu.
+    Each Arrow batch contributes its partial Gram block as a d x d
+    numpy matmul (the BLAS-per-batch pattern embedding_near_dup_gemm
+    uses) plus per-component sums and a row count, encoded as
+    (i, j, v) rows — d(d+1)/2 + d + 1 rows per batch REGARDLESS of
+    batch row count. The combine is one tiny groupBy(i, j) SUM
+    collected straight to the driver — fixed ~d^2 scalars of
+    corpus-size-independent state, the same contract as the k-row
+    kmeans centroid state; no shuffle ever carries vector-scaled data.
     """
     import numpy as np
     import pandas as pd
@@ -1803,28 +1799,48 @@ def embedding_covariance(embeddings: DataFrame, id_col: str = "vec_id",
                 "v": np.concatenate([g[(iu, ju)], x.sum(axis=0),
                                      [float(x.shape[0])]])})
 
-    # Materialize the combined moment rows ONCE (checkpoint, not
-    # exchange-reuse luck — the graph.py policy): n, mu_i, mu_j and the
-    # cov assembly below reference this frame 8x after expansion, and
-    # each un-materialized reference re-runs the corpus pass.
-    parts = (embeddings.select(vec_col)
-             .mapInPandas(gram, "i int, j int, v double")
-             .groupBy("i", "j").agg(F.sum("v").alias("v"))
-             .localCheckpoint(eager=True))
-    n = parts.where(F.col("i") == -1).select(F.col("v").alias("n"))
-    mu = (parts.where((F.col("i") >= 0) & (F.col("j") == -1))
-          .crossJoin(F.broadcast(n))
-          .select("i", (F.col("v") / F.col("n")).alias("mu")))
-    return (parts.where(F.col("j") >= 0)
-            .crossJoin(F.broadcast(n))
-            .join(F.broadcast(mu.select("i", F.col("mu").alias("mu_i"))),
-                  "i")
-            .join(F.broadcast(mu.select(F.col("i").alias("j"),
-                                        F.col("mu").alias("mu_j"))), "j")
-            .select("i", "j",
-                    ((F.col("v")
-                      - F.col("n") * F.col("mu_i") * F.col("mu_j"))
-                     / (F.col("n") - 1)).alias("cov")))
+    n = 0.0
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in (embeddings.select(vec_col)
+              .mapInPandas(gram, "i int, j int, v double")
+              .groupBy("i", "j").agg(F.sum("v").alias("v"))
+              .collect()):
+        if r["i"] < 0:
+            n = r["v"]
+        elif r["j"] < 0:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"], r["j"]] = r["v"]
+    return n, s, G
+
+
+def embedding_covariance(embeddings: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = DIM) -> DataFrame:
+    """Sample covariance matrix of the embedding corpus as (i, j, cov)
+    upper-triangle rows (0-based, ddof=1) — the fixed d x d summary
+    that PCA, whitening, and Mahalanobis outlier scoring start from.
+
+    Scale: ONE corpus pass (_gram_moments). cov =
+    (S_ij - n*mu_i*mu_j) / (n - 1) is assembled DRIVER-side from the
+    collected moments — round 13: the former JVM assembly expanded a
+    checkpointed moment frame through 8 references and three broadcast
+    joins (checkpoint job + join jobs per call); one collect of the
+    same combined rows replaces all of it with d^2 scalar arithmetic,
+    bit-identical because the formula and its double inputs are
+    unchanged.
+    """
+    d = int(dim)
+    n, s, G = _gram_moments(embeddings, vec_col, d)
+    spark = embeddings.sparkSession
+    if not n:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    mu = s / n
+    rows = [(i, j,
+             float((G[i, j] - n * mu[i] * mu[j]) / (n - 1.0)))
+            for i in range(d) for j in range(i, d)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
 def pca_top_component(embeddings: DataFrame, id_col: str = "vec_id",
@@ -1834,29 +1850,34 @@ def pca_top_component(embeddings: DataFrame, id_col: str = "vec_id",
     (centered projection) — the 1-d summary behind embedding drift
     plots, coarse diversity bucketing, and PCA-whitening pipelines.
 
-    Power iteration runs DRIVER-SIDE on the collected d x d covariance
-    — fixed d^2 scalars of corpus-size-independent state, the same
-    contract as the k-row kmeans centroid state — from the
-    deterministic start v0 = 1/sqrt(d), w = C v / ||C v|| for a FIXED
-    iteration count, so an unrolled SQL replay performs the identical
-    arithmetic. The projection itself is one JVM-side unrolled
-    expression over the cached flat frame (no Python in the corpus
-    pass). No sign fix-up: both engines iterate from the same v0, so
-    they converge to the same signed vector.
+    Power iteration runs DRIVER-SIDE on the d x d covariance assembled
+    from ONE _gram_moments corpus pass — fixed d^2 scalars of
+    corpus-size-independent state, the same contract as the k-row
+    kmeans centroid state — from the deterministic start
+    v0 = 1/sqrt(d), w = C v / ||C v|| for a FIXED iteration count, so
+    an unrolled SQL replay performs the identical arithmetic. The
+    centering mean is served from the same pass (mu_i = s_i / n;
+    round 13 — the former separate F.avg aggregate over the flat frame
+    was a second corpus-pass job whose result differs only in
+    summation order, i.e. below the 6-dp output rounding). The
+    projection itself is one JVM-side unrolled expression over the
+    cached flat frame (no Python in the corpus pass). No sign fix-up:
+    both engines iterate from the same v0, so they converge to the
+    same signed vector.
 
     Output: (id_col, pc1).
     """
     import numpy as np
 
     d = int(dim)
+    n, s, G = _gram_moments(embeddings, vec_col, d)
+    mu = s / n
     cov = np.zeros((d, d))
-    for r in embedding_covariance(embeddings, id_col, vec_col,
-                                  dim).collect():
-        cov[r["i"], r["j"]] = r["cov"]
-        cov[r["j"], r["i"]] = r["cov"]
+    for i in range(d):
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = ((G[i, j] - n * mu[i] * mu[j])
+                                     / (n - 1.0))
     flat = _flat_cached(embeddings, id_col, vec_col, dim, "c")
-    mu = np.array(flat.select(
-        *[F.avg(f"c{i}").alias(f"m{i}") for i in range(d)]).collect()[0])
     v = np.full(d, 1.0 / np.sqrt(float(d)))
     for _ in range(int(iterations)):
         w = cov @ v

@@ -379,11 +379,11 @@ def test_mmr_greedy_is_one_cogroup_no_driver_loop(spark):
 
 
 def test_embedding_covariance_single_corpus_pass(spark):
-    """The covariance moment rows are checkpointed, so the (re-)invoked
-    plan reads the materialized ~2.2k-row frame — ZERO parquet scans
-    and zero mapInPandas nodes downstream: the corpus pass runs exactly
-    once per covariance, never once per consumer (n, mu_i, mu_j, cov
-    expand to 8 references)."""
+    """The corpus pass runs exactly ONCE per covariance (collected to
+    the driver by _gram_moments; round 13 replaced the checkpointed
+    moment frame + broadcast-join assembly with driver-side scalar
+    assembly), so the returned plan is a local-rows scan — ZERO parquet
+    scans and zero mapInPandas nodes downstream."""
     plan = _plan(spark, "d_embed_covariance")
     assert "FileScan parquet" not in plan
     assert "MapInPandas" not in plan
