@@ -1911,8 +1911,12 @@ def q_d_gated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tagged = docs.withColumn("fails", fails_column(_GATE_RULES()))
-    curated = curate(tagged.where(F.col("fails") == "").drop("fails"),
-                     min_quality=0.6)
+    # Row-level gate + row-wise stats: curation of the gated subset is
+    # served from the shared corpus stats frame via keep_ids (round 13)
+    # instead of re-running the HOF projection on the filtered plan.
+    curated = curate(docs, min_quality=0.6,
+                     keep_ids=tagged.where(F.col("fails") == "")
+                     .select("doc_id"))
     packed = pack_sequences(curated, budget=_PACK_BUDGET,
                             n_buckets=_PACK_BUCKETS, tokens_col="n_tokens")
     sharded = shuffle_shards(packed, n_shards=_N_SHARDS, seed="r4")

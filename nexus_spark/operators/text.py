@@ -189,7 +189,8 @@ def clear_cache() -> None:
 
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", min_quality: float = 0.6,
-           langs: tuple[str, ...] | None = None) -> DataFrame:
+           langs: tuple[str, ...] | None = None,
+           keep_ids: DataFrame | None = None) -> DataFrame:
     """End-to-end curation pass for a pretraining corpus: quality gate →
     optional language filter → exact dedup on the normalized fingerprint
     (lowest id survives, copies counted).
@@ -206,10 +207,23 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
 
     Output: doc_id, n_tokens, quality, lang_pred, fingerprint, dup_cnt
     (copies collapsed among quality-passing docs).
+
+    `keep_ids` (round 13): restrict curation to a subset of ids while
+    still serving the per-doc stats from the CORPUS-level projection
+    (and its session memo). text_stats is row-wise, so
+    stats(filtered docs) == stats(docs) semi-joined to the filtered
+    ids — but the former re-runs the HOF-heavy projection on a plan
+    the memo has never seen, while the latter is a narrow semi-join
+    against the shared cached frame (the r12 TF-IDF-from-BM25-index
+    pattern). Callers that pre-filter rows by a row-level predicate
+    should pass the full corpus plus keep_ids instead of the filtered
+    frame.
     """
     from pyspark.sql import Window
 
     stats = text_stats(docs, id_col, text_col)
+    if keep_ids is not None:
+        stats = stats.join(keep_ids.select(id_col), id_col, "leftsemi")
     gated = stats.where(F.col("quality") >= min_quality)
     if langs:
         gated = gated.where(F.col("lang_pred").isin(list(langs)))
