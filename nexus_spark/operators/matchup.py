@@ -35,6 +35,32 @@ from nexus_spark.functions.geo import haversine_km
 KM_PER_DEG_LAT = 111.195  # mean earth: pi * 6371 / 180
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame (optimized logical plan stats)
+    — a planning-time number, no job is run. -1 when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return -1
+
+
+def _broadcast_budget_bytes(spark) -> int:
+    """Byte budget under which the matchup secondary is broadcast instead
+    of shuffled (NEXUS_SPARK_MATCHUP_BROADCAST_MB, default 64 MB). The
+    default is a per-executor hash-table budget safe on any executor with
+    >= 1 GB of memory; at fact-scale the secondary's estimate exceeds any
+    sane budget and the shuffled-hash path is taken, so the setting only
+    ever toggles *small* secondaries and needs no cluster-specific tune."""
+    import os
+
+    try:
+        mb = float(os.environ.get("NEXUS_SPARK_MATCHUP_BROADCAST_MB", "64"))
+    except ValueError:
+        mb = 64.0
+    return int(mb * (1 << 20))
+
+
 def _bucketed(df: DataFrame, cell_deg: float, lon_cell_deg: float,
               time_tolerance_s: float, n_lon_cells: int) -> DataFrame:
     return (
@@ -115,13 +141,22 @@ def matchup(
         .withColumn("j_time_bucket", F.col("time_bucket") + F.col("dtb"))
     )
 
-    # Build the hash table on the secondary side (shuffle_hash hint):
-    # Catalyst sizes the primary by its pre-explode scan and would happily
-    # BROADCAST the 45x-exploded primary — a multi-hundred-MB build. A
-    # shuffled hash join on the cell key is the plan that survives both
-    # sides growing 100x.
+    # Join strategy, chosen from the secondary side's optimizer size
+    # estimate (no extra job): a compact secondary that fits the broadcast
+    # budget is broadcast — the ~45x-exploded primary then never shuffles
+    # at all (the dominant cost of this query: the exploded exchange is
+    # ~50x the secondary's bytes). A secondary above the budget takes the
+    # shuffled hash join on the cell key — the plan that survives both
+    # sides growing 100x. Never leave it to Catalyst unhinted: it sizes
+    # the primary by its pre-explode scan and would happily BROADCAST the
+    # exploded primary — a multi-hundred-MB build.
+    s_est = _plan_size_bytes(s)
+    if 0 <= s_est <= _broadcast_budget_bytes(secondary.sparkSession):
+        s = F.broadcast(s)
+    else:
+        s = s.hint("shuffle_hash")
     joined = p.join(
-        s.hint("shuffle_hash"),
+        s,
         (F.col("j_lat_cell") == F.col("s_lat_cell"))
         & (F.col("j_lon_cell") == F.col("s_lon_cell"))
         & (F.col("j_time_bucket") == F.col("s_time_bucket")),

@@ -94,14 +94,31 @@ def test_dimension_joins_broadcast(spark):
 def test_matchup_never_cartesian_never_broadcasts_exploded_side(spark):
     plan = _plan(spark, "s8_matchup_once")
     assert "CartesianProduct" not in plan
-    # The cell join must be a shuffled hash join (build side = secondary);
-    # a BroadcastExchange above the Generate (explode) would mean Spark is
-    # broadcasting the 45x-exploded primary.
-    assert "ShuffledHashJoin" in plan
+    # The cell join builds its hash table on the compact SECONDARY side:
+    # broadcast when its size estimate fits the budget (r13 — the
+    # exploded primary then never shuffles), shuffled hash otherwise.
+    # Either way a BroadcastExchange above the Generate (explode) would
+    # mean Spark is broadcasting the ~45x-exploded primary.
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     bcast_sections = plan.split("BroadcastExchange")[1:]
     for section in bcast_sections:
         head = section[:800]
         assert "Generate explode" not in head, "exploded side broadcast!"
+
+
+def test_matchup_over_budget_secondary_takes_shuffled_hash(spark,
+                                                           monkeypatch):
+    """The broadcast path is size-guarded: with a zero budget (stand-in
+    for a fact-scale secondary whose estimate exceeds any budget) the
+    cell join must fall back to the shuffled hash join, never broadcast,
+    never sort-merge (no sort over the exploded side)."""
+    monkeypatch.setenv("NEXUS_SPARK_MATCHUP_BROADCAST_MB", "0")
+    plan = _plan(spark, "s8_matchup_once")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    bcast_sections = plan.split("BroadcastExchange")[1:]
+    for section in bcast_sections:
+        assert "Generate explode" not in section[:800]
 
 
 def test_single_shuffle_for_simple_groupby(spark):
