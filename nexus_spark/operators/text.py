@@ -328,7 +328,12 @@ def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
                    F.col("g.cur").alias("cur")))
     cb = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bc"))
     cu = cb.groupBy("prev").agg(F.sum("c_bc").alias("c_b"))
-    scored = (big.join(cb, ["prev", "cur"]).join(cu, "prev")
+    # Pin the BUILD side to the model tables (observed-bigram /
+    # context-count aggregates — vocabulary-scaled): unpinned, Catalyst
+    # sizes the bigram stream by its pre-explode scan and broadcasts the
+    # exploded stream (measured 40 MiB vs 1.4 MiB at sf0.1).
+    scored = (big.join(F.broadcast(cb), ["prev", "cur"])
+              .join(F.broadcast(cu), "prev")
               .select(id_col,
                       (-F.log(F.col("c_bc").cast("double")
                               / F.col("c_b"))).alias("nl")))
@@ -950,7 +955,11 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
         F.explode(F.split(F.col(text_col), " ")).alias("word"))
     freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
-    scored = (w.join(freq, "word")
+    # Pin the BUILD side: freq is the vocabulary table (bounded, ~1k
+    # rows); unpinned, Catalyst sizes the token stream by its pre-explode
+    # scan and broadcasts the 50x-exploded stream instead (measured
+    # 40 MiB broadcast vs this 31 KiB one at sf0.1).
+    scored = (w.join(F.broadcast(freq), "word")
               .crossJoin(F.broadcast(total))
               .select(id_col,
                       (-F.log(F.col("cnt").cast("double")
