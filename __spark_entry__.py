@@ -7226,76 +7226,40 @@ FROM t
 # insensitive) against the previous round's final commit (pinned in
 # tests/rotation_baseline.json) and fails if a changed query is outside
 # the first 50.
-# Round 13 layout: the 34 r09-stale rows lead (group A — queued in last
-# round's tail comment and the r12 verdict's ask #2) + the 7 rows whose
-# implementation changed in round 13's build phase (group B: the scrub
-# window-hash session memo, r12 verdict ask #1 — every operators/scrub.py
-# consumer) + the 9 rows whose implementation changed in round 13's
-# OPTIMIZATION phase (group B2: the incremental_near_dup build-side fix
-# touches operators/dedup.py, so every dedup consumer not already in
-# groups A/B re-windows — rotation rule 2). The former 9-row r10-stale
-# pad (group C) is displaced to the tail head and joins the 35 other
-# r10-checked rows queued to lead round 14 (44 total).
+# Round 14 layout: group A (8) = the r13-changed rows the r13 driver
+# window never saw (r13 verdict ask #1); group B (26) = every consumer
+# of the modules round 14 touches (operators/dedup.py 20 rows,
+# matchup/streaming-matchup, etl, correlation, the nb-confusion entry
+# edit); group C (16) = stalest-first pad (3 r09 + 13 r10 rows). The
+# remaining 21 r10-checked rows queue at the tail head for round 15.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-13 WINDOW (first 50) ---
-    # group A (31): r09-checked rows, 3 rounds stale after r12 — the
-    # registry's deepest staleness; they lead (rotation rule 1; queued
-    # in last round's tail comment and the r12 verdict's ask #2).
-    # Optimization-phase note: the dedup build-side change grew the
-    # changed-row group B2 to 12, so the 3 simplest non-dedup group-A
-    # rows (a10_dataset_list, t_asof_doy, f_lowpass) yield their seats
-    # — safe because the optimization-round driver verifies the FULL
-    # registry, not just the first 50 (they were also re-verified
-    # in-session, see OPTIMIZATION_r13.md) ---
-    "a2_stats_from_summary": q_a2_stats_from_summary,
-    "s1_time_series": q_s1_time_series,
-    "s8_matchup_once": q_s8_matchup_once,
-    "sim_ann_ivf": q_sim_ann_ivf,
+    # --- ROUND-14 WINDOW (first 50) ---
+    # group A (8): rows whose implementation changed in round 13 but
+    # sat OUTSIDE that round's 50-seat driver window (builder-verified
+    # only — the r13 verdict's ask #1 names exactly these): they lead
+    # so CORRECTNESS_r14 finally gives them a driver row. ---
+    "text_unigram_nll": q_text_unigram_nll,
+    "text_bigram_nll": q_text_bigram_nll,
+    "text_ppl_buckets": q_text_ppl_buckets,
+    "d_gated_export": q_d_gated_export,
+    "d_embed_covariance": q_d_embed_covariance,
+    "d_embed_pca1": q_d_embed_pca1,
+    "a4_corr_grid": q_a4_corr_grid,
+    "s8_matchup": q_s8_matchup,
+    # group B (26): implementation CHANGED in round 14 (rotation rule
+    # 2, mechanized by tests/test_rotation_honesty.py): the dedup
+    # pair-stage + incremental_near_dup build-side edits re-window
+    # every operators/dedup.py consumer; the streaming-matchup size
+    # guard re-windows the matchup family; plus the etl_regrid /
+    # corr-map conditioning / nb-confusion rows touched this round. ---
     "d_near_dup_embedding": q_d_near_dup_embedding,
-    "d_corpus_mix": q_d_corpus_mix,
     "d_contamination": q_d_contamination,
-    "doms_list": q_doms_list,
-    "s1_polygon_time_series": q_s1_polygon,
-    "s2_time_avg_map": q_s2_time_avg_map,
-    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
-    "a5_lonlat_map": q_a5_lonlat_map,
-    "a7_data_in_bounds": q_a7_data_in_bounds,
-    "s4_corr_map": q_s4_corr_map,
-    "s7_daily_difference": q_s7_daily_difference,
-    "a8_nearest_value": q_a8_nearest_value,
-    "t_tiles_in_box": q_t_tiles_in_box,
     "d_dedup_ngram_jaccard": q_d_ngram_jaccard,
-    "d_embed_outliers": q_d_embed_outliers,
-    "d8_insitu_subset": q_d8_insitu_subset,
-    "sim_knn_graph": q_sim_knn_graph,
-    "d_kmeans_round": q_d_kmeans_round,
-    "f_lowpass_checked": q_f_lowpass_checked,
     "d_dedup_minhash_md5": q_d_minhash_md5,
     "d_dedup_simhash_md5": q_d_simhash_md5,
     "d_dedup_lsh_xx_parity": q_d_lsh_xx_parity,
-    "sim_ann_recall_at_k": q_sim_ann_recall,
-    "d_topic_clusters": q_d_topic_clusters,
-    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
     "d_dedup_winnow": q_d_dedup_winnow,
     "d_dedup_minhash_lsh": q_d_minhash_lsh,
-    # group B (7): implementation CHANGED in round 13 (rotation rule 2,
-    # now mechanized by tests/test_rotation_honesty.py): the span-dedup
-    # window-hash stream is session-memoized (scrub._WINHASH_CACHE —
-    # the r12 verdict's ask #1; span_dedup_marks referenced it twice,
-    # re-running the tokenize/posexplode stage per call), which touches
-    # every consumer of operators/scrub.py ---
-    "scrub_span_dedup": q_scrub_span_dedup,
-    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
-    "scrub_span_apply": q_scrub_span_apply,
-    "scrub_cross_contamination": q_scrub_cross_contamination,
-    "scrub_decontaminate": q_scrub_decontaminate,
-    "scrub_pii": q_scrub_pii,
-    "scrub_repetition": q_scrub_repetition,
-    # group B2 (12): implementation CHANGED in round 13's optimization
-    # phase (rotation rule 2, mechanized): incremental_near_dup now
-    # pins the join build side to the bounded batch (store scans
-    # stream), an operators/dedup.py edit that re-windows every dedup
-    # consumer not already in groups A/B ---
     "e_stream_near_dup": q_e_stream_near_dup,
     "d_dedup_containment": q_d_dedup_containment,
     "d_dedup_components": q_d_dedup_components,
@@ -7308,12 +7272,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_exact": q_d_dedup_exact,
     "d_dedup_simhash": q_d_simhash,
     "d_near_dup_embedding_gemm": q_d_near_dup_gemm,
-    # --- tail (entry 51+): rotates in for round 14, stalest first.
-    # The 3 rows below left group A for the optimization-phase dedup
-    # group B2 (see above); then the 6 r10-checked rows that were round
-    # 13's pad (group C) until the same change displaced them; they plus
-    # the 35 other r10-checked rows (41 r10 total) will be >= 2 rounds
-    # stale after round 13 and MUST lead round 14's window: ---
+    "s8_matchup_once": q_s8_matchup_once,
+    "e_stream_matchup": q_e_stream_matchup,
+    "etl_regrid": q_etl_regrid,
+    "etl_transforms": q_etl_transforms,
+    "s4_corr_map": q_s4_corr_map,
+    "text_nb_confusion": q_text_nb_confusion,
+    # group C (16): stalest-first pad (rotation rule 1): the 3
+    # r09-checked rows that yielded their seats to r13's group B2,
+    # then the 13 longest-waiting r10-checked rows in registry order. ---
     "a10_dataset_list": q_a10_dataset_list,
     "t_asof_doy": q_t_asof_doy,
     "f_lowpass": q_f_lowpass,
@@ -7328,12 +7295,41 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_curation_pipeline": q_d_curation_pipeline,
     "d_sample_exact_n": q_d_sample_exact_n,
     "d_token_packing": q_d_token_packing,
-    "text_unigram_nll": q_text_unigram_nll,
     "s1_time_series_compare": q_s1_compare,
-    "s8_matchup": q_s8_matchup,
     "sim_ann_pq": q_sim_ann_pq,
+    # --- tail (entry 51+): rotates in for round 15, stalest first.
+    # 21 r10-checked rows remain ahead of the r11/r12 cohorts; they
+    # MUST lead round 15's window (they will be the registry's
+    # deepest staleness after this round). ---
+    "a2_stats_from_summary": q_a2_stats_from_summary,
+    "s1_time_series": q_s1_time_series,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "d_corpus_mix": q_d_corpus_mix,
+    "doms_list": q_doms_list,
+    "s1_polygon_time_series": q_s1_polygon,
+    "s2_time_avg_map": q_s2_time_avg_map,
+    "s5_hofmoeller_lat": q_s5_hofmoeller_lat,
+    "a5_lonlat_map": q_a5_lonlat_map,
+    "a7_data_in_bounds": q_a7_data_in_bounds,
+    "s7_daily_difference": q_s7_daily_difference,
+    "a8_nearest_value": q_a8_nearest_value,
+    "t_tiles_in_box": q_t_tiles_in_box,
+    "d_embed_outliers": q_d_embed_outliers,
+    "d8_insitu_subset": q_d8_insitu_subset,
+    "sim_knn_graph": q_sim_knn_graph,
+    "d_kmeans_round": q_d_kmeans_round,
+    "f_lowpass_checked": q_f_lowpass_checked,
+    "sim_ann_recall_at_k": q_sim_ann_recall,
+    "d_topic_clusters": q_d_topic_clusters,
+    "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+    "scrub_span_dedup": q_scrub_span_dedup,
+    "scrub_span_dedup_md5_parity": q_scrub_span_md5_parity,
+    "scrub_span_apply": q_scrub_span_apply,
+    "scrub_cross_contamination": q_scrub_cross_contamination,
+    "scrub_decontaminate": q_scrub_decontaminate,
+    "scrub_pii": q_scrub_pii,
+    "scrub_repetition": q_scrub_repetition,
     "sim_pq_recall_at_k": q_sim_pq_recall,
-    "etl_regrid": q_etl_regrid,
     "text_gopher_quality": q_text_gopher_quality,
     "sim_mmr_select": q_sim_mmr_select,
     "text_hash_embed": q_text_hash_embed,
@@ -7343,12 +7339,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_lake_merge_upsert": q_d_lake_merge_upsert,
     "g_gaussian_interp": q_gauss_interp,
     "text_nb_classifier": q_text_nb_classifier,
-    "text_nb_confusion": q_text_nb_confusion,
     "clim_nday": q_clim_nday,
     "s3_clim_map": q_s3_clim_map,
     "text_stats": q_text_stats,
     "d_temperature_mix": q_d_temperature_mix,
-    "d_gated_export": q_d_gated_export,
     "d_export_pipeline": q_d_export_pipeline,
     "text_bm25_topk": q_text_bm25,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -7356,10 +7350,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_retention_cohorts": q_sql_retention_cohorts,
     "e_anomaly_zscore": q_e_anomaly_zscore,
     "d_jsonl_roundtrip": q_d_jsonl_roundtrip,
-    "d_embed_covariance": q_d_embed_covariance,
-    # --- checked in round 11 (31 rows; next-stalest — round 14's pad
-    # draws from here in this order) ---
-    "d_embed_pca1": q_d_embed_pca1,
     "d_expectations_audit": q_d_expectations_audit,
     "sql_salted_hot_key": q_sql_salted_hot_key,
     "sketch_profile": q_sketch_profile,
@@ -7384,16 +7374,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_hofmoeller_lon": q_s6_hofmoeller_lon,
     "t_days_in_range": q_t_days_in_range,
     "t_distinct_bboxes": q_t_distinct_bboxes,
-    "a4_corr_grid": q_a4_corr_grid,
-    "etl_transforms": q_etl_transforms,
     "sql_topk_per_group": q_sql_topk,
     "sql_rollup": q_sql_rollup,
     "sql_hourly_events": q_sql_hourly_events,
     "text_bpe_tokens": q_text_bpe_tokens,
-    # --- checked in round 12 (45 rows; freshest before this round's
-    # window) ---
     "d_chunking": q_d_chunking,
-    "text_bigram_nll": q_text_bigram_nll,
     "text_vocab_oov": q_text_vocab_oov,
     "d_shuffle_shards": q_d_shuffle_shards,
     "sim_quantize_int8": q_sim_quantize_int8,
@@ -7401,13 +7386,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_interval_union": q_t_interval_union,
     "sql_pivot_monthly": q_sql_pivot_monthly,
     "sql_cumulative_revenue": q_sql_cumulative_revenue,
-    "text_ppl_buckets": q_text_ppl_buckets,
     "t_asof_nearest": q_t_asof_nearest,
     "sql_rolling_revenue": q_sql_rolling_revenue,
     "sql_value_histogram": q_sql_value_histogram,
     "t_interval_gaps": q_t_interval_gaps,
     "t_asof_events": q_t_asof_events,
-    "e_stream_matchup": q_e_stream_matchup,
     "sim_quantize_binary": q_sim_quantize_binary,
     "sim_ann_hamming": q_sim_ann_hamming,
     "sim_binary_recall_at_k": q_sim_binary_recall,

@@ -169,12 +169,19 @@ def test_changed_implementations_are_inside_the_driver_window():
     with open(BASELINE_FILE) as fh:
         baseline = json.load(fh)
     rev = baseline["rev"]
-    if baseline.get("full_registry_verified"):
+    # An exemption flag must be BOUND to the rev it was declared for
+    # (r13 ADVICE): bumping "rev" for a new round without re-declaring
+    # verified_for_rev re-arms this test automatically, so a forgotten
+    # manual cleanup can no longer leave the window rule silently
+    # unenforced. (The r13 flag itself was dropped in round 14: the
+    # driver verifies a 50-row window even in optimization rounds, so
+    # the exemption's premise was false.)
+    if (baseline.get("full_registry_verified")
+            and baseline.get("verified_for_rev") == rev):
         pytest.skip(
             "rotation_baseline.json declares a full-registry-verification "
-            "round (optimization rounds: the driver re-runs EVERY declared "
-            "query against the oracle, so the 50-seat window rule does not "
-            "bind): " + baseline.get("full_registry_note", ""))
+            "round bound to this exact baseline rev: "
+            + baseline.get("full_registry_note", ""))
     base_entry_src = _git_show(rev, ENTRY)
     assert base_entry_src is not None, (
         f"baseline rev {rev} unreadable — regenerate "
