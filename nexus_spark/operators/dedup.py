@@ -163,6 +163,17 @@ def distinct_postings(docs: DataFrame, id_col: str = "doc_id",
            .withColumn("n_shingles",
                        F.count(F.lit(1)).over(Window.partitionBy("id"))))
     got = got.cache()
+    # Materialize the index NOW (round 14, guide §1.2/§3.1): every
+    # consumer scans it fully anyway (the build cost stays inside the
+    # first caller), and the materialized InMemoryRelation carries REAL
+    # size stats, so Catalyst's broadcast-vs-sort-merge guard on the
+    # pair self-joins decides from actual bytes. Left lazy, the COLD
+    # logical estimate undersized the sf1 index (2.65M rows / 60.6 MiB)
+    # and broadcast it on the first call — a 192 MiB relation build and
+    # a 12.4 GiB aggregate spill in one unpartitioned stage, and a plan
+    # that cannot survive fact scale (8 GB broadcast cap). count() is
+    # the cheapest full materialization (no row leaves the executors).
+    got.count()
     _bounded_put(_POSTINGS_CACHE, key, (docs, got))
     return got
 
@@ -344,16 +355,18 @@ def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
 
     def matches(other_bands: DataFrame, other_sigs: DataFrame,
                 source: str, within_batch: bool) -> DataFrame:
-        # Build-side control (round 13): the batch is BOUNDED by the
-        # ingest contract; the store (history) is not. Every join that
-        # touches a store-derived frame must build its hash table on
-        # the batch-derived side and STREAM the store scan — left to
-        # size estimates, Catalyst was observed broadcasting the store
+        # Build-side control (round 13, tightened round 14): the batch
+        # is BOUNDED by the ingest contract; the store (history) is
+        # not. Every join that touches a store-derived frame must build
+        # its hash table on the batch-derived side — left to size
+        # estimates, Catalyst was observed broadcasting the store
         # parquet (it has stats; the batch localCheckpoint does not),
         # making per-batch cost O(history) and the whole drain
-        # O(history x batches). With the explicit broadcast of the
-        # batch side, per-batch work is one streamed store scan plus
-        # O(batch) build — the plan that survives an unbounded store.
+        # O(history x batches). Only frames O(batch) BY CONSTRUCTION
+        # (the batch bands, the batch signatures) are broadcast; the
+        # candidate frame, whose size depends on how much history the
+        # batch matches, is never broadcast (round-13 ADVICE) — its
+        # store-side join shuffles with the build pinned to it.
         nb_l = nb.select("band_idx", "band_hash",
                          F.col("id").alias("id_new"))
         ob = other_bands.select("band_idx", "band_hash",
@@ -370,12 +383,28 @@ def incremental_near_dup(new_docs: DataFrame, spark, store_path: str,
             F.zip_with("sig_a", "sig_b",
                        lambda a, b: (a == b).cast("int")),
             F.lit(0), lambda acc, x: acc + x) / F.lit(float(k))
-        withsig = cand.join(new_sigs.select(
-            F.col("id").alias("id_new"),
-            F.col("signature").alias("sig_a")), "id_new")
+        # Attaching the batch signatures to the candidates broadcasts
+        # new_sigs — O(batch) by the ingest contract, always safe. The
+        # candidate frame itself is NOT batch-bounded (round-13 ADVICE:
+        # its size is O(batch bands x store matches), so a dup-heavy
+        # history grows it with store size — broadcasting it trades a
+        # completed shuffled plan for a driver/executor OOM exactly on
+        # the workload dedup targets). The store-side estimator join
+        # therefore SHUFFLES with the hash table pinned on the
+        # batch-derived side: the store pays a linear per-batch
+        # exchange instead of becoming a per-partition build, and no
+        # relation anywhere is built from store-derived rows.
+        withsig = cand.join(
+            F.broadcast(new_sigs.select(
+                F.col("id").alias("id_new"),
+                F.col("signature").alias("sig_a")))
+            if not within_batch
+            else new_sigs.select(F.col("id").alias("id_new"),
+                                 F.col("signature").alias("sig_a")),
+            "id_new")
         osig = other_sigs.select(F.col("id").alias("id_matched"),
                                  F.col("signature").alias("sig_b"))
-        paired = (osig.join(F.broadcast(withsig), "id_matched")
+        paired = (withsig.hint("shuffle_hash").join(osig, "id_matched")
                   if not within_batch
                   else withsig.join(osig, "id_matched"))
         return (paired
@@ -420,15 +449,38 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "h")
 
+    # Pair stage (round 14, guide §1/§3.1/§5). The join strategy is
+    # Catalyst's own size-guarded choice over the MATERIALIZED postings
+    # stats (distinct_postings materializes its memo eagerly, see
+    # there): broadcast while the index fits autoBroadcastJoinThreshold
+    # (sf0.1: 6-8 MiB — the fast local plan, steady 0.45s vs 0.98s
+    # forced-SMJ), sort-merge above it (sf1: 60.6 MiB). Pinning either
+    # strategy was MEASURED worse on one end: forced SMJ doubles the
+    # sf0.1 steady; forced SHJ lost ~20% to SMJ at the sf1 pair volume
+    # (scattered match-chain probes vs contiguous sorted runs); and the
+    # pre-fix COLD estimate undersized the un-materialized cache and
+    # broadcast 2.65M rows / 192 MiB on the sf1 first call — a single
+    # unpartitioned stage whose pair aggregate (138.4M join rows)
+    # spilled 12.4 GiB, a plan that dies outright at fact scale (8 GB
+    # relation cap). The aggregation keys are the PAIR ONLY (guide
+    # §2.3 — narrower hash state: the doc-level shingle counts are
+    # functionally dependent on the ids, so they ride as first()
+    # buffers instead of widening every key from 2 longs to 4).
     a = sh.select(F.col("h"), F.col("id").alias("id_a"),
                   F.col("n_shingles").alias("n_a"))
     b = sh.select(F.col("h"), F.col("id").alias("id_b"),
                   F.col("n_shingles").alias("n_b"))
+    # (Also MEASURED and rejected: an explicit pair-key repartition
+    # between join and aggregate to skip the near-useless partial
+    # aggregate — it collapses only 5.4% at sf1, 138.4M -> 130.9M rows,
+    # for 15.6 GiB of spill — but shuffling the RAW pair stream cost
+    # the same or more: sf1 steady 16.1-19.9s vs 14.7-16.3s kept form.)
     pairs = (
         a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
@@ -1245,7 +1297,9 @@ def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
                    F.col("n_fp").alias("n_a"))
     b = fps.select(F.col("fp"), F.col("id").alias("id_b"),
                    F.col("n_fp").alias("n_b"))
-    return (a.join(b, "fp")
+    # hint("merge"): self-join of the same fingerprint subtree — no
+    # broadcast-shaped side exists (see ngram_jaccard_pairs).
+    return (a.hint("merge").join(b, "fp")
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("common"))
@@ -1321,6 +1375,9 @@ def ngram_containment(docs: DataFrame, id_col: str = "doc_id",
                  F.col("n_shingles").alias("n_a")))
     b = post.select(F.col("id").alias("id_b"), "h")
     return (
+        # Unhinted like ngram_jaccard_pairs: Catalyst's size guard over
+        # the eagerly-materialized postings stats picks broadcast small
+        # / sort-merge large (see the pair-stage comment there).
         a.join(b, "h")
         .where(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
