@@ -3999,36 +3999,61 @@ WHERE en + INTERVAL 30 MINUTE <= mx - INTERVAL 30 MINUTE
 
 
 def q_e_stream_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8's radius/time matchup executed as a REAL stream-stream join
-    (the third executed-streaming pin, after stateful dedup and the
-    watermarked window): both matchup feeds are staged to watch
-    directories, joined with streaming_matchup's cell-equi + event-time
-    range condition, and drained with availableNow. With the watermark
-    covering the fixture span, the emitted set must equal the batch
-    matchup (match_once=False) — the kappa-architecture guarantee,
-    checked here by the driver against the batch oracle SQL."""
+    """S8's radius/time matchup executed as a REAL streaming join (the
+    third executed-streaming pin, after stateful dedup and the
+    watermarked window): the primary feed streams from a watch
+    directory, joined with streaming_matchup's cell-equi + event-time
+    range condition, and drained with availableNow. The emitted set
+    must equal the batch matchup (match_once=False) — the
+    kappa-architecture guarantee, checked here by the driver against
+    the batch oracle SQL.
+
+    Secondary-side size guard (round 14, the s8 guard applied to the
+    stream — guide §3.1/§5): an in-situ secondary that fits the batch
+    operator's broadcast budget is fed as STATIC reference data, so
+    each micro-batch plans a stateless broadcast join building on the
+    bounded secondary and the ~45x-exploded primary stream never
+    shuffles and holds NO join state (measured at sf1: the
+    stream-stream state stores passed ~5M exploded rows per side
+    through HDFS-backed state for an 89s steady drain the driver
+    flagged as the registry's worst row). A secondary above the budget
+    keeps the watermarked stream-stream join — bounded state per side
+    is the only plan that survives BOTH feeds growing unboundedly, and
+    with the full-span watermark both paths emit the identical set
+    (the parity oracle pins it)."""
+    from nexus_spark.operators.matchup import (_broadcast_budget_bytes,
+                                               _plan_size_bytes)
     from nexus_spark.streaming.matchup import streaming_matchup
 
     base = _staged_feed(spark, sf_dir, "matchup")
     pdir, sdir = f"{base}/p", f"{base}/s"
-    # Size the join's state-store count (= shuffle partitions, fixed at
-    # stream start) to the FEED volume instead of the flat 8 every other
-    # executed stream uses (round-11 verdict ask #3): the stream-stream
-    # join passes every input row through a state store, the neighbor-
-    # cell explode multiplies the primary ~9x, and at sf1 the flat 8
-    # left 24 of 32 cores idle on ~5M state rows (measured 152.4s; 32
-    # stores -> 84.7s, same 18.0M-row result). One store per ~150k state
-    # rows, floor 8 (below that, near-empty stores cost more than they
-    # parallelize — the r9 measurement that set the flat 8), cap at the
-    # host's parallelism. The counts are parquet-footer metadata reads.
-    n_p = spark.read.parquet(pdir).count()
-    n_s = spark.read.parquet(sdir).count()
-    parts = max(8, min(int(spark.sparkContext.defaultParallelism),
-                       (9 * n_p + n_s) // 150_000 + 1))
     ps = (spark.readStream.schema(spark.read.parquet(pdir).schema)
           .parquet(pdir))
-    ss = (spark.readStream.schema(spark.read.parquet(sdir).schema)
-          .parquet(sdir))
+    s_static = spark.read.parquet(sdir)
+    if 0 <= _plan_size_bytes(s_static) <= _broadcast_budget_bytes(spark):
+        # Bounded secondary: static reference side; streaming_matchup
+        # pins the broadcast build on it (no state store, no shuffle
+        # of the exploded stream). Shuffle-partition sizing is moot —
+        # the micro-batch plan has no exchange before the sink.
+        ss = s_static
+        parts = "8"
+    else:
+        # Unbounded secondary: the r12 stream-stream path, state-store
+        # count sized to the FEED volume instead of the flat 8 every
+        # other executed stream uses (round-11 verdict ask #3): the
+        # stream-stream join passes every input row through a state
+        # store, the neighbor-cell explode multiplies the primary ~9x,
+        # and at sf1 the flat 8 left 24 of 32 cores idle on ~5M state
+        # rows (measured 152.4s; 32 stores -> 84.7s, same 18.0M-row
+        # result). One store per ~150k state rows, floor 8 (below
+        # that, near-empty stores cost more than they parallelize —
+        # the r9 measurement that set the flat 8), cap at the host's
+        # parallelism. The counts are parquet-footer metadata reads.
+        n_p = spark.read.parquet(pdir).count()
+        n_s = s_static.count()
+        parts = max(8, min(int(spark.sparkContext.defaultParallelism),
+                           (9 * n_p + n_s) // 150_000 + 1))
+        ss = (spark.readStream.schema(s_static.schema).parquet(sdir))
     out = streaming_matchup(ps, ss, radius_km=_MU_R,
                             time_tolerance_s=_MU_TT,
                             watermark="3650 days")

@@ -88,6 +88,25 @@ def streaming_matchup(
         p = ensure_event_time(p, "p_time").withWatermark("p_time", watermark)
     if s.isStreaming:
         s = ensure_event_time(s, "s_time").withWatermark("s_time", watermark)
+    else:
+        # Static (reference-data) secondary: pin the join build side with
+        # the SAME size guard as the batch operator (round 14, guide
+        # §3.1/§5). Under the broadcast budget the secondary is broadcast
+        # — each micro-batch is then a stateless BroadcastHashJoin
+        # building on the batch side, the exploded primary never
+        # shuffles, and NO join state store exists at all (the
+        # stream-stream state machinery is pure overhead when one side
+        # is bounded reference data). Above the budget, shuffle-hash —
+        # never leave it to Catalyst, which sizes the primary
+        # pre-explode and would broadcast the exploded stream side.
+        from nexus_spark.operators.matchup import (_broadcast_budget_bytes,
+                                                   _plan_size_bytes)
+
+        s_est = _plan_size_bytes(s)
+        if 0 <= s_est <= _broadcast_budget_bytes(secondary.sparkSession):
+            s = F.broadcast(s)
+        else:
+            s = s.hint("shuffle_hash")
 
     # Same neighbor-cell explosion as the batch operator (pole-cap span
     # included); the explode multiplies only the primary stream, state for

@@ -39,6 +39,31 @@ def test_static_frames_equal_batch_matchup(spark):
     assert got == want and len(want) > 0
 
 
+def test_static_secondary_build_is_size_guarded(spark, monkeypatch):
+    """Round-14 size guard (the s8 guard applied to the stream): a static
+    secondary within the broadcast budget is pinned as a broadcast build
+    (the exploded primary never shuffles, no join state store); over
+    budget it falls back to shuffle-hash — never Catalyst's own choice,
+    which sizes the primary pre-explode."""
+    from nexus_spark import domain
+    from nexus_spark.streaming.matchup import streaming_matchup
+
+    p = domain.matchup_primary(spark, SF_DIR)
+    s = domain.matchup_secondary(spark, SF_DIR)
+
+    def plan(budget_mb: str) -> str:
+        monkeypatch.setenv("NEXUS_SPARK_MATCHUP_BROADCAST_MB", budget_mb)
+        df = streaming_matchup(p, s, radius_km=300.0,
+                               time_tolerance_s=86400)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    under = plan("64")
+    assert "BroadcastHashJoin" in under, under[:800]
+    over = plan("0")
+    assert "ShuffledHashJoin" in over, over[:800]
+    assert "BroadcastHashJoin" not in over
+
+
 def test_streams_converge_to_batch(spark, tmp_path):
     from nexus_spark import domain
     from nexus_spark.operators.matchup import matchup
